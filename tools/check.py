@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
+each parquet table in <sfDir> as a DuckDB view, runs every oracle, reads the
+corresponding Spark result parquet through DuckDB too (so both sides get
+identical type conversion), sorts both by all columns, and compares.
+"""
+import sys, json, glob, os
+import duckdb
+
+def canon(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(r))
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        spark_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
+        try:
+            want = con.execute(oracles[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+            got_rel = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
+            got = got_rel.fetchall()
+            got_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}"); n_fail += 1; continue
+        # driver sorts columns by name before hashing values
+        wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        if sorted(want_cols) != sorted(got_cols):
+            print(f"FAIL {name}: columns differ: oracle={sorted(want_cols)} spark={sorted(got_cols)}")
+            n_fail += 1; continue
+        w = canon([[r[i] for i in wi] for r in want])
+        g = canon([[r[i] for i in gi] for r in got])
+        if len(w) != len(g):
+            print(f"FAIL {name}: row count oracle={len(w)} spark={len(g)}")
+            n_fail += 1; continue
+        bad = [(a, b) for a, b in zip(w, g) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(w)} rows differ; first: oracle={bad[0][0]} spark={bad[0][1]}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(w)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
