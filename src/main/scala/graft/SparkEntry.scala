@@ -12,7 +12,8 @@ import graft.core.QueryDef
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    operators.Analytics.all
+    operators.Analytics.all ++ operators.Windows.all ++ operators.Audits.all ++
+      operators.DmlQueries.all ++ operators.Normalization.all ++ operators.EventsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.Dec._
+
+/** The reference's mutation operators (SURVEY.md §2.9 D1-D6) expressed as
+  * pure dataframe transforms, gate-checked against SQL oracles. The
+  * engine-side stateful realization (atomic table rewrite, FK cascade)
+  * lives in [[graft.sources.TableStore]]; these queries pin the exact
+  * row-level semantics the store must produce.
+  *
+  * Scale: updates/deletes are full-scan `when/otherwise` rewrites — at
+  * 100 TB these become partition-pruned rewrites of affected partitions
+  * only (copy-on-write), never row-at-a-time.
+  */
+object DmlQueries {
+
+  /** §2.9 D1 — `UPDATE … SET … WHERE` as when/otherwise column rewrite
+    * (reference All-Tasks-of-SQL.sql:51-53 repairs ages; 110-112 stock). */
+  val q32 = QueryDef(
+    "q32_update_where",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 2000 THEN 'REPAIRED' ELSE o_orderpriority END AS o_orderpriority,
+      |  CAST(CASE WHEN o_totalprice < 2000 THEN 2000.00
+      |            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") < 2000, "REPAIRED").otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        when(col("o_totalprice") < 2000, lit(BigDecimal("2000.00")))
+          .otherwise(d2(col("o_totalprice"))).cast(Money).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.9 D2 / §2.3 J9 — `UPDATE … FROM` join-update (reference
+    * All-Tasks-of-SQL.sql:366-372 backfill from dims): orders take their
+    * customer's market segment as priority when the customer is in debt.
+    * Broadcast the small update source; fact table never shuffles. */
+  val q33 = QueryDef(
+    "q33_update_from_join",
+    """SELECT o_orderkey,
+      |  CASE WHEN c.c_acctbal < 0 THEN c.c_mktsegment ELSE o.o_orderpriority END AS o_orderpriority
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val updates = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority")
+      .join(broadcast(updates), Seq("o_custkey"), "left")
+      .select(col("o_orderkey"),
+        when(col("c_acctbal") < 0, col("c_mktsegment")).otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.9 D3 + §2.8 C2 — DELETE with FK cascade (reference
+    * All-Tasks-of-SQL.sql:123-124 delete supplier relying on ON DELETE;
+    * orders CASCADE from customers TC:53): deleting in-debt customers
+    * cascades to their orders and those orders' lineitems. Dashboard of
+    * surviving counts proves the propagation. */
+  val q34 = QueryDef(
+    "q34_delete_cascade",
+    """WITH doomed AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+      |SELECT
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM doomed)) AS customers_left,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM doomed)) AS orders_left,
+      |  (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     WHERE o.o_custkey NOT IN (SELECT c_custkey FROM doomed)) AS lineitems_left""".stripMargin) { (s, d) =>
+    val doomed = Tables.customer(s, d).filter(col("c_acctbal") < -900)
+      .select(col("c_custkey"))
+    val customersLeft = Tables.customer(s, d)
+      .join(doomed, Seq("c_custkey"), "left_anti").agg(count(lit(1)).as("customers_left"))
+    val survivingOrders = Tables.orders(s, d)
+      .join(broadcast(doomed.withColumnRenamed("c_custkey", "o_custkey")), Seq("o_custkey"), "left_anti")
+    val ordersLeft = survivingOrders.agg(count(lit(1)).as("orders_left"))
+    val lineitemsLeft = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"))
+      .join(survivingOrders.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("lineitems_left"))
+    customersLeft.crossJoin(ordersLeft).crossJoin(lineitemsLeft)
+  }
+
+  /** §2.1 S5-S7 / §2.9 D5 — INSERT … SELECT with ON CONFLICT DO NOTHING as
+    * anti-join + union (reference TablesCreated-Imported.sql:119, 150…).
+    * Half the incoming batch collides with existing PKs and is dropped. */
+  val q35 = QueryDef(
+    "q35_insert_on_conflict",
+    """WITH incoming AS (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS k FROM orders WHERE o_orderkey % 2 = 1),
+      |merged AS (
+      |  SELECT o_orderkey AS k FROM orders
+      |  UNION ALL
+      |  SELECT k FROM incoming WHERE k NOT IN (SELECT o_orderkey FROM orders))
+      |SELECT COUNT(*) AS n_after, CAST(SUM(k) AS BIGINT) AS key_sum FROM merged""".stripMargin) { (s, d) =>
+    val existing = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+    val incoming = existing.filter(col("k") % 2 === 0)
+      .unionByName(existing.filter(col("k") % 2 === 1).select((col("k") + 10000000L).as("k")))
+    val inserted = incoming.join(existing, Seq("k"), "left_anti")
+    existing.unionByName(inserted)
+      .agg(count(lit(1)).as("n_after"), sum(col("k")).as("key_sum"))
+  }
+
+  /** §2.9 D4 / §2.5 W1 — dedupe-delete: synthesize duplicate PKs, then the
+    * reference's ROW_NUMBER-keep-first delete (All-Tasks-of-SQL.sql:68-77). */
+  val q36 = QueryDef(
+    "q36_dedupe_delete",
+    """WITH dup AS (
+      |  SELECT o_orderkey, o_totalprice, 0 AS src FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1, 1 AS src FROM orders WHERE o_orderkey % 10 = 3),
+      |ranked AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn
+      |  FROM dup)
+      |SELECT COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS price_sum
+      |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val dup = o.withColumn("src", lit(0))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1).as("o_totalprice"))
+        .withColumn("src", lit(1)))
+    val w = Window.partitionBy("o_orderkey").orderBy("src")
+    dup.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(count(lit(1)).as("n_rows"), out(sum(d2(col("o_totalprice")))).as("price_sum"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36)
+}

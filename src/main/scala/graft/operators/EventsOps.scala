@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.Dec._
+
+/** Time-series operators over the `events` table: tumbling-window rollups
+  * and gap-based sessionization. Batch forms are gate-checked here; the
+  * same transforms run as a Structured Streaming job in
+  * [[graft.streaming.EventStream]] (readStream → watermark → window →
+  * writeStream), spec-tested with MemoryStream.
+  *
+  * Scale: tumbling windows are plain groupBy on (bucket, type) — fully
+  * parallel; sessionization windows partition by user_id, so state is
+  * distributed across the cluster, never global.
+  */
+object EventsOps {
+
+  /** Tumbling 1-hour rollup — Spark `window()` vs DuckDB `time_bucket`. */
+  val q40 = QueryDef(
+    "q40_events_hourly",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), out(sum(d4(col("value"))), 4).as("value_sum"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag → gap flag →
+    * running sum = session id → per-user session stats. */
+  val q41 = QueryDef(
+    "q41_events_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id,
+      |  CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1).otherwise(0))
+    val sessions = flagged.withColumn("session_id",
+      sum(col("new_session")).over(Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id")
+      .agg(countDistinct(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.Dec._
+
+/** Window functions, sorts, top-k (SURVEY.md §2.5, §2.6).
+  *
+  * Scale posture (SURVEY.md §7.4): the reference's global
+  * `RANK() OVER (ORDER BY …)` is a single-partition window — fine on a dim,
+  * fatal on a fact. Every global window here runs over an *already
+  * aggregated* frame (cardinality = group-key count, not row count), which
+  * is the 100 TB-safe shape: aggregate first, window the small result.
+  */
+object Windows {
+
+  /** §2.5 W1 — ROW_NUMBER dedupe, keep rn=1 (reference All-Tasks-of-SQL
+    * .sql:68-77 duplicate-customer elimination). Partitioned window: scales
+    * horizontally; deterministic tiebreak via event_id. */
+  val q21 = QueryDef(
+    "q21_window_rownum_dedupe",
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** §2.5 W2 — RANK over an aggregate (reference All-Tasks-of-SQL
+    * .sql:197-205 high-value customers). Aggregate (distributed) →
+    * global rank on the per-customer frame → keep top ranks. */
+  val q22 = QueryDef(
+    "q22_window_rank_agg",
+    """SELECT c_custkey, total_spent, spend_rank FROM (
+      |  SELECT o_custkey AS c_custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent,
+      |         RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC) AS spend_rank
+      |  FROM orders GROUP BY o_custkey) t
+      |WHERE spend_rank <= 10
+      |ORDER BY spend_rank, c_custkey""".stripMargin) { (s, d) =>
+    val spent = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(d2(col("o_totalprice"))).as("spent"))
+    spent
+      .withColumn("spend_rank", rank().over(Window.orderBy(col("spent").desc)))
+      .filter(col("spend_rank") <= 10)
+      .select(col("c_custkey"), out(col("spent")).as("total_spent"), col("spend_rank"))
+      .orderBy("spend_rank", "c_custkey")
+  }
+
+  /** §2.5 W3 — RANK over a CTE of counts (reference All-Tasks-of-SQL
+    * .sql:257-264 most-frequent customers, lifted to nations). */
+  val q23 = QueryDef(
+    "q23_rank_cte",
+    """WITH per_nation AS (
+      |  SELECT n_name, COUNT(*) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, n_orders,
+      |       RANK() OVER (ORDER BY n_orders DESC) AS order_rank
+      |FROM per_nation
+      |ORDER BY order_rank, n_name""".stripMargin) { (s, d) =>
+    val perNation = Tables.orders(s, d).select("o_custkey")
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_nationkey"))), Seq("o_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_orders"))
+    perNation
+      .withColumn("order_rank", rank().over(Window.orderBy(col("n_orders").desc)))
+      .orderBy("order_rank", "n_name")
+  }
+
+  /** §2.6 O3/O4 — multi-key DESC sort with NULLS LAST (reference
+    * TablesCreated-Imported.sql:1180; All-Tasks-of-SQL.sql:576). The
+    * left-join miss rows carry NULL sums → exercises null ordering. */
+  val q24 = QueryDef(
+    "q24_sort_nulls_last",
+    """SELECT s_suppkey, s_name, heavy_sales FROM (
+      |  SELECT s_suppkey, s_name,
+      |         (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |          FROM lineitem
+      |          WHERE l_suppkey = s_suppkey AND l_quantity >= 49 AND l_discount >= 0.09) AS heavy_sales
+      |  FROM supplier) t
+      |ORDER BY heavy_sales DESC NULLS LAST, s_suppkey""".stripMargin) { (s, d) =>
+    val heavy = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49 && col("l_discount") >= 0.09)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(out(sum(d2(col("l_extendedprice")))).as("heavy_sales"))
+    Tables.supplier(s, d).select("s_suppkey", "s_name")
+      .join(heavy, Seq("s_suppkey"), "left")
+      .orderBy(col("heavy_sales").desc_nulls_last, col("s_suppkey"))
+  }
+
+  /** §2.6 O6 — top-k = ORDER BY … LIMIT k → Spark plans
+    * TakeOrderedAndProject (no global sort of the full table; per-partition
+    * top-k then merge — the 100 TB-safe top-k). Reference
+    * All-Tasks-of-SQL.sql:264 (top 20). Explicit tiebreak on the key makes
+    * the result set deterministic (SURVEY.md §7.4). */
+  val q25 = QueryDef(
+    "q25_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25)
+}
