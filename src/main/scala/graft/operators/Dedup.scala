@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Deduplication suite for a training-data pipeline (SURVEY.md §7.1 step 9):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. Each returns the same
+  * shape — duplicate pairs/groups — so a user can swap precision for cost.
+  *
+  * Scale posture per operator:
+  *  - exact: hash-groupBy, one shuffle on the 128-bit digest — linear.
+  *  - n-gram Jaccard: exact pairwise verify; candidate generation by
+  *    shingle self-join is quadratic in the worst case, so at 100 TB it is
+  *    only run on candidates from MinHash banding (q48) — q47 is the
+  *    ground-truth variant for small corpora / validation.
+  *  - MinHash+LSH: shingle → 16 min-hashes in ONE groupBy pass (16 agg
+  *    columns, no repeated scans) → 4 banded bucket keys → bucket
+  *    equi-join. Cost ~ O(n · shingles) + O(sum bucket²); the classic
+  *    100 TB dedup shape (used by The Pile / RefinedWeb / FineWeb).
+  *  - SimHash: 60-bit signature via per-bit weighted sums, banded into 4 ×
+  *    15-bit chunks for candidate generation (pigeonhole: hamming ≤ 3 ⇒
+  *    some band equal), exact hamming verify via xor+popcount.
+  */
+object Dedup {
+
+  private def shingleSql =
+    """SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs — the shared base of q47/q48. */
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("s", explode(shingles3("t")))
+      .select("doc_id", "s").distinct()
+
+  /** Exact dedup: group by content digest (md5 of trimmed text), keep the
+    * smallest doc_id (the reference's keep-first ROW_NUMBER semantics,
+    * All-Tasks-of-SQL.sql:68-77, lifted to content hashing). */
+  val q46 = QueryDef(
+    "q46_dedup_exact",
+    """SELECT md5(trim(text)) AS content_hash, COUNT(*) AS n_copies,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(trim(col("text"))).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy("content_hash")
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs at threshold 0.8. */
+  val q47 = QueryDef(
+    "q47_ngram_jaccard",
+    s"""WITH sh AS (
+       |    $shingleSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = shingleDf(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("doc_a", "s")
+      .join(sh.toDF("doc_b", "s"), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("na") + col("nb") - col("i")).cast("double")
+    inter
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands × 4 rows
+
+  /** MinHash signature columns h0..h15: min over shingles of md5(seed:s). */
+  private def minhashAggs: Seq[Column] =
+    (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard. */
+  val q48 = {
+    val mhSelect = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bv FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    QueryDef(
+      "q48_minhash_lsh",
+      s"""WITH sh AS (
+         |    $shingleSql),
+         |mh AS (SELECT doc_id,
+         |    $mhSelect
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |                                  AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+         |                      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingleDf(s, d).cache()
+      val mh = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+      val bands = (0 until Bands).map { b =>
+        val bv = md5(concat((0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
+        mh.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
+      }.reduce(_ unionByName _)
+      val cand = bands.toDF("doc_a", "band", "bv")
+        .join(bands.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
+        .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val jac = col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double")
+      inter
+        .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+        .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** SimHash near-dup pairs: 60-bit signatures, 4×15-bit bands, hamming ≤ 6
+    * verified by xor+popcount over the band chunks. */
+  val q49 = {
+    // per (doc, bit) weighted sum, then pack sign bits into 15-bit bands
+    QueryDef(
+      "q49_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS wsum
+        |  FROM th, range(60) r(b) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN b < 15 AND wsum > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS band0,
+        |    CAST(SUM(CASE WHEN b >= 15 AND b < 30 AND wsum > 0 THEN (1::BIGINT << (b - 15)) ELSE 0 END) AS BIGINT) AS band1,
+        |    CAST(SUM(CASE WHEN b >= 30 AND b < 45 AND wsum > 0 THEN (1::BIGINT << (b - 30)) ELSE 0 END) AS BIGINT) AS band2,
+        |    CAST(SUM(CASE WHEN b >= 45 AND wsum > 0 THEN (1::BIGINT << (b - 45)) ELSE 0 END) AS BIGINT) AS band3
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+        |      + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |    AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3))
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM pairs
+        |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val bits = Tables.documents(s, d)
+        .withColumn("w", explode(tokens(col("text"))))
+        .select(col("doc_id"), hash60(col("w")).as("h"))
+        .withColumn("b", explode(sequence(lit(0), lit(59))))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("wsum"))
+      def band(j: Int): Column =
+        expr(s"cast(sum(CASE WHEN b >= ${j * 15} AND b < ${(j + 1) * 15} AND wsum > 0 " +
+          s"THEN shiftleft(cast(1 as bigint), cast(b - ${j * 15} as int)) ELSE cast(0 as bigint) END) as bigint)")
+          .as(s"band$j")
+      val sig = bits.groupBy("doc_id").agg(band(0), band(1), band(2), band(3))
+      val a = sig.toDF("doc_a", "a0", "a1", "a2", "a3")
+      val b = sig.toDF("doc_b", "b0", "b1", "b2", "b3")
+      val hamming = (0 until 4).map(j =>
+        bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
+      a.join(b, col("doc_a") < col("doc_b")
+          && (col("a0") === col("b0") || col("a1") === col("b1")
+            || col("a2") === col("b2") || col("a3") === col("b3")))
+        .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49)
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-dim).
+  *
+  * Numeric parity strategy: dot products and norms are computed in exact
+  * decimal (each component cast float→double→decimal(18,9); products are
+  * decimal(38,18)) so the aggregation is order-independent — a distributed
+  * Spark sum and a single-threaded oracle sum agree bit-for-bit. Only the
+  * final cosine is a double (exact-value division + sqrt, identical IEEE
+  * ops on both engines).
+  *
+  * Scale posture:
+  *  - brute-force top-k (q50): O(|Q|·N) — the correct baseline when |Q| is
+  *    small; the query side is broadcast, candidates never shuffle.
+  *  - IVF probe (q51): restrict search to the query's coarse cluster
+  *    (`label` = precomputed centroid assignment) — the N-per-cluster
+  *    shape of FAISS-style IVF, here as a co-partitioned equi-join on the
+  *    cluster id, so each cluster's work is one partition-local top-k.
+  *  - hyperplane LSH (q52): 16-bit sign-random-projection signatures from
+  *    md5-derived ±1 planes; bucket equi-join generates candidates, exact
+  *    cosine verifies. Linear scan cost, tunable recall.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Exact decimal dot product of two 1-based list expressions (DuckDB).
+    * Components quantized to decimal(9,7) (identically on both engines);
+    * products are scale-14 decimals, summed exactly. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, $Dim + 1), i -> " +
+      s"cast(cast($a[i] as double) as decimal(9,7)) * cast(cast($b[i] as double) as decimal(9,7))))"
+
+  /** Exact decimal dot product of two array columns (Spark). The merge
+    * lambda re-casts to the accumulator type after each add: Spark's
+    * decimal `+` wants to grow precision past 38; the cast only trims
+    * unused integer digits (scale is unchanged), so the fold stays exact. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        x.cast("double").cast("decimal(9,7)") * y.cast("double").cast("decimal(9,7)")),
+      lit(BigDecimal(0)).cast("decimal(37,14)"),
+      (acc, v) => (acc + v).cast("decimal(37,14)"))
+
+  private def cosSql(dotE: String, na: String, nb: String): String =
+    s"cast($dotE as double) / (sqrt(cast($na as double)) * sqrt(cast($nb as double)))"
+
+  private def cos(dotC: Column, na: Column, nb: Column): Column =
+    dotC.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Embeddings with a precomputed exact-decimal self-norm. */
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+  }
+
+  private val normedSql =
+    s"""SELECT vec_id, label, embedding AS v, ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings""".stripMargin
+
+  /** Brute-force cosine top-k: 10 query vectors × all candidates, top-5
+    * each, ranked (cos DESC, vec_id) for determinism. */
+  val q50 = QueryDef(
+    "q50_cosine_topk",
+    s"""WITH n AS ($normedSql),
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql(dotSql("q.v", "c.v"), "q.nrm", "c.nrm")} AS cosine
+       |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val n = withNorm(s, d)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rk") <= 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF-style probe-1 ANN: search only the query's coarse cluster. */
+  val q51 = QueryDef(
+    "q51_ann_ivf_probe",
+    s"""WITH n AS ($normedSql),
+       |q AS (SELECT * FROM n WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql(dotSql("q.v", "c.v"), "q.nrm", "c.nrm")} AS cosine
+       |  FROM q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val n = withNorm(s, d)
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("label"), col("v"), col("nrm")),
+        Seq("label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rk") <= 3)
+      .orderBy("query_id", "rk")
+  }
+
+  private val Planes = 16
+
+  /** ±1 hyperplane coefficient for (plane p, dim i), derived from md5 so
+    * both engines build the identical random projection. */
+  private def coefSql(p: String, i: String): String =
+    s"CASE WHEN substr(md5($p || ':' || $i), 1, 1) <= '7' THEN 1 ELSE -1 END"
+
+  /** Hyperplane-LSH bucketed near-neighbor pairs at cosine ≥ 0.4
+    * (threshold fits this corpus: max off-diagonal cosine ≈ 0.51). */
+  val q52 = QueryDef(
+    "q52_ann_lsh_pairs",
+    s"""WITH n AS ($normedSql),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    list_sum(list_transform(range(1, $Dim + 1), i ->
+       |      CASE WHEN substr(md5(p || ':' || i), 1, 1) <= '7'
+       |           THEN cast(cast(v[i] as double) as decimal(9,7))
+       |           ELSE -cast(cast(v[i] as double) as decimal(9,7)) END)) AS dotp
+       |  FROM n, range($Planes) r(p)),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b,
+       |    ${cosSql(dotSql("x.v", "y.v"), "x.nrm", "y.nrm")} AS cosine
+       |  FROM cand JOIN n x ON x.vec_id = vec_a JOIN n y ON y.vec_id = vec_b)
+       |SELECT vec_a, vec_b, cosine FROM scored
+       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val n = withNorm(s, d).cache()
+    val proj = n.select(col("vec_id"), col("v"))
+      .withColumn("p", explode(sequence(lit(0), lit(Planes - 1))))
+      .withColumn("dotp", aggregate(
+        zip_with(col("v"), sequence(lit(1), lit(Dim)), (x, i) => {
+          val xd = x.cast("double").cast("decimal(9,7)")
+          when(substring(md5(concat(col("p").cast("string"), lit(":"), i.cast("string"))), 1, 1) <= "7", xd)
+            .otherwise(-xd)
+        }),
+        lit(BigDecimal(0)).cast("decimal(37,14)"),
+        (acc, v) => (acc + v).cast("decimal(37,14)")))
+    val sig = proj.groupBy("vec_id")
+      .agg(expr(s"cast(sum(CASE WHEN dotp > 0 THEN shiftleft(cast(1 as bigint), cast(p as int)) ELSE cast(0 as bigint) END) as bigint)").as("bucket"))
+    val cand = sig.toDF("vec_a", "bucket")
+      .join(sig.toDF("vec_b", "bucket"), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cos(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52)
+}

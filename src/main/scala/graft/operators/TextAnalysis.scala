@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline: token statistics,
+  * language ID, quality scoring, document fingerprinting. All per-document
+  * expression work (narrow, codegen'd, embarrassingly parallel) — zero
+  * shuffles except the final presentation sort, so these scale linearly to
+  * 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    * pieces, exact mean token length (ratio of exact ints → stable double). */
+  val q42 = QueryDef(
+    "q42_token_stats",
+    """SELECT doc_id,
+      |  len(string_split(trim(text), ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pieces,
+      |  CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+      |    / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit(PieceRegex), lit(0))).as("n_pieces"),
+        (length(regexp_replace(trim(col("text")), " ", "")).cast("double")
+          / size(col("toks")).cast("double")).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID via function-word scoring (n-gram heuristic): count hits
+    * against per-language stopword lists, argmax with deterministic
+    * alphabetical tiebreak. On real corpora the lists are the top-k
+    * function words per language; mechanism is what matters here. */
+  val q43 = {
+    val scoreCols = StopWords.map { case (lang, words) => lang -> s"score_$lang" }
+    val sqlScores = StopWords.map { case (lang, words) =>
+      s"  ${stopHitsSql("t", words)} AS score_$lang"
+    }.mkString(",\n")
+    val caseChain = StopWords.map { case (lang, _) =>
+      s"WHEN score_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    QueryDef(
+      "q43_lang_id",
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |$sqlScores
+         |FROM toks),
+         |best AS (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS best FROM scored)
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+         |  CASE $caseChain END AS predicted
+         |FROM best ORDER BY doc_id""".stripMargin) { (s, d) =>
+      var df = Tables.documents(s, d).withColumn("t", tokens(col("text")))
+      for ((lang, words) <- StopWords)
+        df = df.withColumn(s"score_$lang", stopHits("t", words))
+      df = df.withColumn("best",
+        greatest(StopWords.map { case (l, _) => col(s"score_$l") }: _*))
+      val predicted = StopWords.foldRight(lit(null).cast("string")) {
+        case ((lang, _), elseCol) =>
+          when(col(s"score_$lang") === col("best"), lang).otherwise(elseCol)
+      }
+      // foldRight builds ...when(zh)...otherwise(null) with de outermost —
+      // first-match-wins order identical to the SQL CASE chain.
+      df.select(col("doc_id"), col("lang"),
+          col("score_de"), col("score_en"), col("score_es"), col("score_fr"), col("score_zh"),
+          predicted.as("predicted"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Quality scoring: length / punctuation / stopword-ratio gates (the
+    * C4/Gopher-style filters) + an exact ratio column. Score = number of
+    * gates passed (0-3). */
+  val q44 = QueryDef(
+    "q44_quality_score",
+    """WITH feat AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars_measured,
+      |    len(string_split(trim(text), ' ')) AS n_tokens,
+      |    len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+      |    len(list_filter(string_split(trim(text), ' '),
+      |        x -> x IN ('the','a','of','and','to','in'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_chars_measured, n_tokens, n_punct, n_stop,
+      |  CAST(n_stop * 100 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_pct,
+      |  (CASE WHEN n_chars_measured BETWEEN 100 AND 500 THEN 1 ELSE 0 END
+      |   + CASE WHEN n_tokens >= 15 THEN 1 ELSE 0 END
+      |   + CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) AS quality_score
+      |FROM feat ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        size(col("t")).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("n_punct"),
+        stopHits("t", Seq("the", "a", "of", "and", "to", "in")).as("n_stop"))
+      .select(col("doc_id"), col("n_chars_measured"), col("n_tokens"), col("n_punct"), col("n_stop"),
+        ((col("n_stop") * 100).cast("double") / col("n_tokens").cast("double")).as("stop_pct"),
+        (when(col("n_chars_measured").between(100, 500), 1).otherwise(0)
+          + when(col("n_tokens") >= 15, 1).otherwise(0)
+          + when(col("n_punct") * 10 <= col("n_tokens"), 1).otherwise(0)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting (winnowing-style): md5 each 3-gram shingle,
+    * keep the 4 lexicographically smallest hashes, fingerprint = md5 of
+    * their concatenation. Near-duplicate docs collide on the fingerprint
+    * (min-hash stability), enabling O(n) grouping instead of O(n²). */
+  val q45 = QueryDef(
+    "q45_fingerprint",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)),
+      |fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(list_transform(s, x -> md5(x))))[1:4], '')) AS fingerprint
+      |  FROM sh)
+      |SELECT f.doc_id, f.fingerprint, c.n_same FROM fp f
+      |JOIN (SELECT fingerprint, COUNT(*) AS n_same FROM fp GROUP BY 1) c USING (fingerprint)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val fp = Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("s", graft.functions.TextFunctions.shingles3("t"))
+      .select(col("doc_id"),
+        md5(concat_ws("", slice(array_sort(array_distinct(transform(col("s"), x => md5(x)))), 1, 4))).as("fingerprint"))
+    fp.join(fp.groupBy("fingerprint").agg(count(lit(1)).as("n_same")), Seq("fingerprint"))
+      .select("doc_id", "fingerprint", "n_same")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45)
+}
