@@ -38,7 +38,7 @@ object CleanFunctions {
     * `to_date` with the lenient 1-2-digit pattern (§2.7 F6). Rows failing
     * the gate become NULL, never a runtime error. */
   def parseDateMdy(c: Column): Column =
-    when(c.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"), to_date(c, "M/d/yyyy"))
+    when(c.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"), try_to_date(c, "M/d/yyyy"))
       .otherwise(lit(null).cast("date"))
 
   /** Boolean vocabulary parse (reference TablesCreated-Imported.sql:175,

@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.constraints.Constraints._
+
+/** Copy-on-write parquet table store: the reference's mutable-table
+  * semantics (SURVEY.md §2.9) on immutable Spark storage.
+  *
+  * Every mutation (INSERT / UPDATE / DELETE / UPDATE…FROM) reads the
+  * current version, computes the new table as a pure DataFrame transform,
+  * writes it to a NEW version directory, and atomically flips a version
+  * pointer file (write-tmp + rename, atomic on POSIX). Readers always see
+  * a complete version — per-statement atomicity, which is all the
+  * reference's BEGIN/COMMIT usage actually relies on (SURVEY.md §2.9 D6).
+  * On a real cluster the pointer lives in a transactional catalog; the
+  * mechanism is unchanged.
+  *
+  * FK actions (CASCADE / SET NULL / RESTRICT — reference TC:36,53,62-63)
+  * are propagated by [[delete]] through the registered constraint graph as
+  * anti-joins / when-otherwise rewrites — distributed, never row-at-a-time.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private case class Meta(constraints: Seq[Constraint])
+  private val metas = scala.collection.mutable.Map[String, Meta]()
+
+  Files.createDirectories(Paths.get(root))
+
+  private def versionFile(name: String) = Paths.get(s"$root/$name/VERSION")
+
+  private def currentVersion(name: String): Int = {
+    val p = versionFile(name)
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else -1
+  }
+
+  private def dataPath(name: String, v: Int) = s"$root/$name/v$v"
+
+  /** Atomically publish a new version of a table. */
+  private def publish(name: String, df: DataFrame): Unit = {
+    val v = currentVersion(name) + 1
+    df.write.mode("overwrite").parquet(dataPath(name, v))
+    val tmp = Paths.get(s"$root/$name/VERSION.tmp")
+    Files.write(tmp, v.toString.getBytes)
+    Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // §2.1 S3/S4 — CREATE TABLE [AS SELECT]
+  def create(name: String, df: DataFrame, constraints: Seq[Constraint] = Nil): Unit = {
+    metas(name) = Meta(constraints)
+    Files.createDirectories(Paths.get(s"$root/$name"))
+    publish(name, df)
+  }
+
+  def table(name: String): DataFrame = {
+    val v = currentVersion(name)
+    require(v >= 0, s"no such table: $name")
+    spark.read.parquet(dataPath(name, v))
+  }
+
+  def exists(name: String): Boolean = Files.exists(versionFile(name))
+
+  def constraintsOf(name: String): Seq[Constraint] =
+    metas.get(name).map(_.constraints).getOrElse(Nil)
+
+  /** §2.1 S8 — DROP TABLE [CASCADE]: CASCADE drops dependents too. */
+  def drop(name: String, cascade: Boolean = false): Unit = {
+    if (cascade) dependents(name).foreach(drop(_, cascade = true))
+    metas.remove(name)
+    val dir = Paths.get(s"$root/$name")
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private def dependents(name: String): Seq[String] =
+    metas.collect { case (t, m)
+      if m.constraints.exists { case ForeignKey(_, ref, _, _) => ref == name; case _ => false } => t
+    }.toSeq
+
+  /** §2.9 D5 / §2.1 S5-S7 — INSERT with optional ON CONFLICT (pk) DO
+    * NOTHING: anti-join on the PK before union. Defaults are filled. */
+  def insert(name: String, rows: DataFrame, onConflictDoNothing: Boolean = false): Long = {
+    val cur = table(name)
+    val cs = constraintsOf(name)
+    val withDefaults = applyDefaults(rows.select(cur.columns.map(col).toSeq: _*), cs)
+    val incoming =
+      if (!onConflictDoNothing) withDefaults
+      else cs.collectFirst { case PrimaryKey(cols) => cols } match {
+        case Some(pk) =>
+          withDefaults
+            .join(cur.select(pk.map(col): _*), pk, "left_anti")
+            // batch-internal conflicts: keep-first like the reference
+            .dropDuplicates(pk)
+        case None => withDefaults
+      }
+    val n = incoming.count()
+    publish(name, cur.unionByName(incoming))
+    n
+  }
+
+  /** §2.9 D1 — UPDATE … SET … WHERE as when/otherwise rewrite. */
+  def update(name: String, pred: Column, set: Map[String, Column]): Unit = {
+    val cur = table(name)
+    val updated = set.foldLeft(cur) { case (df, (c, v)) =>
+      df.withColumn(c, when(pred, v).otherwise(col(c)))
+    }
+    publish(name, updated)
+  }
+
+  /** §2.9 D2 — UPDATE … FROM join-update: left-join the (broadcastable)
+    * source on `on` keys; matched rows take the source values. */
+  def updateFrom(name: String, source: DataFrame, on: Seq[String],
+                 set: Map[String, Column]): Unit = {
+    val cur = table(name)
+    val marked = source.withColumn("__matched", lit(true))
+    val joined = cur.join(broadcast(marked), on, "left")
+    val updated = set.foldLeft(joined) { case (df, (c, v)) =>
+      df.withColumn(c, when(col("__matched"), v).otherwise(col(c)))
+    }
+    publish(name, updated.select(cur.columns.map(col).toSeq: _*))
+  }
+
+  /** §2.9 D3 + §2.8 C2 — DELETE … WHERE with FK action propagation:
+    * children with CASCADE delete their matching rows (recursively);
+    * children with SET NULL null their FK columns; RESTRICT throws if any
+    * child still references a deleted row. */
+  def delete(name: String, pred: Column): Long = {
+    val cur = table(name)
+    val doomed = cur.filter(pred).cache()
+    val nDeleted = doomed.count()
+    if (nDeleted > 0) propagate(name, doomed)
+    publish(name, cur.filter(!coalesce(pred, lit(false))))
+    doomed.unpersist()
+    nDeleted
+  }
+
+  private def propagate(parentName: String, doomedParents: DataFrame): Unit = {
+    val parentCs = constraintsOf(parentName)
+    val parentPk = parentCs.collectFirst { case PrimaryKey(cols) => cols }
+      .getOrElse(Seq.empty)
+    if (parentPk.isEmpty) return
+    val doomedKeys = doomedParents.select(parentPk.map(col): _*)
+    for ((child, m) <- metas.toSeq; c <- m.constraints) c match {
+      case ForeignKey(cols, ref, refCols, action) if ref == parentName =>
+        val childDf = table(child)
+        val keyedDoomed = doomedKeys.toDF(cols: _*)
+        action match {
+          case Cascade =>
+            val childDoomed = childDf.join(broadcast(keyedDoomed), cols, "left_semi")
+            val n = childDoomed.count()
+            if (n > 0) {
+              propagate(child, childDoomed)
+              // using-column joins move join keys first; restore layout
+              publish(child, childDf.join(broadcast(keyedDoomed), cols, "left_anti")
+                .select(childDf.columns.map(col).toSeq: _*))
+            }
+          case SetNull =>
+            val marked = keyedDoomed.withColumn("__doomed", lit(true))
+            val joined = childDf.join(broadcast(marked), cols, "left")
+            val nulled = cols.foldLeft(joined) { (df, c) =>
+              df.withColumn(c, when(col("__doomed"), lit(null)).otherwise(col(c)))
+            }
+            publish(child, nulled.select(childDf.columns.map(col).toSeq: _*))
+          case Restrict =>
+            val n = childDf.join(broadcast(keyedDoomed), cols, "left_semi").count()
+            if (n > 0) throw new IllegalStateException(
+              s"RESTRICT: $child has $n rows referencing deleted $parentName rows")
+        }
+      case _ => ()
+    }
+  }
+
+  /** Validate current contents against registered constraints. */
+  def validateTable(name: String): Seq[Violation] =
+    validate(table(name), constraintsOf(name), table _)
+}

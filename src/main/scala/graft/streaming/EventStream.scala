@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over the events schema (stretch beyond the
+  * batch-only reference — SURVEY.md §2.10): the SAME transform functions
+  * serve batch (`EventsOps` gate queries) and streams (`readStream` →
+  * watermark → window → `writeStream`), the Spark-idiomatic way to keep
+  * one codebase for both.
+  *
+  * Scale: tumbling-window aggregation state is keyed by (window, type) —
+  * bounded by the watermark horizon; sessionization state is per-user and
+  * dropped at timeout. Both distribute across executors via state-store
+  * partitioning on the group key.
+  */
+object EventStream {
+
+  /** Hourly tumbling rollup; on a stream, late data beyond 2h is dropped
+    * via the watermark. Works on batch frames too (watermark is a no-op). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+
+  /** Built-in session windows (30-min gap), the streaming analog of the
+    * batch lag/cumsum sessionization in EventsOps.q41. */
+  def sessionRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"), col("value_sum"))
+}

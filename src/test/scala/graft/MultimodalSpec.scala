@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{FakeCodec, MediaRow}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRow(1L, "hello media".getBytes("UTF-8"), "png", 640, 480),
+    MediaRow(2L, Array.tabulate(256)(_.toByte), "jpeg", 320, 240),
+    MediaRow(3L, Array.emptyByteArray, "png", 64, 48)
+  ).toDS()
+
+  test("decodeAll runs partition-parallel and preserves ids/batch shape") {
+    val out = Multimodal.decodeAll(media.repartition(3), outW = 224, outH = 224)
+    val rows = out.collect().sortBy(_.media_id)
+    rows.map(_.media_id).toSeq shouldBe Seq(1L, 2L, 3L)
+    all(rows.map(_.out_width)) shouldBe 224
+    all(rows.map(_.features.length)) shouldBe FakeCodec.FeatureDim
+  }
+
+  test("stub codec is deterministic and histogram-normalized") {
+    val r = MediaRow(9L, "aabb".getBytes("UTF-8"), "png", 1, 1)
+    val f1 = FakeCodec.decode(r, 8, 8)
+    val f2 = FakeCodec.decode(r, 8, 8)
+    f1.features.toSeq shouldBe f2.features.toSeq
+    f1.features.sum shouldBe 1.0f +- 1e-5f // histogram sums to 1
+    f1.n_bytes shouldBe 4
+  }
+
+  test("frame sampling yields every stride-th chunk") {
+    val r = MediaRow(9L, Array.tabulate(100)(_.toByte), "mp4", 1, 1)
+    val frames = FakeCodec.sampleFrames(r, stride = 2, frameBytes = 10)
+    frames.length shouldBe 5 // chunks 0,2,4,6,8
+    frames.head.toSeq shouldBe (0 until 10).map(_.toByte)
+  }
+
+  test("media table derives deterministically from documents") {
+    val m = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    m.count() shouldBe 500
+    val row = m.filter(_.media_id == 0L).head()
+    row.format shouldBe "png"
+    val docText = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter("doc_id = 0").head().getAs[String]("text")
+    new String(row.media, "UTF-8") shouldBe docText
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Analytics, Windows}
+
+/** Physical-plan assertions: the scale-critical properties SURVEY.md §4
+  * commits to — filters and projections reach the parquet scan, dim joins
+  * broadcast, top-k avoids a global sort. These run on sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed down to the parquet scan and columns pruned") {
+    val plan = Analytics.q01.build(spark, sf).queryExecution
+    val scan = plan.executedPlan.toString
+    scan should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+    // pruned read schema: only the 5 referenced columns, not all 11
+    scan should include("l_returnflag")
+    scan should not include "l_orderkey"
+  }
+
+  test("q10: dimension joins are broadcast, not shuffled") {
+    val plan = planOf(Analytics.q10.build(spark, sf))
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q25: top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Windows.q25.build(spark, sf))
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val plan = planOf(Analytics.q01.build(spark, sf))
+    plan should include("HashAggregate")
+    plan.split("HashAggregate").length should be >= 3 // partial + final
+  }
+
+  test("whole-stage codegen covers the q01 pipeline") {
+    val df = Analytics.q01.build(spark, sf)
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    plan should include("codegen id :") // stages fused into WholeStageCodegen
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyRollup aggregates a stream incrementally (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.hourlyRollup(events).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      rows.toSeq shouldBe Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("sessionRollup groups by 30-minute session windows per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = EventStream.sessionRollup(events).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 7L, 1.0),
+        (ts("2024-01-01 10:10:00"), 7L, 1.0),  // same session (gap 10m)
+        (ts("2024-01-01 12:00:00"), 7L, 1.0),  // new session (gap 110m)
+        (ts("2024-01-01 10:00:00"), 8L, 9.0))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      byUser shouldBe Map(7L -> 2, 8L -> 1)
+    } finally q.stop()
+  }
+
+  test("the same rollup transform answers batch frames (one codebase)") {
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0)).toDF("ts", "event_type", "value")
+    val out = EventStream.hourlyRollup(batch).collect()
+    out.length shouldBe 1
+    out.head.getLong(2) shouldBe 2L
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.constraints.Constraints._
+import graft.sources.TableStore
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("create/table round-trip and versioned atomic updates") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    st.table("t").count() shouldBe 2
+    st.update("t", col("id") === 1, Map("v" -> lit("z")))
+    st.table("t").filter($"v" === "z").count() shouldBe 1
+    st.table("t").count() shouldBe 2 // no row loss on rewrite
+  }
+
+  test("insert with ON CONFLICT DO NOTHING drops PK collisions, keeps first") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      Seq(PrimaryKey(Seq("id"))))
+    val n = st.insert("t", Seq((2, "dup"), (3, "c"), (3, "dup-in-batch")).toDF("id", "v"),
+      onConflictDoNothing = true)
+    n shouldBe 1
+    val rows = st.table("t").orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    rows.toSeq shouldBe Seq((1, "a"), (2, "b"), (3, "c"))
+  }
+
+  test("defaults fill NULLs on insert (reference primemember DEFAULT false)") {
+    val st = freshStore()
+    st.create("t", Seq((1, Some(true))).toDF("id", "prime"),
+      Seq(Default("prime", lit(false))))
+    st.insert("t", Seq((2, None: Option[Boolean])).toDF("id", "prime"))
+    st.table("t").filter($"id" === 2).head.getBoolean(1) shouldBe false
+  }
+
+  test("delete cascades through CASCADE chain and nulls SET NULL children") {
+    val st = freshStore()
+    st.create("customers", Seq((1, "alice"), (2, "bob")).toDF("cid", "name"),
+      Seq(PrimaryKey(Seq("cid"))))
+    st.create("orders", Seq((10, 1), (11, 1), (12, 2)).toDF("oid", "cid"),
+      Seq(PrimaryKey(Seq("oid")), ForeignKey(Seq("cid"), "customers", Seq("cid"), Cascade)))
+    st.create("order_details", Seq((100, 10), (101, 11), (102, 12)).toDF("did", "oid"),
+      Seq(PrimaryKey(Seq("did")), ForeignKey(Seq("oid"), "orders", Seq("oid"), Cascade)))
+    st.create("reviews", Seq((200, Some(1)), (201, Some(2))).toDF("rid", "cid"),
+      Seq(PrimaryKey(Seq("rid")), ForeignKey(Seq("cid"), "customers", Seq("cid"), SetNull)))
+
+    st.delete("customers", col("cid") === 1) shouldBe 1
+
+    st.table("customers").count() shouldBe 1
+    st.table("orders").collect().map(_.getInt(0)).toSet shouldBe Set(12)
+    st.table("order_details").collect().map(_.getInt(0)).toSet shouldBe Set(102)
+    val reviews = st.table("reviews").orderBy("rid").collect()
+    reviews(0).isNullAt(1) shouldBe true  // cascaded SET NULL
+    reviews(1).getInt(1) shouldBe 2
+  }
+
+  test("RESTRICT refuses deletion while children reference the row") {
+    val st = freshStore()
+    st.create("categories", Seq((1, "fruit")).toDF("catid", "name"),
+      Seq(PrimaryKey(Seq("catid"))))
+    st.create("subcategories", Seq((10, 1)).toDF("subid", "catid"),
+      Seq(ForeignKey(Seq("catid"), "categories", Seq("catid"), Restrict)))
+    an[IllegalStateException] should be thrownBy
+      st.delete("categories", col("catid") === 1)
+  }
+
+  test("updateFrom performs join-update only on matched rows") {
+    val st = freshStore()
+    st.create("products", Seq((1, "x", "old"), (2, "y", "old")).toDF("pid", "name", "cat"))
+    st.updateFrom("products", Seq((1, "new")).toDF("pid", "newcat"),
+      Seq("pid"), Map("cat" -> col("newcat")))
+    st.table("products").orderBy("pid").collect().map(_.getString(2)).toSeq shouldBe
+      Seq("new", "old")
+  }
+
+  test("drop cascade removes dependents") {
+    val st = freshStore()
+    st.create("p", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
+    st.create("c", Seq((2, 1)).toDF("id", "pid"),
+      Seq(ForeignKey(Seq("pid"), "p", Seq("id"), Cascade)))
+    st.drop("p", cascade = true)
+    st.exists("p") shouldBe false
+    st.exists("c") shouldBe false
+  }
+
+  test("validateTable reports PK/FK/CHECK violations") {
+    val st = freshStore()
+    st.create("parents", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
+    st.create("kids",
+      Seq((1, 1, 25), (1, 99, 10), (2, 1, 17)).toDF("id", "pid", "age"),
+      Seq(PrimaryKey(Seq("id")),
+        ForeignKey(Seq("pid"), "parents", Seq("id"), Cascade),
+        Check("age > 18", col("age") > 18)))
+    val vs = st.validateTable("kids").map(v => v.constraint -> v.count).toMap
+    vs("pk-dup(id)") shouldBe 1   // one duplicated key value
+    vs("fk(pid→parents)") shouldBe 1
+    vs("check(age > 18)") shouldBe 2 // 17 and 10
+  }
+}
