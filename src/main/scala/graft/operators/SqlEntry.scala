@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import graft.core.{QueryDef, Tables}
+
+/** The `spark.sql(...)` entry point (SURVEY.md §3.1: every query is
+  * available both as a typed DataFrame builder and as SQL text): test
+  * tables registered as temp views, queries written in SQL with CTEs and
+  * a correlated scalar subquery in the SELECT list (§2.3 J7, reference
+  * All-Tasks-of-SQL.sql:537-539) — Catalyst plans the subquery as a
+  * broadcast-friendly aggregate+join, same shape as the DataFrame form.
+  */
+object SqlEntry {
+
+  /** Correlated scalar subquery in SELECT + CTE via spark.sql. */
+  val q54 = QueryDef(
+    "q54_sql_scalar_subquery",
+    """WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+      |SELECT n_name,
+      |  (SELECT COUNT(*) FROM big b
+      |     JOIN customer c ON b.o_custkey = c.c_custkey
+      |   WHERE c.c_nationkey = n.n_nationkey) AS n_big_orders
+      |FROM nation n ORDER BY n_name""".stripMargin) { (s, d) =>
+    Seq("orders", "customer", "nation").foreach { t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t)
+    }
+    s.sql(
+      """WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+        |SELECT n_name,
+        |  (SELECT COUNT(*) FROM big b
+        |     JOIN customer c ON b.o_custkey = c.c_custkey
+        |   WHERE c.c_nationkey = n.n_nationkey) AS n_big_orders
+        |FROM nation n ORDER BY n_name""".stripMargin)
+  }
+
+  /** spark.sql over the catalog views with window + HAVING — the “run the
+    * reference's SQL text directly” path. */
+  val q55 = QueryDef(
+    "q55_sql_text_direct",
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 20
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 20
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q54, q55)
+}
