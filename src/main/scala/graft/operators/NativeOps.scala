@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.CleanFunctions
+import graft.plans.GraftExtensions
+
+/** Queries exercising the native Catalyst expressions and the skew-safe
+  * aggregation pattern.
+  */
+object NativeOps {
+
+  /** Native codegen `uuid5` via spark.sql — same bits as the
+    * built-in-composition form (proved by the shared oracle). */
+  val q56 = QueryDef(
+    "q56_native_uuid5",
+    s"""SELECT o_orderkey, ${CleanFunctions.uuid5Sql("order", "o_orderkey")} AS order_uuid
+       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    GraftExtensions.register(s)
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("SELECT o_orderkey, uuid5('order', CAST(o_orderkey AS STRING)) AS order_uuid " +
+      "FROM orders ORDER BY o_orderkey")
+  }
+
+  /** Brute-force cosine top-k on the native fused `dot_f64` kernel — the
+    * throughput variant of q50 (same ranking; float→double math instead of
+    * exact decimals, so it is gate-checked rows-only and equivalence with
+    * q50's ranking is asserted in ExpressionSpec). */
+  val q57 = QueryDef.noOracle("q57_native_cosine_topk") { (s, d) =>
+    GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("dot_f64(v, v)"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("dot_f64(qv, v)") / (sqrt(col("qn")) * sqrt(col("nrm")))).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rk") <= 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Skew-safe two-phase aggregation (SURVEY.md §7.4 scale posture): the
+    * group key is heavily skewed (5 event types over the whole table), so
+    * phase 1 pre-aggregates on (key, salt) spreading each hot key over 16
+    * reducers, phase 2 merges the 16 partials per key. Result is provably
+    * identical to the direct groupBy (the oracle is the direct form). */
+  val q58 = QueryDef(
+    "q58_salted_skew_agg",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val salted = Tables.events(s, d)
+      .withColumn("salt", (col("event_id") % 16).cast("int"))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum(col("value").cast("decimal(18,4)")).as("ps"))
+    salted.groupBy("event_type")
+      .agg(sum(col("pn")).cast("bigint").as("n"),
+        sum(col("ps")).cast("decimal(38,4)").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q56, q57, q58)
+}

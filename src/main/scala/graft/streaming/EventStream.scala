@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface over the events schema (stretch beyond the
   * batch-only reference — SURVEY.md §2.10): the SAME transform functions
@@ -34,4 +35,30 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"), col("value_sum"))
+
+  // ---- custom state machine via KeyValueGroupedDataset (SURVEY.md build
+  // brief: mapGroupsWithState/flatMapGroupsWithState for custom state) ----
+
+  final case class UserEvent(user_id: Long, tsMillis: Long, value: Double)
+  final case class UserAgg(user_id: Long, n_events: Long, value_sum: Double,
+                           last_ts: Long)
+
+  /** Per-user running aggregate: the state is keyed by user (distributed
+    * over the state store), updated per micro-batch, emitted on every
+    * update. (Production would add a GroupStateTimeout to expire idle
+    * users; left off here so test harnesses can drain deterministically.) */
+  def statefulUserAgg(events: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, Long.MinValue))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserAgg(uid, acc.n_events + 1, acc.value_sum + e.value,
+              math.max(acc.last_ts, e.tsMillis))
+          }
+          state.update(next)
+          next
+      }
+  }
 }

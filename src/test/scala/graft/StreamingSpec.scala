@@ -49,6 +49,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps per-user running aggregates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{UserAgg, UserEvent}
+    val input = MemoryStream[UserEvent]
+    val q = EventStream.statefulUserAgg(input.toDS()).writeStream
+      .format("memory").queryName("stateful").outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, 1000L, 2.0), UserEvent(1L, 2000L, 3.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 3000L, 5.0)) // state carries over
+      q.processAllAvailable()
+      val last = spark.table("stateful").as[UserAgg].collect()
+        .filter(_.user_id == 1L).maxBy(_.n_events)
+      last.n_events shouldBe 3L
+      last.value_sum shouldBe 10.0 +- 1e-9
+      last.last_ts shouldBe 3000L
+    } finally q.stop()
+  }
+
   test("the same rollup transform answers batch frames (one codebase)") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
