@@ -83,31 +83,46 @@ object Dedup {
   private val NumHashes = 16
   private val Bands = 4 // 4 bands × 4 rows
 
-  /** MinHash signature columns h0..h15: min over shingles of md5(seed:s). */
+  /** Deterministic 60-bit XOR masks, one per minhash lane: hashing each
+    * shingle ONCE and permuting via XOR is the classic cheap minhash
+    * family — 16× fewer md5 evaluations than per-seed hashing. Constants
+    * derive from md5(lane) so both engines inline identical literals. */
+  private[operators] val xorMasks: Seq[Long] = (0 until NumHashes).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** MinHash signature columns h0..h15: min over shingles of (h60 ⊕ mask). */
   private def minhashAggs: Seq[Column] =
-    (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    (0 until NumHashes).map(i => min(expr(s"h ^ ${xorMasks(i)}L")).as(s"h$i"))
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard. */
   val q48 = {
     val mhSelect = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n    ")
+      .map(i => s"min(xor(h, ${xorMasks(i)})) AS h$i").mkString(",\n    ")
     val bandRows = (0 until Bands).map { b =>
-      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ")
+      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bv FROM mh"
     }.mkString("\n  UNION ALL\n  ")
     QueryDef(
       "q48_minhash_lsh",
       s"""WITH sh AS (
          |    $shingleSql),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
          |mh AS (SELECT doc_id,
          |    $mhSelect
-         |  FROM sh GROUP BY doc_id),
+         |  FROM th GROUP BY doc_id),
          |bands AS (
          |  $bandRows),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-         |                                  AND a.doc_id < b.doc_id),
+         |cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |                                   AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |cand AS (SELECT doc_a, doc_b FROM cand0
+         |         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |         WHERE least(sa.n, sb.n) * 5 >= greatest(sa.n, sb.n) * 4),
          |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
          |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
          |                      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
@@ -118,16 +133,24 @@ object Dedup {
          |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = shingleDf(s, d).cache()
-      val mh = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+      val th = sh.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
+      val mh = th.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
       val bands = (0 until Bands).map { b =>
-        val bv = md5(concat((0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
+        val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
         mh.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
       }.reduce(_ unionByName _)
-      val cand = bands.toDF("doc_a", "band", "bv")
+      val cand0 = bands.toDF("doc_a", "band", "bv")
         .join(bands.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // size-ratio prefilter: jaccard >= 0.8 implies min·5 >= max·4, so
+      // this prunes candidates without changing the result set
+      val cand = cand0
+        .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
+        .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+        .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
+        .select("doc_a", "doc_b")
       val inter = cand
         .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
         .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
@@ -171,17 +194,20 @@ object Dedup {
         |    AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3))
         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM pairs
         |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val bits = Tables.documents(s, d)
+      // one groupBy pass with 60 per-bit weighted-sum aggregate columns —
+      // no 60× row explosion, the shuffle carries one row per doc
+      val bitSums = (0 until 60).map(b =>
+        sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+      val sums = Tables.documents(s, d)
         .withColumn("w", explode(tokens(col("text"))))
         .select(col("doc_id"), hash60(col("w")).as("h"))
-        .withColumn("b", explode(sequence(lit(0), lit(59))))
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("wsum"))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
       def band(j: Int): Column =
-        expr(s"cast(sum(CASE WHEN b >= ${j * 15} AND b < ${(j + 1) * 15} AND wsum > 0 " +
-          s"THEN shiftleft(cast(1 as bigint), cast(b - ${j * 15} as int)) ELSE cast(0 as bigint) END) as bigint)")
-          .as(s"band$j")
-      val sig = bits.groupBy("doc_id").agg(band(0), band(1), band(2), band(3))
+        expr((0 until 15).map(k =>
+          s"(CASE WHEN s${15 * j + k} > 0 THEN ${1L << k}L ELSE 0L END)").mkString(" + "))
+          .cast("long").as(s"band$j")
+      val sig = sums.select(col("doc_id"), band(0), band(1), band(2), band(3))
       val a = sig.toDF("doc_a", "a0", "a1", "a2", "a3")
       val b = sig.toDF("doc_b", "b0", "b1", "b2", "b3")
       val hamming = (0 until 4).map(j =>

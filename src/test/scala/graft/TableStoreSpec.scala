@@ -89,6 +89,27 @@ class TableStoreSpec extends SparkSpec {
     st.exists("c") shouldBe false
   }
 
+  test("analyze reports stats and vacuums superseded versions") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    st.update("t", col("id") === 1, Map("v" -> lit("z"))) // creates v1
+    val stats = st.analyze("t")
+    stats.rows shouldBe 2
+    stats.version shouldBe 1
+    stats.bytes should be > 0L
+    st.table("t").count() shouldBe 2 // current version untouched by vacuum
+  }
+
+  test("describeCatalog lists tables with constraint metadata (S11)") {
+    val st = freshStore()
+    st.create("p", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
+    st.create("c", Seq((2, 1)).toDF("id", "pid"),
+      Seq(ForeignKey(Seq("pid"), "p", Seq("id"), Cascade)))
+    val cat = st.describeCatalog().toMap
+    cat("p") shouldBe Seq("pk(id)")
+    cat("c") shouldBe Seq("fk(pid→p)")
+  }
+
   test("validateTable reports PK/FK/CHECK violations") {
     val st = freshStore()
     st.create("parents", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
