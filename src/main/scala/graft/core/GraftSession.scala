@@ -31,7 +31,10 @@ object GraftSession {
   }
 
   def local(appName: String = "graft-test", cores: Int = 4): SparkSession = {
-    val s = builder(appName, cores).getOrCreate()
+    val s = builder(appName, cores)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
