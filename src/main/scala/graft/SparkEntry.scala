@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Analytics.all ++ operators.Windows.all ++ operators.Audits.all ++
       operators.DmlQueries.all ++ operators.Normalization.all ++ operators.EventsOps.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++ operators.Similarity.all ++
-      operators.Multimodal.all ++ operators.SqlEntry.all ++ operators.NativeOps.all
+      operators.Multimodal.all ++ operators.SqlEntry.all ++ operators.NativeOps.all ++
+      operators.CorpusOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,13 +17,23 @@ object TextFunctions {
     * are single-spaced; both engines keep interior empties identically). */
   def tokens(text: Column): Column = split(trim(text), " ")
 
-  /** Word n-gram shingles over a `toks` array column (n fixed at call
-    * site). Empty array when the doc is shorter than n tokens. */
-  def shingles3(toksCol: String): Column =
-    when(size(col(toksCol)) >= 3,
-      expr(s"transform(sequence(1, size($toksCol)-2), i -> " +
-        s"concat_ws(' ', element_at($toksCol,i), element_at($toksCol,i+1), element_at($toksCol,i+2)))"))
+  /** Word n-gram shingles over a `toks` array column. Empty array when the
+    * doc is shorter than n tokens. 1-based element_at keeps the formula a
+    * literal transliteration of the DuckDB oracle. */
+  def shinglesN(toksCol: String, n: Int): Column = {
+    val terms = (0 until n).map(k => s"element_at($toksCol,i+$k)").mkString(", ")
+    when(size(col(toksCol)) >= n,
+      expr(s"transform(sequence(1, size($toksCol)-${n - 1}), i -> concat_ws(' ', $terms))"))
       .otherwise(expr("cast(array() as array<string>)"))
+  }
+
+  def shingles3(toksCol: String): Column = shinglesN(toksCol, 3)
+
+  /** DuckDB rendering of [[shinglesN]] over a 1-based list expression. */
+  def shinglesNSql(toksExpr: String, n: Int): String = {
+    val terms = (0 until n).map(k => s"$toksExpr[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($toksExpr)-${n - 2}), i -> $terms)"
+  }
 
   /** 60-bit token hash: first 15 hex chars of md5, as a long. 60 bits keeps
     * the value positive in an int64 on both engines. */

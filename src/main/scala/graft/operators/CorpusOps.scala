@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators rounding out the training-data pipeline:
+  * PII redaction, intra-document repetition scoring (Gopher-style),
+  * corpus statistics, deterministic hash sampling, and benchmark
+  * decontamination. All are narrow per-document work or single-shuffle
+  * aggregates/joins — linear at 100 TB.
+  */
+object CorpusOps {
+
+  /** PII redaction via regex rewrite (emails injected deterministically so
+    * the operator has work to do; the pattern is the portable subset that
+    * Java regex and RE2 treat identically). */
+  val q59 = QueryDef(
+    "q59_redact_pii",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' contact user' || doc_id || '@example.com now'
+      |         ELSE text END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS n_redacted,
+      |  right(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'), 30) AS tail_snippet
+      |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("raw",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit("[a-z0-9._]+@[a-z0-9.]+"), lit(0))).as("n_redacted"),
+        expr("right(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'), 30)").as("tail_snippet"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition (Gopher repetition filter shape): fraction
+    * of duplicate 3-gram shingles within each document. */
+  val q60 = QueryDef(
+    "q60_repetition_score",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesNSql("t", 3)} AS s
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents))
+       |SELECT doc_id,
+       |  len(s) AS n_shingles,
+       |  len(list_distinct(s)) AS n_distinct,
+       |  1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(nullif(len(s), 0) AS DOUBLE) AS repetition
+       |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("s", shinglesN("t", 3))
+      .select(col("doc_id"),
+        size(col("s")).as("n_shingles"),
+        size(array_distinct(col("s"))).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("s"))).cast("double")
+          / nullif(size(col("s")), lit(0)).cast("double")).as("repetition"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus statistics per (lang, source-prefix) stratum. */
+  val q61 = QueryDef(
+    "q61_corpus_stats",
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double")).as("mean_chars"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic hash sampling (the scalable sampling primitive: no
+    * shuffling, reproducible across engines and runs — md5-derived 60-bit
+    * hash mod 10). */
+  val q62 = QueryDef(
+    "q62_deterministic_sample",
+    """SELECT doc_id, lang
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(hash60(col("doc_id").cast("string")) % 10 === 0)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any 8-gram with a
+    * held-out benchmark set (here: doc_id < 50), the standard n-gram
+    * contamination check run before training. */
+  val q63 = QueryDef(
+    "q63_contamination",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${shinglesNSql("t", 8)}) AS g
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)),
+       |bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id < 50),
+       |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id >= 50)
+       |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_grams
+       |FROM corpus c JOIN bench b ON c.g = b.g
+       |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("g", explode(shinglesN("t", 8)))
+      .select("doc_id", "g").distinct()
+    val bench = sh.filter(col("doc_id") < 50).toDF("bench_id", "g")
+    val corpus = sh.filter(col("doc_id") >= 50)
+    corpus.join(bench, Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63)
+}
