@@ -113,7 +113,10 @@ object CorpusOps {
       .withColumn("t", tokens(col("text")))
       .withColumn("g", explode(shinglesN("t", 8)))
       .select("doc_id", "g").distinct()
-    val bench = sh.filter(col("doc_id") < 50).toDF("bench_id", "g")
+      .cache() // read twice (bench + corpus branches)
+    // the benchmark set is tiny by construction → broadcast, so the corpus
+    // side streams through a map-side hash join without shuffling
+    val bench = broadcast(sh.filter(col("doc_id") < 50).toDF("bench_id", "g"))
     val corpus = sh.filter(col("doc_id") >= 50)
     corpus.join(bench, Seq("g"))
       .groupBy("doc_id", "bench_id")
