@@ -129,8 +129,10 @@ object Similarity {
   private def coefSql(p: String, i: String): String =
     s"CASE WHEN substr(md5($p || ':' || $i), 1, 1) <= '7' THEN 1 ELSE -1 END"
 
-  /** Hyperplane-LSH bucketed near-neighbor pairs at cosine ≥ 0.4
-    * (threshold fits this corpus: max off-diagonal cosine ≈ 0.51). */
+  /** Hyperplane-LSH near-neighbor pairs: 16 sign-random-projection bits
+    * banded 4×4 (candidates share ANY band — multi-probe recall), exact
+    * cosine verify at ≥ 0.4 (threshold fits this corpus: max off-diagonal
+    * cosine ≈ 0.51). */
   val q52 = QueryDef(
     "q52_ann_lsh_pairs",
     s"""WITH n AS ($normedSql),
@@ -142,12 +144,12 @@ object Similarity {
        |           ELSE -cast(cast(v[i] as double) as decimal(9,7)) END)) AS dotp
        |  FROM n, range($Planes) r(p)),
        |sig AS (
-       |  SELECT vec_id,
-       |    CAST(SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id),
+       |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
+       |    CAST(SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bv
+       |  FROM proj GROUP BY 1, 2),
        |cand AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT vec_a, vec_b,
        |    ${cosSql(dotSql("x.v", "y.v"), "x.nrm", "y.nrm")} AS cosine
@@ -155,22 +157,31 @@ object Similarity {
        |SELECT vec_a, vec_b, cosine FROM scored
        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     val n = withNorm(s, d).cache()
-    val proj = n.select(col("vec_id"), col("v"))
-      .withColumn("p", explode(sequence(lit(0), lit(Planes - 1))))
-      .withColumn("dotp", aggregate(
-        zip_with(col("v"), sequence(lit(1), lit(Dim)), (x, i) => {
-          val xd = x.cast("double").cast("decimal(9,7)")
-          when(substring(md5(concat(col("p").cast("string"), lit(":"), i.cast("string"))), 1, 1) <= "7", xd)
-            .otherwise(-xd)
-        }),
-        lit(BigDecimal(0)).cast("decimal(37,14)"),
-        (acc, v) => (acc + v).cast("decimal(37,14)")))
-    val sig = proj.groupBy("vec_id")
-      .agg(expr(s"cast(sum(CASE WHEN dotp > 0 THEN shiftleft(cast(1 as bigint), cast(p as int)) ELSE cast(0 as bigint) END) as bigint)").as("bucket"))
-    val cand = sig.toDF("vec_a", "bucket")
-      .join(sig.toDF("vec_b", "bucket"), Seq("bucket"))
+    // plane coefficients precomputed driver-side (16×64 constants — the
+    // analog of broadcasting a projection matrix) and broadcast-joined;
+    // the projection is then ONE groupBy with an order-independent exact
+    // decimal sum — identical values to the oracle's per-element lambda.
+    import s.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val coef = for (p <- 0 until Planes; i <- 1 to Dim) yield {
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (p, i, if (hex.head <= '7') 1 else -1)
+    }
+    val coefDf = broadcast(coef.toDF("p", "i", "sgn"))
+    val elems = n.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("x").cast("double").cast("decimal(9,7)").as("xd"))
+    val proj = elems.join(coefDf, Seq("i"))
+      .groupBy("vec_id", "p")
+      .agg(sum(col("xd") * col("sgn")).as("dotp"))
+    val sig = proj
+      .withColumn("band", expr("cast(p div 4 as int)"))
+      .groupBy("vec_id", "band")
+      .agg(expr("cast(sum(CASE WHEN dotp > 0 THEN shiftleft(cast(1 as bigint), cast(p % 4 as int)) ELSE cast(0 as bigint) END) as bigint)").as("bv"))
+    val cand = sig.toDF("vec_a", "band", "bv")
+      .join(sig.toDF("vec_b", "band", "bv"), Seq("band", "bv"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
+      .select("vec_a", "vec_b").distinct()
     cand
       .join(n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
       .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
