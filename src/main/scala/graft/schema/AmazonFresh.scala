@@ -9,6 +9,30 @@ import org.apache.spark.sql.types._
   */
 object AmazonFresh {
 
+  // Typed entity API (SURVEY.md §1.3): case-class Encoders for the 6 final
+  // tables give compile-time safety at the library surface; staging stays
+  // DataFrame (schema-on-read).
+  final case class Supplier(supplierid: String, suppliername: String,
+      contactperson: Option[String], phone: Option[String],
+      city: Option[String], state: Option[String])
+  final case class Product(productid: String, productname: String,
+      category: Option[String], subcategory: Option[String],
+      priceperunit: Option[BigDecimal], stockquantity: Option[Int],
+      supplierid: Option[String])
+  final case class Customer(customerid: String, name: String,
+      age: Option[Int], gender: Option[String], city: Option[String],
+      state: Option[String], country: Option[String],
+      signupdate: Option[java.sql.Date], primemember: Option[Boolean])
+  final case class Order(orderid: String, customerid: Option[String],
+      orderdate: Option[java.sql.Date], shipdate: Option[java.sql.Date],
+      shipmode: Option[String], totalamount: Option[BigDecimal])
+  final case class OrderDetail(orderdetailid: String, orderid: Option[String],
+      productid: Option[String], quantity: Option[Int],
+      unitprice: Option[BigDecimal], discount: Option[BigDecimal])
+  final case class Review(reviewid: String, productid: Option[String],
+      customerid: Option[String], rating: Option[Int],
+      reviewtext: Option[String])
+
   private def s(n: String, nullable: Boolean = true) = StructField(n, StringType, nullable)
 
   val suppliers: StructType = StructType(Seq(
