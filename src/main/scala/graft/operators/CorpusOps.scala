@@ -33,7 +33,7 @@ object CorpusOps {
           concat(col("text"), lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
           .otherwise(col("text")))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("raw"), lit("[a-z0-9._]+@[a-z0-9.]+"), lit(0))).as("n_redacted"),
+        size(regexp_extract_all(col("raw"), lit("[a-z0-9._]+@[a-z0-9.]+"), lit(0))).cast("long").as("n_redacted"),
         expr("right(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'), 30)").as("tail_snippet"))
       .orderBy("doc_id")
   }
@@ -54,8 +54,8 @@ object CorpusOps {
       .withColumn("t", tokens(col("text")))
       .withColumn("s", shinglesN("t", 3))
       .select(col("doc_id"),
-        size(col("s")).as("n_shingles"),
-        size(array_distinct(col("s"))).as("n_distinct"),
+        size(col("s")).cast("long").as("n_shingles"),
+        size(array_distinct(col("s"))).cast("long").as("n_distinct"),
         (lit(1.0) - size(array_distinct(col("s"))).cast("double")
           / nullif(size(col("s")), lit(0)).cast("double")).as("repetition"))
       .orderBy("doc_id")

@@ -26,9 +26,9 @@ object TextAnalysis {
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
-        size(regexp_extract_all(col("text"), lit(PieceRegex), lit(0))).as("n_pieces"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit(PieceRegex), lit(0))).cast("long").as("n_pieces"),
         (length(regexp_replace(trim(col("text")), " ", "")).cast("double")
           / size(col("toks")).cast("double")).as("mean_token_len"))
       .orderBy("doc_id")
@@ -58,7 +58,7 @@ object TextAnalysis {
          |FROM best ORDER BY doc_id""".stripMargin) { (s, d) =>
       var df = Tables.documents(s, d).withColumn("t", tokens(col("text")))
       for ((lang, words) <- StopWords)
-        df = df.withColumn(s"score_$lang", stopHits("t", words))
+        df = df.withColumn(s"score_$lang", stopHits("t", words).cast("long"))
       df = df.withColumn("best",
         greatest(StopWords.map { case (l, _) => col(s"score_$l") }: _*))
       val predicted = StopWords.foldRight(lit(null).cast("string")) {
@@ -96,10 +96,10 @@ object TextAnalysis {
     Tables.documents(s, d)
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"),
-        length(col("text")).as("n_chars_measured"),
-        size(col("t")).as("n_tokens"),
-        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("n_punct"),
-        stopHits("t", Seq("the", "a", "of", "and", "to", "in")).as("n_stop"))
+        length(col("text")).cast("long").as("n_chars_measured"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_punct"),
+        stopHits("t", Seq("the", "a", "of", "and", "to", "in")).cast("long").as("n_stop"))
       .select(col("doc_id"), col("n_chars_measured"), col("n_tokens"), col("n_punct"), col("n_stop"),
         ((col("n_stop") * 100).cast("double") / col("n_tokens").cast("double")).as("stop_pct"),
         (when(col("n_chars_measured").between(100, 500), 1).otherwise(0)

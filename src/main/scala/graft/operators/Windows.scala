@@ -51,7 +51,7 @@ object Windows {
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(sum(d2(col("o_totalprice"))).as("spent"))
     spent
-      .withColumn("spend_rank", rank().over(Window.orderBy(col("spent").desc)))
+      .withColumn("spend_rank", rank().over(Window.orderBy(col("spent").desc)).cast("long"))
       .filter(col("spend_rank") <= 10)
       .select(col("c_custkey"), out(col("spent")).as("total_spent"), col("spend_rank"))
       .orderBy("spend_rank", "c_custkey")
@@ -75,7 +75,7 @@ object Windows {
       .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_orders"))
     perNation
-      .withColumn("order_rank", rank().over(Window.orderBy(col("n_orders").desc)))
+      .withColumn("order_rank", rank().over(Window.orderBy(col("n_orders").desc)).cast("long"))
       .orderBy("order_rank", "n_name")
   }
 

@@ -42,6 +42,15 @@ def main(sf_dir, out_dir):
         if sorted(want_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns differ: oracle={sorted(want_cols)} spark={sorted(got_cols)}")
             n_fail += 1; continue
+        # dtype comparison (coarse): driver-style schema check
+        wt = dict(zip(want_cols, [str(t) for t in
+            con.execute(f"DESCRIBE {oracles[name]}").fetchall()] and
+            [r[1] for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()]))
+        gt = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{spark_dir}/*.parquet'").fetchall()}
+        mismatched = {c: (wt[c], gt[c]) for c in wt if wt.get(c) != gt.get(c)}
+        if mismatched:
+            print(f"WARN {name}: dtype diffs {mismatched}")
         w = canon([[r[i] for i in wi] for r in want])
         g = canon([[r[i] for i in gi] for r in got])
         if len(w) != len(g):
