@@ -111,7 +111,7 @@ object Dedup {
       s"""WITH sh AS (
          |    $shingleSql),
          |th AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
-         |mh AS (SELECT doc_id,
+         |mh AS (SELECT doc_id, COUNT(*) AS n,
          |    $mhSelect
          |  FROM th GROUP BY doc_id),
          |bands AS (
@@ -119,7 +119,7 @@ object Dedup {
          |cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
          |                                   AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |sizes AS (SELECT doc_id, n FROM mh),
          |cand AS (SELECT doc_a, doc_b FROM cand0
          |         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |         WHERE least(sa.n, sb.n) * 5 >= greatest(sa.n, sb.n) * 4),
@@ -134,7 +134,11 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = shingleDf(s, d).cache()
       val th = sh.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
-      val mh = th.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+      // ONE groupBy computes the 16 signature mins AND the set size — no
+      // second aggregation pass over the shingle base
+      val mh = th.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), minhashAggs: _*)
+        .cache()
       val bands = (0 until Bands).map { b =>
         val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
         mh.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
@@ -143,7 +147,7 @@ object Dedup {
         .join(bands.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sizes = mh.select("doc_id", "n")
       // size-ratio prefilter: jaccard >= 0.8 implies min·5 >= max·4, so
       // this prunes candidates without changing the result set
       val cand = cand0

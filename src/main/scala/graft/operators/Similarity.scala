@@ -144,12 +144,16 @@ object Similarity {
        |           ELSE -cast(cast(v[i] as double) as decimal(9,7)) END)) AS dotp
        |  FROM n, range($Planes) r(p)),
        |sig AS (
-       |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
-       |    CAST(SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bv
-       |  FROM proj GROUP BY 1, 2),
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |bands AS (
+       |  SELECT vec_id, bucket, b AS band, (bucket >> (4 * b)) & 15 AS bv
+       |  FROM sig, range(4) r(b)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM sig a JOIN sig b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+       |  WHERE bit_count(xor(a.bucket, b.bucket)) <= 3),
        |scored AS (
        |  SELECT vec_a, vec_b,
        |    ${cosSql(dotSql("x.v", "y.v"), "x.nrm", "y.nrm")} AS cosine
@@ -175,12 +179,17 @@ object Similarity {
       .groupBy("vec_id", "p")
       .agg(sum(col("xd") * col("sgn")).as("dotp"))
     val sig = proj
-      .withColumn("band", expr("cast(p div 4 as int)"))
-      .groupBy("vec_id", "band")
-      .agg(expr("cast(sum(CASE WHEN dotp > 0 THEN shiftleft(cast(1 as bigint), cast(p % 4 as int)) ELSE cast(0 as bigint) END) as bigint)").as("bv"))
-    val cand = sig.toDF("vec_a", "band", "bv")
-      .join(sig.toDF("vec_b", "band", "bv"), Seq("band", "bv"))
+      .groupBy("vec_id")
+      .agg(expr("cast(sum(CASE WHEN dotp > 0 THEN shiftleft(cast(1 as bigint), cast(p as int)) ELSE cast(0 as bigint) END) as bigint)").as("bucket"))
+    // band the 16-bit signature 4×4 for candidate recall, then a cheap
+    // whole-signature hamming ≤ 3 gate before the expensive cosine verify
+    val bands = sig
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", expr("(bucket >> (4 * band)) & 15"))
+    val cand = bands.toDF("vec_a", "ba", "band", "bv")
+      .join(bands.toDF("vec_b", "bb", "band", "bv"), Seq("band", "bv"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 3)
       .select("vec_a", "vec_b").distinct()
     cand
       .join(n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
