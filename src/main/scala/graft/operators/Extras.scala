@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.Dec._
+
+/** Engine-completeness operators beyond the reference's surface (SURVEY.md
+  * §2 notes these as "not present"): explicit window frames, ROLLUP
+  * subtotals, exact interpolated percentiles. A reference user migrating
+  * here gains them for free.
+  */
+object Extras {
+
+  /** Explicit ROWS BETWEEN frame: 4-event moving average per user.
+    * Average is decimal-sum / count (exact) — frame-order-proof. */
+  val q66 = QueryDef(
+    "q66_moving_average",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS frame_sum,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / CAST(COUNT(*) OVER w AS DOUBLE) AS DOUBLE) AS moving_avg
+      |FROM events
+      |WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"),
+        sum(d4(col("value"))).over(w).cast("decimal(38,4)").as("frame_sum"),
+        (sum(d4(col("value"))).over(w).cast("double")
+          / count(lit(1)).over(w).cast("double")).cast("double").as("moving_avg"))
+      .orderBy("event_id")
+  }
+
+  /** ROLLUP subtotals over the region→nation hierarchy (NULLS FIRST sort
+    * pinned — Spark and DuckDB default null ordering differs). */
+  val q67 = QueryDef(
+    "q67_rollup",
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    // DataFrame-API rollup over a multi-join plan false-positives Spark's
+    // ambiguous-self-join detector (the Expand duplicates attributes), so
+    // the rollup runs through the SQL entry point — same Catalyst plan.
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles (median / p95) — Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation definition
+    * over identical sorted inputs. */
+  val q68 = QueryDef(
+    "q68_percentiles",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.95) AS p95_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.95)").as("p95_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68)
+}
