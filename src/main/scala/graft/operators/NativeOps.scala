@@ -45,6 +45,24 @@ object NativeOps {
       .orderBy("query_id", "rk")
   }
 
+  /** ANN top-k through the custom bounded [[graft.functions.TopKAggregator]]
+    * — partial top-k with map-side combine instead of a window that sorts
+    * every candidate per query. Same exact-decimal cosine as q50, so the
+    * q50-shaped oracle verifies the aggregator's ordering bit-for-bit. */
+  val q69 = QueryDef(
+    "q69_topk_aggregator",
+    Similarity.topkOracleSql(k = 5, nQueries = 10)) { (s, d) =>
+    import graft.functions.TopKAggregator._
+    val topk = udaf(TopK(5))
+    Similarity.scoredPairs(s, d, nQueries = 10)
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Skew-safe two-phase aggregation (SURVEY.md §7.4 scale posture): the
     * group key is heavily skewed (5 event types over the whole table), so
     * phase 1 pre-aggregates on (key, salt) spreading each hot key over 16
@@ -65,5 +83,5 @@ object NativeOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q56, q57, q58)
+  val all: Seq[QueryDef] = Seq(q56, q57, q58, q69)
 }

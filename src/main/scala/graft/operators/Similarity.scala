@@ -64,12 +64,22 @@ object Similarity {
     s"""SELECT vec_id, label, embedding AS v, ${dotSql("embedding", "embedding")} AS nrm
        |  FROM embeddings""".stripMargin
 
-  /** Brute-force cosine top-k: 10 query vectors × all candidates, top-5
-    * each, ranked (cos DESC, vec_id) for determinism. */
-  val q50 = QueryDef(
-    "q50_cosine_topk",
+  /** All (query, candidate) cosine pairs — shared by q50 (window top-k)
+    * and q69 (custom bounded-heap aggregator top-k). */
+  private[operators] def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame = {
+    val n = withNorm(s, d)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+  }
+
+  private[operators] def topkOracleSql(k: Int, nQueries: Int): String =
     s"""WITH n AS ($normedSql),
-       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |q AS (SELECT * FROM n WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${cosSql(dotSql("q.v", "c.v"), "q.nrm", "c.nrm")} AS cosine
@@ -77,16 +87,14 @@ object Similarity {
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
        |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
-       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    val n = withNorm(s, d)
-    val q = n.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = broadcast(q)
-      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-        col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cos(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
-    scored
+       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+
+  /** Brute-force cosine top-k: 10 query vectors × all candidates, top-5
+    * each, ranked (cos DESC, vec_id) for determinism. */
+  val q50 = QueryDef(
+    "q50_cosine_topk",
+    topkOracleSql(k = 5, nQueries = 10)) { (s, d) =>
+    scoredPairs(s, d, nQueries = 10)
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
       .filter(col("rk") <= 5)
