@@ -181,9 +181,7 @@ final class TableStore(spark: SparkSession, root: String) {
   // §2.1 S10 — VACUUM ANALYZE analog: refresh statistics for planning
   // (row count + on-disk bytes; a real catalog would feed these to CBO)
   // and drop superseded versions (the VACUUM half).
-  final case class TableStats(rows: Long, bytes: Long, version: Int)
-
-  def analyze(name: String): TableStats = {
+  def analyze(name: String): TableStore.TableStats = {
     val v = currentVersion(name)
     val dir = Paths.get(dataPath(name, v))
     import scala.jdk.CollectionConverters._
@@ -195,11 +193,15 @@ final class TableStore(spark: SparkSession, root: String) {
       if (Files.exists(od))
         Files.walk(od).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
-    TableStats(table(name).count(), bytes, v)
+    TableStore.TableStats(table(name).count(), bytes, v)
   }
 
   /** §2.1 S11 — catalog introspection (the reference reads pg_constraint,
     * All-Tasks-of-SQL.sql:33-36): list tables with their constraints. */
   def describeCatalog(): Seq[(String, Seq[String])] =
     metas.toSeq.sortBy(_._1).map { case (t, m) => t -> m.constraints.map(_.name) }
+}
+
+object TableStore {
+  final case class TableStats(rows: Long, bytes: Long, version: Int)
 }

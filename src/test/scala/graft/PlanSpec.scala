@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Windows}
+import graft.operators.{Analytics, CorpusOps, Dedup, NativeOps, Windows}
 
 /** Physical-plan assertions: the scale-critical properties SURVEY.md §4
   * commits to — filters and projections reach the parquet scan, dim joins
@@ -36,6 +36,25 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(Analytics.q01.build(spark, sf))
     plan should include("HashAggregate")
     plan.split("HashAggregate").length should be >= 3 // partial + final
+  }
+
+  test("q69: custom top-k aggregates partially before the shuffle") {
+    val plan = planOf(NativeOps.q69.build(spark, sf))
+    // ObjectHashAggregate partial_topk on the map side: the shuffle
+    // carries at most k candidates per (partition × query), not all pairs
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_topk")
+  }
+
+  test("q63: benchmark side of the contamination join is broadcast") {
+    val plan = planOf(CorpusOps.q63.build(spark, sf))
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q48: minhash pipeline plans no cartesian product") {
+    val plan = planOf(Dedup.q48.build(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
   }
 
   test("whole-stage codegen covers the q01 pipeline") {
