@@ -61,5 +61,29 @@ object EventsOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41)
+  /** Semi-structured columns: extract typed values from the JSON `props`
+    * payload (Spark `get_json_object` ↔ DuckDB `json_extract_string`) and
+    * aggregate — schema-on-read over JSON strings, the common shape for
+    * event payloads at scale (extraction is per-row, codegen'd; only the
+    * final rollup shuffles). */
+  val q70 = QueryDef(
+    "q70_json_extract",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, d)
+      .filter(k.isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(k).cast("bigint").as("k_sum"),
+        max(k).cast("int").as("k_max"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70)
 }
