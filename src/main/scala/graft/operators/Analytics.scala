@@ -31,9 +31,9 @@ object Analytics {
   val q01 = QueryDef(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -173,7 +173,7 @@ object Analytics {
   val q10 = QueryDef(
     "q10_revenue_by_nation",
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -197,7 +197,7 @@ object Analytics {
   val q11 = QueryDef(
     "q11_join_chain_region",
     """SELECT r_name,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
       |  COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -220,7 +220,7 @@ object Analytics {
   val q12 = QueryDef(
     "q12_left_join_coalesce",
     """SELECT s_suppkey, s_name,
-      |  CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS big_line_sales,
+      |  CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS big_line_sales,
       |  COUNT(l_orderkey) AS n_big_lines
       |FROM supplier
       |LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49 AND l_discount >= 0.09) l
@@ -263,7 +263,7 @@ object Analytics {
     "q14_normalized_key_join",
     """WITH dim AS (SELECT DISTINCT LOWER(TRIM(p_brand)) AS brand_key FROM part)
       |SELECT d.brand_key, COUNT(*) AS n_parts,
-      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS shelf_value
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS shelf_value
       |FROM part p JOIN dim d ON LOWER(TRIM(p.p_brand)) = d.brand_key
       |GROUP BY d.brand_key ORDER BY d.brand_key""".stripMargin) { (s, d) =>
     val part = Tables.part(s, d)
@@ -314,7 +314,7 @@ object Analytics {
   val q17 = QueryDef(
     "q17_having",
     """SELECT o_custkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey
       |HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 2000000
@@ -357,7 +357,7 @@ object Analytics {
   val q19 = QueryDef(
     "q19_round_decimal",
     """SELECT l_returnflag,
-      |  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4)), 2)) AS DECIMAL(38,2)) AS total_discount_amt
+      |  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4)), 2)) AS DOUBLE) AS total_discount_amt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")

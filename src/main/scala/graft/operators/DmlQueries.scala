@@ -24,13 +24,13 @@ object DmlQueries {
     """SELECT o_orderkey,
       |  CASE WHEN o_totalprice < 2000 THEN 'REPAIRED' ELSE o_orderpriority END AS o_orderpriority,
       |  CAST(CASE WHEN o_totalprice < 2000 THEN 2000.00
-      |            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS o_totalprice
+      |            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         when(col("o_totalprice") < 2000, "REPAIRED").otherwise(col("o_orderpriority")).as("o_orderpriority"),
         when(col("o_totalprice") < 2000, lit(BigDecimal("2000.00")))
-          .otherwise(d2(col("o_totalprice"))).cast(Money).as("o_totalprice"))
+          .otherwise(d2(col("o_totalprice"))).cast(Money).cast("double").as("o_totalprice"))
       .orderBy("o_orderkey")
   }
 
@@ -114,7 +114,7 @@ object DmlQueries {
       |         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn
       |  FROM dup)
       |SELECT COUNT(*) AS n_rows,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS price_sum
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
       |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
     val dup = o.withColumn("src", lit(0))

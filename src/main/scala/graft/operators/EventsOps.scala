@@ -22,7 +22,7 @@ object EventsOps {
     "q40_events_hourly",
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_sum
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
       |FROM events
       |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)

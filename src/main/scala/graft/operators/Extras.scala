@@ -17,7 +17,7 @@ object Extras {
   val q66 = QueryDef(
     "q66_moving_average",
     """SELECT event_id, user_id,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS frame_sum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS frame_sum,
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
       |    / CAST(COUNT(*) OVER w AS DOUBLE) AS DOUBLE) AS moving_avg
       |FROM events
@@ -30,7 +30,7 @@ object Extras {
     Tables.events(s, d)
       .filter(col("user_id") < 50)
       .select(col("event_id"), col("user_id"),
-        sum(d4(col("value"))).over(w).cast("decimal(38,4)").as("frame_sum"),
+        sum(d4(col("value"))).over(w).cast("decimal(38,4)").cast("double").as("frame_sum"),
         (sum(d4(col("value"))).over(w).cast("double")
           / count(lit(1)).over(w).cast("double")).cast("double").as("moving_avg"))
       .orderBy("event_id")
@@ -41,7 +41,7 @@ object Extras {
   val q67 = QueryDef(
     "q67_rollup",
     """SELECT r_name, n_name, COUNT(*) AS n_customers,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -55,7 +55,7 @@ object Extras {
     Tables.region(s, d).createOrReplaceTempView("region")
     s.sql(
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

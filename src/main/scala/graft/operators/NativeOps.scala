@@ -24,10 +24,14 @@ object NativeOps {
   }
 
   /** Brute-force cosine top-k on the native fused `dot_f64` kernel — the
-    * throughput variant of q50 (same ranking; float→double math instead of
-    * exact decimals, so it is gate-checked rows-only and equivalence with
-    * q50's ranking is asserted in ExpressionSpec). */
-  val q57 = QueryDef.noOracle("q57_native_cosine_topk") { (s, d) =>
+    * throughput variant of q50. The kernel does float→double math, so the
+    * cosine *bits* differ from the exact-decimal path, but the *ranking* is
+    * identical (asserted in ExpressionSpec); the gate therefore compares
+    * the integer projection (query_id, neighbor_id, rk) against the
+    * exact-decimal DuckDB oracle. */
+  val q57 = QueryDef(
+    "q57_native_cosine_topk",
+    Similarity.topkIdsOracleSql(k = 5, nQueries = 10)) { (s, d) =>
     GraftExtensions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
@@ -42,6 +46,7 @@ object NativeOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
       .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
 
@@ -71,7 +76,7 @@ object NativeOps {
   val q58 = QueryDef(
     "q58_salted_skew_agg",
     """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_sum
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val salted = Tables.events(s, d)
       .withColumn("salt", (col("event_id") % 16).cast("int"))
@@ -79,7 +84,7 @@ object NativeOps {
       .agg(count(lit(1)).as("pn"), sum(col("value").cast("decimal(18,4)")).as("ps"))
     salted.groupBy("event_type")
       .agg(sum(col("pn")).cast("bigint").as("n"),
-        sum(col("ps")).cast("decimal(38,4)").as("value_sum"))
+        sum(col("ps")).cast("decimal(38,4)").cast("double").as("value_sum"))
       .orderBy("event_type")
   }
 

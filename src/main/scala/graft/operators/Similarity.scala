@@ -65,16 +65,35 @@ object Similarity {
        |  FROM embeddings""".stripMargin
 
   /** All (query, candidate) cosine pairs — shared by q50 (window top-k)
-    * and q69 (custom bounded-heap aggregator top-k). */
+    * and q69 (custom bounded-heap aggregator top-k).
+    *
+    * Hot-path shape: higher-order `aggregate()` folds are CodegenFallback
+    * (interpreted, one BigDecimal alloc per element), so |Q|·N folds × 64
+    * dims dominated the round-1 bench. Instead the vectors are exploded
+    * once to (vec_id, i, component) rows and every dot product — including
+    * the self-norms — is a codegen'd `sum(product)` hash aggregate. The
+    * query side is broadcast on the dim index, so the only shuffle is the
+    * partial-aggregated (query_id, neighbor_id) rollup. Decimal addition
+    * is exact, so the groupBy's arbitrary order matches the oracle's
+    * sequential list_sum bit-for-bit. */
   private[operators] def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame = {
-    val n = withNorm(s, d)
-    val q = n.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    broadcast(q)
-      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-        col("neighbor_id") =!= col("query_id"))
+    val el = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        col("x").cast("double").cast("decimal(9,7)").as("xd"))
+    val nrm = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
+    val qel = el.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("i"), col("xd").as("qd"))
+    val dots = el.join(broadcast(qel), Seq("i"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("xd") * col("qd")).as("dt"))
+    dots
+      .join(broadcast(nrm.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
+      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cos(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+        cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
   }
 
   private[operators] def topkOracleSql(k: Int, nQueries: Int): String =
@@ -87,6 +106,23 @@ object Similarity {
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
        |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+
+  /** Integer-only projection of [[topkOracleSql]] — used by q57, whose
+    * cosine comes from the float→double `dot_f64` kernel: the *ranking* is
+    * provably identical to the exact-decimal path (ExpressionSpec), the
+    * score bits are not, so the gate compares only (query_id, neighbor_id,
+    * rk). */
+  private[operators] def topkIdsOracleSql(k: Int, nQueries: Int): String =
+    s"""WITH n AS ($normedSql),
+       |q AS (SELECT * FROM n WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql(dotSql("q.v", "c.v"), "q.nrm", "c.nrm")} AS cosine
+       |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk
        |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
 
   /** Brute-force cosine top-k: 10 query vectors × all candidates, top-5

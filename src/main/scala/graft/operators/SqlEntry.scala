@@ -38,7 +38,7 @@ object SqlEntry {
   val q55 = QueryDef(
     "q55_sql_text_direct",
     """SELECT o_custkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
       |FROM orders
       |GROUP BY o_custkey
       |HAVING COUNT(*) >= 20
@@ -46,7 +46,7 @@ object SqlEntry {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     s.sql(
       """SELECT o_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM orders
         |GROUP BY o_custkey
         |HAVING COUNT(*) >= 20

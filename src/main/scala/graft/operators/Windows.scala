@@ -36,13 +36,25 @@ object Windows {
   }
 
   /** §2.5 W2 — RANK over an aggregate (reference All-Tasks-of-SQL
-    * .sql:197-205 high-value customers). Aggregate (distributed) →
-    * global rank on the per-customer frame → keep top ranks. */
+    * .sql:197-205 high-value customers).
+    *
+    * Scale-safe shape: `RANK() OVER (ORDER BY …)` is a single-partition
+    * window over EVERY customer — fatal at 100 TB. Instead:
+    *  1. distributed aggregate → per-customer `spent`;
+    *  2. TakeOrderedAndProject(k) finds the k-th largest row value `t`
+    *     (per-partition top-k, merge on driver-sized frame — no global
+    *     sort, no single-partition window);
+    *  3. `spent >= t` ⇔ RANK ≤ k (rank = 1 + #rows strictly greater; if
+    *     spent < t the k rows above t all beat it), broadcast the 1-row
+    *     threshold;
+    *  4. rank itself = 1 + Σ counts of strictly-greater values, computed
+    *     by a broadcast self-join over the ≤ k surviving *distinct values*
+    *     — no Window operator anywhere in the plan. */
   val q22 = QueryDef(
     "q22_window_rank_agg",
     """SELECT c_custkey, total_spent, spend_rank FROM (
       |  SELECT o_custkey AS c_custkey,
-      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
       |         RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC) AS spend_rank
       |  FROM orders GROUP BY o_custkey) t
       |WHERE spend_rank <= 10
@@ -50,8 +62,17 @@ object Windows {
     val spent = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(sum(d2(col("o_totalprice"))).as("spent"))
-    spent
-      .withColumn("spend_rank", rank().over(Window.orderBy(col("spent").desc)).cast("long"))
+    val thresh = spent.select(col("spent"))
+      .orderBy(col("spent").desc).limit(10)          // TakeOrderedAndProject
+      .agg(min(col("spent")).as("thresh"))
+    val survivors = spent.join(broadcast(thresh), col("spent") >= col("thresh")).drop("thresh")
+    val cnts = survivors.groupBy(col("spent")).agg(count(lit(1)).as("cnt"))
+    val ranks = cnts.select(col("spent"), col("cnt"))
+      .join(broadcast(cnts.select(col("spent").as("spent_g"), col("cnt").as("cnt_g"))),
+        col("spent_g") > col("spent"), "left")
+      .groupBy(col("spent"))
+      .agg((coalesce(sum(col("cnt_g")), lit(0L)) + 1L).as("spend_rank"))
+    survivors.join(broadcast(ranks), Seq("spent"))
       .filter(col("spend_rank") <= 10)
       .select(col("c_custkey"), out(col("spent")).as("total_spent"), col("spend_rank"))
       .orderBy("spend_rank", "c_custkey")
@@ -70,12 +91,22 @@ object Windows {
       |       RANK() OVER (ORDER BY n_orders DESC) AS order_rank
       |FROM per_nation
       |ORDER BY order_rank, n_name""".stripMargin) { (s, d) =>
+    // Rank frame is bounded by |nation| (a dim), but the single-partition
+    // Window is still avoidable: rank = 1 + Σ counts of strictly-greater
+    // values via a broadcast self-join on the distinct-value histogram —
+    // the same windowless shape as q22, safe at any group-key cardinality.
     val perNation = Tables.orders(s, d).select("o_custkey")
       .join(broadcast(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_nationkey"))), Seq("o_custkey"))
       .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_orders"))
-    perNation
-      .withColumn("order_rank", rank().over(Window.orderBy(col("n_orders").desc)).cast("long"))
+    val cnts = perNation.groupBy(col("n_orders")).agg(count(lit(1)).as("cnt"))
+    val ranks = cnts.select(col("n_orders"), col("cnt"))
+      .join(broadcast(cnts.select(col("n_orders").as("v_g"), col("cnt").as("cnt_g"))),
+        col("v_g") > col("n_orders"), "left")
+      .groupBy(col("n_orders"))
+      .agg((coalesce(sum(col("cnt_g")), lit(0L)) + 1L).as("order_rank"))
+    perNation.join(broadcast(ranks), Seq("n_orders"))
+      .select(col("n_name"), col("n_orders"), col("order_rank"))
       .orderBy("order_rank", "n_name")
   }
 
@@ -86,7 +117,7 @@ object Windows {
     "q24_sort_nulls_last",
     """SELECT s_suppkey, s_name, heavy_sales FROM (
       |  SELECT s_suppkey, s_name,
-      |         (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |         (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |          FROM lineitem
       |          WHERE l_suppkey = s_suppkey AND l_quantity >= 49 AND l_discount >= 0.09) AS heavy_sales
       |  FROM supplier) t
