@@ -98,76 +98,91 @@ object Dedup {
   private def minhashAggs: Seq[Column] =
     (0 until NumHashes).map(i => min(expr(s"h ^ ${xorMasks(i)}L")).as(s"h$i"))
 
-  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard. */
-  val q48 = {
+  /** CTE chain computing banded-LSH verified near-dup pairs, ending in a
+    * `verified(doc_a, doc_b, jaccard)` CTE — shared by the q48 oracle and
+    * the q71 component oracle (so cluster edges are by construction the
+    * exact pairs the LSH detector emits, on both engines). */
+  private[operators] val lshPairsCtes: String = {
     val mhSelect = (0 until NumHashes)
       .map(i => s"min(xor(h, ${xorMasks(i)})) AS h$i").mkString(",\n    ")
     val bandRows = (0 until Bands).map { b =>
       val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bv FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    QueryDef(
-      "q48_minhash_lsh",
-      s"""WITH sh AS (
-         |    $shingleSql),
-         |th AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
-         |mh AS (SELECT doc_id, COUNT(*) AS n,
-         |    $mhSelect
-         |  FROM th GROUP BY doc_id),
-         |bands AS (
-         |  $bandRows),
-         |cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-         |                                   AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, n FROM mh),
-         |cand AS (SELECT doc_a, doc_b FROM cand0
-         |         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |         WHERE least(sa.n, sb.n) * 5 >= greatest(sa.n, sb.n) * 4),
-         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-         |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-         |                      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-         |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingleDf(s, d).cache()
-      val th = sh.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
-      // ONE groupBy computes the 16 signature mins AND the set size — no
-      // second aggregation pass over the shingle base
-      val mh = th.groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), minhashAggs: _*)
-        .cache()
-      val bands = (0 until Bands).map { b =>
-        val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
-        mh.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
-      }.reduce(_ unionByName _)
-      val cand0 = bands.toDF("doc_a", "band", "bv")
-        .join(bands.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val sizes = mh.select("doc_id", "n")
-      // size-ratio prefilter: jaccard >= 0.8 implies min·5 >= max·4, so
-      // this prunes candidates without changing the result set
-      val cand = cand0
-        .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
-        .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
-        .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
-        .select("doc_a", "doc_b")
-      val inter = cand
-        .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
-        .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-      val jac = col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double")
-      inter
-        .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-        .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
-    }
+    s"""sh AS (
+       |    $shingleSql),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+       |mh AS (SELECT doc_id, COUNT(*) AS n,
+       |    $mhSelect
+       |  FROM th GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |                                   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, n FROM mh),
+       |cand AS (SELECT doc_a, doc_b FROM cand0
+       |         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |         WHERE least(sa.n, sb.n) * 5 >= greatest(sa.n, sb.n) * 4),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+       |                      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+       |          GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8)""".stripMargin
+  }
+
+  /** Spark side of [[lshPairsCtes]]: banded-LSH candidates, size-ratio
+    * pruned, exact-Jaccard verified at ≥ 0.8 — the scalable (RefinedWeb /
+    * FineWeb-shaped) near-dup pair generator, reused by q48 and as the
+    * edge source for q71's connected components. */
+  private[graft] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleDf(s, d).cache()
+    val th = sh.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
+    // ONE groupBy computes the 16 signature mins AND the set size — no
+    // second aggregation pass over the shingle base
+    val mh = th.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), minhashAggs: _*)
+      .cache()
+    val bands = (0 until Bands).map { b =>
+      val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
+      mh.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
+    }.reduce(_ unionByName _)
+    val cand0 = bands.toDF("doc_a", "band", "bv")
+      .join(bands.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = mh.select("doc_id", "n")
+    // size-ratio prefilter: jaccard >= 0.8 implies min·5 >= max·4, so
+    // this prunes candidates without changing the result set
+    val cand = cand0
+      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
+      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
+      .select("doc_a", "doc_b")
+    val inter = cand
+      .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("na") + col("nb") - col("i")).cast("double")
+    inter
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard. */
+  val q48 = QueryDef(
+    "q48_minhash_lsh",
+    s"""WITH $lshPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    lshVerifiedPairs(s, d).orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: 60-bit signatures, 4×15-bit bands, hamming ≤ 6
@@ -211,16 +226,25 @@ object Dedup {
         expr((0 until 15).map(k =>
           s"(CASE WHEN s${15 * j + k} > 0 THEN ${1L << k}L ELSE 0L END)").mkString(" + "))
           .cast("long").as(s"band$j")
-      val sig = sums.select(col("doc_id"), band(0), band(1), band(2), band(3))
-      val a = sig.toDF("doc_a", "a0", "a1", "a2", "a3")
-      val b = sig.toDF("doc_b", "b0", "b1", "b2", "b3")
+      val sig = sums.select(col("doc_id"), band(0), band(1), band(2), band(3)).cache()
+      // candidate generation: "any band equal" as a UNION of per-band
+      // equi-joins (the q48 banding shape). An OR-of-equalities join
+      // condition is not hash-joinable — Catalyst would plan a nested
+      // loop over all doc pairs — whereas each banded frame joins on
+      // (band, value) with an ordinary shuffle/hash join.
+      val bandsDf = (0 until 4).map { j =>
+        sig.select(col("doc_id"), lit(j).as("band"), col(s"band$j").as("bv"))
+      }.reduce(_ unionByName _)
+      val cand = bandsDf.toDF("doc_a", "band", "bv")
+        .join(bandsDf.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
       val hamming = (0 until 4).map(j =>
         bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
-      a.join(b, col("doc_a") < col("doc_b")
-          && (col("a0") === col("b0") || col("a1") === col("b1")
-            || col("a2") === col("b2") || col("a3") === col("b3")))
+      cand
+        .join(sig.toDF("doc_a", "a0", "a1", "a2", "a3"), Seq("doc_a"))
+        .join(sig.toDF("doc_b", "b0", "b1", "b2", "b3"), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     }

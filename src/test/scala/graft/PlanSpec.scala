@@ -57,6 +57,33 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q49: simhash candidate join is a banded equi-join, not a nested loop") {
+    val plan = planOf(Dedup.q49.build(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q22/q23: global rank runs without any Window operator") {
+    // a `RANK() OVER (ORDER BY …)` window is a single-partition sort of
+    // every group — the windowless threshold/histogram shape must not
+    // reintroduce one
+    planOf(Windows.q22.build(spark, sf)) should not include "Window"
+    planOf(Windows.q23.build(spark, sf)) should not include "Window"
+    planOf(Windows.q22.build(spark, sf)) should include("TakeOrderedAndProject")
+  }
+
+  test("q71 edge source: banded LSH candidates, never an all-pairs shingle join") {
+    // q71's label propagation consumes lshVerifiedPairs directly (the
+    // loop's localCheckpoint truncates lineage, so assert on the edge
+    // generator itself)
+    val pairs = Dedup.lshVerifiedPairs(spark, sf)
+    val plan = planOf(pairs)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the band-bucket join key must be what generates candidates
+    pairs.queryExecution.analyzed.toString should include("band")
+  }
+
   test("whole-stage codegen covers the q01 pipeline") {
     val df = Analytics.q01.build(spark, sf)
     df.collect() // AQE finalizes the plan only on execution
