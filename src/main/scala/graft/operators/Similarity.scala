@@ -204,7 +204,6 @@ object Similarity {
        |  FROM cand JOIN n x ON x.vec_id = vec_a JOIN n y ON y.vec_id = vec_b)
        |SELECT vec_a, vec_b, cosine FROM scored
        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val n = withNorm(s, d).cache()
     // plane coefficients precomputed driver-side (16×64 constants — the
     // analog of broadcasting a projection matrix) and broadcast-joined;
     // the projection is then ONE groupBy with an order-independent exact
@@ -216,9 +215,14 @@ object Similarity {
       (p, i, if (hex.head <= '7') 1 else -1)
     }
     val coefDf = broadcast(coef.toDF("p", "i", "sgn"))
-    val elems = n.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+    // exploded components feed the projection, the self-norms AND the
+    // exact verify — all codegen'd sums, no interpreted decimal folds
+    val elems = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).as("i"),
         col("x").cast("double").cast("decimal(9,7)").as("xd"))
+      .cache()
+    val nrm = elems.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
     val proj = elems.join(coefDf, Seq("i"))
       .groupBy("vec_id", "p")
       .agg(sum(col("xd") * col("sgn")).as("dotp"))
@@ -235,11 +239,15 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .filter(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 3)
       .select("vec_a", "vec_b").distinct()
-    cand
-      .join(n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
-      .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+    val dots = cand
+      .join(elems.select(col("vec_id").as("vec_a"), col("i"), col("xd").as("xa")), Seq("vec_a"))
+      .join(elems.select(col("vec_id").as("vec_b"), col("i"), col("xd").as("xb")), Seq("vec_b", "i"))
+      .groupBy("vec_a", "vec_b").agg(sum(col("xa") * col("xb")).as("dt"))
+    dots
+      .join(nrm.toDF("vec_a", "na"), Seq("vec_a"))
+      .join(nrm.toDF("vec_b", "nb"), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cos(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+        cos(col("dt"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
