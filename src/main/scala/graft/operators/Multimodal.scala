@@ -7,12 +7,13 @@ import graft.core.{QueryDef, Tables}
 
 /** Multimodal columns: media as opaque `binary` + typed metadata struct.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic fake ([[FakeCodec]]); everything Spark-side
-  * — schema, batch iteration shape, partition-parallel decode, feature
-  * schema — is real and spec-tested (MultimodalSpec). On a real cluster the
-  * fake kernel is swapped for a JNI/codec call with the same signature;
-  * nothing else changes.
+  * Image decode is REAL: [[ImageCodec]] encodes/decodes actual PNG bytes
+  * through `javax.imageio` (ships with the JDK — no external codec needed)
+  * and is gate-checked end-to-end by q73, whose DuckDB oracle recomputes
+  * the expected channel statistics arithmetically from the deterministic
+  * pixel pattern. Only formats the JVM lacks (video/audio) keep the
+  * clearly-marked deterministic fake ([[FakeCodec]]) for the batch/stride
+  * plumbing; a real deployment swaps ONLY that object.
   *
   * Scale: decode runs via `mapPartitions` (one codec context per
   * partition, streaming iterator — never materializes a partition), the
@@ -56,6 +57,65 @@ object Multimodal {
       row.media.grouped(frameBytes).zipWithIndex
         .collect { case (chunk, idx) if idx % stride == 0 => chunk }
         .toSeq
+  }
+
+  /** REAL image codec over `javax.imageio` (PNG/JPEG/BMP readers are part
+    * of the JDK). Rendering is a deterministic per-pixel gradient so the
+    * decode round-trip is verifiable by arithmetic alone (q73). */
+  object ImageCodec {
+
+    /** Deterministic RGB pattern at (x, y) for image `id` — mirrored by
+      * the q73 oracle in SQL. */
+    @inline def r(id: Long, x: Int, y: Int): Int = ((x + y + id) % 256).toInt
+    @inline def g(id: Long, x: Int, y: Int): Int = ((2L * x + id) % 256).toInt
+    @inline def b(id: Long, x: Int, y: Int): Int = ((x.toLong * y + id) % 256).toInt
+
+    /** Render the gradient and encode REAL PNG bytes. */
+    def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (r(id, x, y) << 16) | (g(id, x, y) << 8) | b(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
+
+    /** Decode PNG/JPEG/BMP bytes and accumulate exact per-channel sums. */
+    def decode(bytes: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(img.getWidth, img.getHeight, sr, sg, sb)
+    }
+
+    /** Real resize via Graphics2D (the "decode + resize to model input"
+      * step; interpolation is JVM-deterministic, spec-tested). */
+    def resize(bytes: Array[Byte], outW: Int, outH: Int): java.awt.image.BufferedImage = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val dst = new java.awt.image.BufferedImage(outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = dst.createGraphics()
+      try g2.drawImage(src, 0, 0, outW, outH, null)
+      finally g2.dispose()
+      dst
+    }
   }
 
   /** Partition-parallel decode: one kernel init per partition, streaming
@@ -103,5 +163,48 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q53)
+  /** Gate query for the REAL codec: render a deterministic gradient PNG
+    * per document, decode it back through `javax.imageio`, and emit the
+    * decoded dimensions + exact per-channel means. The oracle recomputes
+    * the same statistics purely arithmetically (the pixel pattern is
+    * closed-form), so any mis-decoded pixel fails the hash. Decode runs
+    * in `mapPartitions` — one codec context per partition, no shuffle. */
+  val q73 = QueryDef(
+    "q73_multimodal_decode",
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id % 16 + 8 AS INT) AS w, CAST(doc_id % 12 + 8 AS INT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, w, h,
+      |    SUM((x + y + media_id) % 256) AS sr,
+      |    SUM((2*x + media_id) % 256) AS sg,
+      |    SUM((x*y + media_id) % 256) AS sb
+      |  FROM dims, range(0, 24) rx(x), range(0, 20) ry(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY 1, 2, 3)
+      |SELECT media_id, w AS width, h AS height,
+      |  CAST(sr AS DOUBLE) / (w*h) AS mean_r,
+      |  CAST(sg AS DOUBLE) / (w*h) AS mean_g,
+      |  CAST(sb AS DOUBLE) / (w*h) AS mean_b
+      |FROM px ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dims = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("media_id"),
+        (col("doc_id") % 16 + 8).cast("int").as("w"),
+        (col("doc_id") % 12 + 8).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    dims.mapPartitions { it =>
+      it.map { case (id, w, h) =>
+        val dec = ImageCodec.decode(ImageCodec.encodePng(id, w, h))
+        (id, dec.width, dec.height, dec.sumR, dec.sumG, dec.sumB)
+      }
+    }.toDF("media_id", "width", "height", "sr", "sg", "sb")
+      .select(col("media_id"), col("width"), col("height"),
+        (col("sr").cast("double") / (col("width") * col("height"))).as("mean_r"),
+        (col("sg").cast("double") / (col("width") * col("height"))).as("mean_g"),
+        (col("sb").cast("double") / (col("width") * col("height"))).as("mean_b"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q53, q73)
 }

@@ -36,6 +36,24 @@ class MultimodalSpec extends SparkSpec {
     frames.head.toSeq shouldBe (0 until 10).map(_.toByte)
   }
 
+  test("real PNG codec round-trips every pixel exactly") {
+    import Multimodal.ImageCodec
+    val (id, w, h) = (42L, 23, 19)
+    val dec = ImageCodec.decode(ImageCodec.encodePng(id, w, h))
+    dec.width shouldBe w
+    dec.height shouldBe h
+    val expR = (for (y <- 0 until h; x <- 0 until w) yield ImageCodec.r(id, x, y).toLong).sum
+    val expG = (for (y <- 0 until h; x <- 0 until w) yield ImageCodec.g(id, x, y).toLong).sum
+    val expB = (for (y <- 0 until h; x <- 0 until w) yield ImageCodec.b(id, x, y).toLong).sum
+    (dec.sumR, dec.sumG, dec.sumB) shouldBe ((expR, expG, expB))
+  }
+
+  test("real codec resize produces the requested model-input dims") {
+    import Multimodal.ImageCodec
+    val img = ImageCodec.resize(ImageCodec.encodePng(7L, 23, 19), 224, 224)
+    (img.getWidth, img.getHeight) shouldBe ((224, 224))
+  }
+
   test("media table derives deterministically from documents") {
     val m = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     m.count() shouldBe 500
