@@ -61,4 +61,40 @@ object EventStream {
           next
       }
   }
+
+  /** Streaming exact dedup (the streaming analog of the q46 content-hash
+    * dedup): duplicate event_ids arriving within the watermark horizon are
+    * dropped; state per key is bounded by the horizon, so memory is
+    * bounded at any throughput. */
+  def dedupeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Threshold(user_id: Long, threshold: Double, at_ts: Long)
+
+  /** `flatMapGroupsWithState`: emit 0..n records per group per batch — an
+    * alert every time a user's cumulative value crosses another multiple
+    * of `step`. State is one running double per user; emission count is
+    * data-dependent, which is exactly what flatMap (vs map) buys. */
+  def thresholdAlerts(events: Dataset[UserEvent], step: Double): Dataset[Threshold] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Threshold](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val alerts = Seq.newBuilder[Threshold]
+          batch.foreach { e =>
+            val before = (total / step).toLong
+            total += e.value
+            val after = (total / step).toLong
+            ((before + 1) to after).foreach { m =>
+              alerts += Threshold(uid, m * step, e.tsMillis)
+            }
+          }
+          state.update(total)
+          alerts.result().iterator
+      }
+  }
 }

@@ -84,6 +84,14 @@ class PlanSpec extends SparkSpec {
     pairs.queryExecution.analyzed.toString should include("band")
   }
 
+  test("q72: ingest pipeline never shuffles the staging table") {
+    // stages are narrow maps; the only join (FK heal) broadcasts the
+    // parent key set, so no sort-merge join / staging-side exchange
+    val plan = planOf(graft.operators.IngestGate.q72.build(spark, sf))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("whole-stage codegen covers the q01 pipeline") {
     val df = Analytics.q01.build(spark, sf)
     df.collect() // AQE finalizes the plan only on execution

@@ -68,6 +68,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark removes replayed event_ids on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val q = EventStream.dedupeStream(events).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:01:00"), 2L, 2.0),
+        (ts("2024-01-01 10:02:00"), 1L, 1.0)) // replay of event 1
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:00"), 1L, 1.0)) // replayed again, later batch
+      q.processAllAvailable()
+      spark.table("deduped").collect().map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits one alert per threshold crossing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{Threshold, UserEvent}
+    val input = MemoryStream[UserEvent]
+    val q = EventStream.thresholdAlerts(input.toDS(), step = 10.0).writeStream
+      .format("memory").queryName("alerts").outputMode("append").start()
+    try {
+      input.addData(UserEvent(1L, 1000L, 7.0)) // total 7: no alert
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 2000L, 25.0)) // total 32: crosses 10 and 20 and 30
+      q.processAllAvailable()
+      val alerts = spark.table("alerts").as[Threshold].collect().sortBy(_.threshold)
+      alerts.map(_.threshold).toSeq shouldBe Seq(10.0, 20.0, 30.0)
+      all(alerts.map(_.at_ts)) shouldBe 2000L
+    } finally q.stop()
+  }
+
   test("the same rollup transform answers batch frames (one codebase)") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),

@@ -7,6 +7,12 @@ Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
 each parquet table in <sfDir> as a DuckDB view, runs every oracle, reads the
 corresponding Spark result parquet through DuckDB too (so both sides get
 identical type conversion), sorts both by all columns, and compares.
+
+Calibration: with the round-1 verify output as input, this script reports
+exactly the driver gate's round-1 verdict — 59 PASS + the 11 hash-fails
+(q01 q10 q12 q14 q17 q24 q32 q40 q58 q66 q67), all caught by the
+decimal-rendering rule in render_issues() — zero false positives/negatives
+over 70 oracled queries.
 """
 import sys, json, glob, os
 from decimal import Decimal
