@@ -8,22 +8,25 @@ import graft.core.{QueryDef, Tables}
 /** Similarity search over the embedding column (`Array[Float]`, 64-dim).
   *
   * Numeric parity strategy: dot products and norms are computed in exact
-  * decimal (each component cast float→double→decimal(18,9); products are
-  * decimal(38,18)) so the aggregation is order-independent — a distributed
-  * Spark sum and a single-threaded oracle sum agree bit-for-bit. Only the
-  * final cosine is a double (exact-value division + sqrt, identical IEEE
-  * ops on both engines).
+  * decimal (each component cast float→double→decimal(9,7); exact products
+  * summed by a codegen'd hash aggregate over exploded components) so the
+  * aggregation is order-independent — a distributed Spark sum and a
+  * single-threaded oracle sum agree bit-for-bit. Only the final cosine is
+  * a double (exact-value division + sqrt, identical IEEE ops on both
+  * engines). No interpreted higher-order folds anywhere in the hot paths.
   *
   * Scale posture:
   *  - brute-force top-k (q50): O(|Q|·N) — the correct baseline when |Q| is
   *    small; the query side is broadcast, candidates never shuffle.
   *  - IVF probe (q51): restrict search to the query's coarse cluster
   *    (`label` = precomputed centroid assignment) — the N-per-cluster
-  *    shape of FAISS-style IVF, here as a co-partitioned equi-join on the
-  *    cluster id, so each cluster's work is one partition-local top-k.
+  *    shape of FAISS-style IVF, expressed as the (label, i) broadcast
+  *    join condition, so only same-cluster components ever pair.
   *  - hyperplane LSH (q52): 16-bit sign-random-projection signatures from
   *    md5-derived ±1 planes; bucket equi-join generates candidates, exact
   *    cosine verifies. Linear scan cost, tunable recall.
+  *  - int8 scalar quantization (q74): round(x·127) components, exact
+  *    integer dot products — the SQ8 memory/bandwidth path.
   */
 object Similarity {
 
@@ -36,29 +39,21 @@ object Similarity {
     s"list_sum(list_transform(range(1, $Dim + 1), i -> " +
       s"cast(cast($a[i] as double) as decimal(9,7)) * cast(cast($b[i] as double) as decimal(9,7))))"
 
-  /** Exact decimal dot product of two array columns (Spark). The merge
-    * lambda re-casts to the accumulator type after each add: Spark's
-    * decimal `+` wants to grow precision past 38; the cast only trims
-    * unused integer digits (scale is unchanged), so the fold stays exact. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        x.cast("double").cast("decimal(9,7)") * y.cast("double").cast("decimal(9,7)")),
-      lit(BigDecimal(0)).cast("decimal(37,14)"),
-      (acc, v) => (acc + v).cast("decimal(37,14)"))
-
   private def cosSql(dotE: String, na: String, nb: String): String =
     s"cast($dotE as double) / (sqrt(cast($na as double)) * sqrt(cast($nb as double)))"
 
   private def cos(dotC: Column, na: Column, nb: Column): Column =
     dotC.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** Embeddings with a precomputed exact-decimal self-norm. */
-  private def withNorm(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    e.select(col("vec_id"), col("label"), col("embedding").as("v"))
-      .withColumn("nrm", dot(col("v"), col("v")))
-  }
+  /** Exploded embedding components (vec_id, label, i, xd): every dot
+    * product and self-norm is a codegen'd `sum(product)` hash aggregate
+    * over this frame — no interpreted higher-order folds anywhere in the
+    * similarity hot paths. */
+  private def elems(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        col("x").cast("double").cast("decimal(9,7)").as("xd"))
 
   private val normedSql =
     s"""SELECT vec_id, label, embedding AS v, ${dotSql("embedding", "embedding")} AS nrm
@@ -77,10 +72,7 @@ object Similarity {
     * is exact, so the groupBy's arbitrary order matches the oracle's
     * sequential list_sum bit-for-bit. */
   private[operators] def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame = {
-    val el = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        col("x").cast("double").cast("decimal(9,7)").as("xd"))
+    val el = elems(s, d)
     val nrm = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
     val qel = el.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("i"), col("xd").as("qd"))
@@ -150,16 +142,23 @@ object Similarity {
        |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
        |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
        |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    val n = withNorm(s, d)
-    val q = n.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = broadcast(q)
-      .join(n.select(col("vec_id").as("neighbor_id"), col("label"), col("v"), col("nrm")),
-        Seq("label"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    // the IVF restriction IS the join condition: broadcast the query
+    // components on (label, i), so only same-cluster candidate components
+    // ever match — the probe-1 N-per-cluster shape, fully codegen'd
+    val el = elems(s, d)
+    val nrm = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
+    val qel = el.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label"), col("i"), col("xd").as("qd"))
+    val dots = el.join(broadcast(qel), Seq("label", "i"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("xd") * col("qd")).as("dt"))
+    dots
+      .join(broadcast(nrm.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
+      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cos(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
-    scored
+        cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
       .filter(col("rk") <= 3)
@@ -217,13 +216,11 @@ object Similarity {
     val coefDf = broadcast(coef.toDF("p", "i", "sgn"))
     // exploded components feed the projection, the self-norms AND the
     // exact verify — all codegen'd sums, no interpreted decimal folds
-    val elems = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
-        col("x").cast("double").cast("decimal(9,7)").as("xd"))
+    val el = elems(s, d)
+      .select(col("vec_id"), (col("i") + 1).as("i"), col("xd"))  // 1-based: matches coef/oracle
       .cache()
-    val nrm = elems.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
-    val proj = elems.join(coefDf, Seq("i"))
+    val nrm = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
+    val proj = el.join(coefDf, Seq("i"))
       .groupBy("vec_id", "p")
       .agg(sum(col("xd") * col("sgn")).as("dotp"))
     val sig = proj
@@ -240,8 +237,8 @@ object Similarity {
       .filter(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 3)
       .select("vec_a", "vec_b").distinct()
     val dots = cand
-      .join(elems.select(col("vec_id").as("vec_a"), col("i"), col("xd").as("xa")), Seq("vec_a"))
-      .join(elems.select(col("vec_id").as("vec_b"), col("i"), col("xd").as("xb")), Seq("vec_b", "i"))
+      .join(el.select(col("vec_id").as("vec_a"), col("i"), col("xd").as("xa")), Seq("vec_a"))
+      .join(el.select(col("vec_id").as("vec_b"), col("i"), col("xd").as("xb")), Seq("vec_b", "i"))
       .groupBy("vec_a", "vec_b").agg(sum(col("xa") * col("xb")).as("dt"))
     dots
       .join(nrm.toDF("vec_a", "na"), Seq("vec_a"))
@@ -252,5 +249,54 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52)
+  /** Int8 scalar quantization ANN: components are quantized to
+    * round(x·127) — the 4×-memory-reduction trick of FAISS SQ8 / PQ coarse
+    * stages — and the whole top-k then runs in exact 64-bit integer
+    * arithmetic (sums of |q|≤127² products: no floats until the final
+    * cosine). Both engines round the same decimal HALF_UP, so the
+    * quantized ranking is bit-identical. Output keeps the quantized
+    * cosine so the oracle verifies the scores, not just the ids. */
+  val q74 = QueryDef(
+    "q74_quantized_topk",
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(range(1, $Dim + 1), i ->
+       |    CAST(round(cast(cast(embedding[i] as double) as decimal(9,7)) * 127, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, q,
+       |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> q[i] * q[i])) AS BIGINT) AS nrm
+       |  FROM qv),
+       |qq AS (SELECT * FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(list_sum(list_transform(range(1, $Dim + 1), i -> qq.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST(qq.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS qcos
+       |  FROM qq JOIN n c ON c.vec_id <> qq.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY qcos DESC, neighbor_id) AS rk FROM scored)
+       |SELECT query_id, neighbor_id, qcos, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val qz = elems(s, d)
+      .select(col("vec_id"), col("i"),
+        round(col("xd") * 127, 0).cast("long").as("xq"))
+    val nrm = qz.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("nrm"))
+    val qel = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("i"), col("xq").as("qq"))
+    val dots = qz.join(broadcast(qel), Seq("i"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("xq") * col("qq")).as("dt"))
+    dots
+      .join(broadcast(nrm.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
+      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dt").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double")))).as("qcos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rk") <= 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74)
 }
