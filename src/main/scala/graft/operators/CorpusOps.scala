@@ -124,5 +124,77 @@ object CorpusOps {
       .orderBy("doc_id", "bench_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63)
+  /** End-to-end corpus curation — the composed training-mix pipeline run
+    * as ONE query: exact dedup (keep min doc_id per content hash) →
+    * quality gates (q44 semantics, score ≥ 2) → language ID (q43 argmax,
+    * keep 'en') → deterministic 50% hash sample (q62 semantics). Each
+    * stage is individually gate-checked elsewhere; this query pins their
+    * COMPOSITION, which is what a real curation run executes.
+    *
+    * Scale: one shuffle for the dedup groupBy + semi-join; everything else
+    * is narrow per-document expression work and a final filter. */
+  val q75 = {
+    val sqlScores = StopWords.map { case (lang, words) =>
+      s"    ${stopHitsSql("t", words)} AS score_$lang"
+    }.mkString(",\n")
+    val caseChain = StopWords.map { case (lang, _) =>
+      s"WHEN score_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    QueryDef(
+      "q75_curation_pipeline",
+      s"""WITH keeper AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(trim(text))),
+         |toks AS (
+         |  SELECT d.doc_id, d.text, string_split(trim(d.text), ' ') AS t
+         |  FROM documents d JOIN keeper k ON d.doc_id = k.doc_id),
+         |feat AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    len(t) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+         |$sqlScores
+         |  FROM toks),
+         |scored AS (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS best FROM feat),
+         |gated AS (
+         |  SELECT doc_id, n_tokens,
+         |    (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_tokens >= 15 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) AS quality_score,
+         |    CASE $caseChain END AS predicted
+         |  FROM scored)
+         |SELECT doc_id, predicted, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+         |FROM gated
+         |WHERE quality_score >= 2 AND predicted = 'en'
+         |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keeper = docs
+        .groupBy(md5(trim(col("text"))).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      var df = docs.join(keeper, Seq("doc_id"), "left_semi")
+        .withColumn("t", tokens(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("n_punct",
+          size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long"))
+      for ((lang, words) <- StopWords)
+        df = df.withColumn(s"score_$lang", stopHits("t", words).cast("long"))
+      df = df.withColumn("best",
+        greatest(StopWords.map { case (l, _) => col(s"score_$l") }: _*))
+      val predicted = StopWords.foldRight(lit(null).cast("string")) {
+        case ((lang, _), elseCol) =>
+          when(col(s"score_$lang") === col("best"), lang).otherwise(elseCol)
+      }
+      df.select(col("doc_id"), predicted.as("predicted"), col("n_tokens"),
+          (when(col("n_chars").between(100, 500), 1).otherwise(0)
+            + when(col("n_tokens") >= 15, 1).otherwise(0)
+            + when(col("n_punct") * 10 <= col("n_tokens"), 1).otherwise(0)).as("quality_score"))
+        .filter(col("quality_score") >= 2 && col("predicted") === "en"
+          && hash60(col("doc_id").cast("string")) % 2 === 0)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75)
 }
