@@ -298,5 +298,66 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74)
+  private val KClusters = 8
+  private val KmIters = 2
+
+  /** Deterministic k-means coarse-quantizer training (the step that makes
+    * IVF real — q51 probes a precomputed assignment; this TRAINS one):
+    * fixed seeds (vec_id < K), two Lloyd iterations, exact-decimal L2²
+    * distances, argmin with (d², cluster) tiebreak. After each mean the
+    * centroid is re-quantized to decimal(9,7) — double→decimal is the
+    * identical correctly-rounded cast on both engines — so every distance
+    * in the NEXT round is again exact decimal arithmetic and the whole
+    * fixpoint is bit-reproducible distributed vs single-threaded.
+    *
+    * Scale: per iteration one broadcast join (K·Dim centroid rows) and two
+    * aggregates — Σ over components partial+final; no all-pairs work. */
+  val q76 = {
+    def distSql(cent: String): String =
+      s"""SELECT e.vec_id, c.cl, SUM((e.xd - c.cd) * (e.xd - c.cd)) AS d2
+         |  FROM el e JOIN $cent c ON c.i = e.i GROUP BY 1, 2""".stripMargin
+    def assignSql(dist: String): String =
+      s"""SELECT vec_id, cl FROM (
+         |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |  FROM $dist) WHERE rn = 1""".stripMargin
+    QueryDef(
+      "q76_kmeans_ivf_train",
+      s"""WITH el AS (
+         |  SELECT vec_id, i, cast(cast(embedding[i] as double) as decimal(9,7)) AS xd
+         |  FROM embeddings, range(1, $Dim + 1) r(i)),
+         |cent0 AS (SELECT CAST(vec_id AS INT) AS cl, i, xd AS cd FROM el WHERE vec_id < $KClusters),
+         |d1 AS (${distSql("cent0")}),
+         |a1 AS (${assignSql("d1")}),
+         |cent1 AS (
+         |  SELECT a.cl, e.i, CAST(CAST(SUM(e.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(9,7)) AS cd
+         |  FROM el e JOIN a1 a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |d2_ AS (${distSql("cent1")}),
+         |a2 AS (${assignSql("d2_")}),
+         |sizes AS (SELECT cl, COUNT(*) AS cluster_size FROM a2 GROUP BY 1)
+         |SELECT a.vec_id, a.cl AS cluster, CAST(s.cluster_size AS BIGINT) AS cluster_size
+         |FROM a2 a JOIN sizes s USING (cl) ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val el = elems(s, d).select("vec_id", "i", "xd").cache()
+      var cent = el.filter(col("vec_id") < KClusters)
+        .select(col("vec_id").cast("int").as("cl"), col("i"), col("xd").as("cd"))
+      var assign: DataFrame = null
+      for (it <- 1 to KmIters) {
+        val dist = el.join(broadcast(cent), Seq("i"))
+          .groupBy(col("vec_id"), col("cl"))
+          .agg(sum((col("xd") - col("cd")) * (col("xd") - col("cd"))).as("d2"))
+        assign = dist.groupBy("vec_id")
+          .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cl"))
+        if (it < KmIters)
+          cent = el.join(assign, Seq("vec_id"))
+            .groupBy(col("cl"), col("i"))
+            .agg((sum(col("xd")).cast("double") / count(lit(1)))
+              .cast("decimal(9,7)").as("cd"))
+      }
+      val sizes = assign.groupBy("cl").agg(count(lit(1)).as("cluster_size"))
+      assign.join(broadcast(sizes), Seq("cl"))
+        .select(col("vec_id"), col("cl").as("cluster"), col("cluster_size"))
+        .orderBy("vec_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76)
 }
