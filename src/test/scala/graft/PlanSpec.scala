@@ -84,6 +84,22 @@ class PlanSpec extends SparkSpec {
     pairs.queryExecution.analyzed.toString should include("band")
   }
 
+  test("q74/q76: quantized ANN and k-means training plan no nested loops") {
+    val p74 = planOf(graft.operators.Similarity.q74.build(spark, sf))
+    p74 should not include "CartesianProduct"
+    p74 should not include "BroadcastNestedLoopJoin"
+    val p76 = planOf(graft.operators.Similarity.q76.build(spark, sf))
+    p76 should not include "CartesianProduct"
+    p76 should not include "BroadcastNestedLoopJoin"
+    p76 should include("BroadcastHashJoin") // K·Dim centroid table broadcasts
+  }
+
+  test("q75: curation pipeline dedups via semi-join, no extra shuffles") {
+    val plan = planOf(graft.operators.CorpusOps.q75.build(spark, sf))
+    plan should include("LeftSemi")
+    plan should not include "CartesianProduct"
+  }
+
   test("q72: ingest pipeline never shuffles the staging table") {
     // stages are narrow maps; the only join (FK heal) broadcasts the
     // parent key set, so no sort-merge join / staging-side exchange
