@@ -11,9 +11,12 @@ import graft.functions.Dec._
   * lives in [[graft.sources.TableStore]]; these queries pin the exact
   * row-level semantics the store must produce.
   *
-  * Scale: updates/deletes are full-scan `when/otherwise` rewrites — at
-  * 100 TB these become partition-pruned rewrites of affected partitions
-  * only (copy-on-write), never row-at-a-time.
+  * Scale: updates/deletes are `when/otherwise` rewrites; the engine-side
+  * partition-pruned realization (rewrite ONLY the partitions the predicate
+  * touches, reuse every other partition's files across versions) is
+  * [[graft.sources.TableStore.updateWherePruned]] /
+  * [[graft.sources.TableStore.deleteWherePruned]], spec-proven in
+  * TableStoreSpec. Never row-at-a-time.
   */
 object DmlQueries {
 

@@ -57,7 +57,10 @@ final class TableStore(spark: SparkSession, root: String) {
   def table(name: String): DataFrame = {
     val v = currentVersion(name)
     require(v >= 0, s"no such table: $name")
-    spark.read.parquet(dataPath(name, v))
+    readManifest(name, v) match {
+      case Some(m) => readEntries(name, m.entries)
+      case None => spark.read.parquet(dataPath(name, v))
+    }
   }
 
   def exists(name: String): Boolean = Files.exists(versionFile(name))
@@ -174,6 +177,110 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Partitioned copy-on-write (the 100 TB DML shape): a version is a
+  // MANIFEST mapping partition subdirs to the version directory that
+  // owns them. Mutations rewrite ONLY the partitions the predicate
+  // touches and re-point every other entry at its existing directory —
+  // partition-level file reuse, the Delta/Iceberg snapshot idea in
+  // miniature. The atomic VERSION flip is unchanged, so readers still
+  // see complete snapshots.
+  // Partition values must be filesystem-simple strings (letters, digits,
+  // '-', '_') — true of every partition key in this schema.
+  // ------------------------------------------------------------------
+
+  private def manifestFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.manifest")
+
+  private case class Manifest(partCol: String, entries: Seq[(String, String)]) // (subdir, verDir)
+
+  private def readManifest(name: String, v: Int): Option[Manifest] = {
+    val p = manifestFile(name, v)
+    if (!Files.exists(p)) None
+    else {
+      val lines = new String(Files.readAllBytes(p)).split("\n").toSeq.filter(_.nonEmpty)
+      val pc = lines.head.stripPrefix("#partcol=")
+      Some(Manifest(pc, lines.tail.map { l =>
+        val Array(sub, vd) = l.split("\t"); (sub, vd)
+      }))
+    }
+  }
+
+  private def writeManifestAndFlip(name: String, v: Int, m: Manifest): Unit = {
+    val body = (s"#partcol=${m.partCol}" +: m.entries.map { case (s, vd) => s"$s\t$vd" })
+      .mkString("\n")
+    Files.write(manifestFile(name, v), body.getBytes)
+    val tmp = Paths.get(s"$root/$name/VERSION.tmp")
+    Files.write(tmp, v.toString.getBytes)
+    Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def listPartSubdirs(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(_.contains("=")).toSeq.sorted
+  }
+
+  private def readEntries(name: String, entries: Seq[(String, String)]): DataFrame =
+    entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, es) =>
+      spark.read.option("basePath", s"$root/$name/$vd")
+        .parquet(es.map { case (sub, _) => s"$root/$name/$vd/$sub" }: _*)
+    }.reduce(_ unionByName _)
+
+  /** CREATE TABLE … PARTITIONED BY (partCol). */
+  def createPartitioned(name: String, df: DataFrame, partCol: String,
+                        constraints: Seq[Constraint] = Nil): Unit = {
+    metas(name) = Meta(constraints)
+    Files.createDirectories(Paths.get(s"$root/$name"))
+    val v = currentVersion(name) + 1
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dataPath(name, v))
+    val subs = listPartSubdirs(dataPath(name, v))
+    writeManifestAndFlip(name, v, Manifest(partCol, subs.map(_ -> s"v$v")))
+  }
+
+  /** UPDATE … WHERE on a partitioned table, rewriting ONLY partitions the
+    * predicate touches. Returns the set of partition values rewritten. */
+  def updateWherePruned(name: String, pred: Column, set: Map[String, Column]): Seq[String] =
+    mutatePruned(name, pred) { affected =>
+      set.foldLeft(affected) { case (df, (c, v)) =>
+        df.withColumn(c, when(pred, v).otherwise(col(c)))
+      }
+    }
+
+  /** DELETE … WHERE on a partitioned table, partition-pruned like
+    * [[updateWherePruned]]. */
+  def deleteWherePruned(name: String, pred: Column): Seq[String] =
+    mutatePruned(name, pred)(affected => affected.filter(!coalesce(pred, lit(false))))
+
+  private def mutatePruned(name: String, pred: Column)
+                          (rewrite: DataFrame => DataFrame): Seq[String] = {
+    val v = currentVersion(name)
+    val m = readManifest(name, v).getOrElse(
+      throw new IllegalArgumentException(s"$name is not a partitioned table"))
+    // which partitions hold matching rows? parquet partition pruning makes
+    // this scan cheap when pred constrains the partition column
+    val affectedVals = table(name).filter(pred)
+      .select(col(m.partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affectedVals.isEmpty) return Nil
+    val affectedSubs = affectedVals.map(av => s"${m.partCol}=$av").toSet
+    val touched = m.entries.filter { case (sub, _) => affectedSubs(sub) }
+    val newV = v + 1
+    rewrite(readEntries(name, touched))
+      .write.mode("overwrite").partitionBy(m.partCol).parquet(dataPath(name, newV))
+    val newSubs = listPartSubdirs(dataPath(name, newV))
+    val kept = m.entries.filterNot { case (sub, _) => affectedSubs(sub) }
+    writeManifestAndFlip(name, newV,
+      Manifest(m.partCol, (kept ++ newSubs.map(_ -> s"v$newV")).sortBy(_._1)))
+    affectedVals
+  }
+
+  /** Which version directory owns each partition right now (spec hook:
+    * proves untouched partitions are REUSED across versions). */
+  def partitionOwners(name: String): Map[String, String] =
+    readManifest(name, currentVersion(name)).map(_.entries.toMap).getOrElse(Map.empty)
+
   /** Validate current contents against registered constraints. */
   def validateTable(name: String): Seq[Violation] =
     validate(table(name), constraintsOf(name), table _)
@@ -183,15 +290,23 @@ final class TableStore(spark: SparkSession, root: String) {
   // and drop superseded versions (the VACUUM half).
   def analyze(name: String): TableStore.TableStats = {
     val v = currentVersion(name)
-    val dir = Paths.get(dataPath(name, v))
     import scala.jdk.CollectionConverters._
-    val bytes = Files.walk(dir).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
-    // vacuum: remove superseded version directories
-    (0 until v).foreach { old =>
+    // live bytes: for manifest tables some live partitions are owned by
+    // older version dirs — sum over every referenced dir
+    val referenced: Set[String] = readManifest(name, v)
+      .map(_.entries.map(_._2).toSet).getOrElse(Set.empty)
+    val liveDirs = (referenced + s"v$v").toSeq.sorted
+      .map(vd => Paths.get(s"$root/$name/$vd")).filter(Files.exists(_))
+    val bytes = liveDirs.flatMap(d => Files.walk(d).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size(_)).toSeq).sum
+    // vacuum: remove superseded version directories — EXCEPT ones the
+    // current manifest still references (partition-level file reuse means
+    // old version dirs can own live partitions)
+    (0 until v).filterNot(old => referenced(s"v$old")).foreach { old =>
       val od = Paths.get(dataPath(name, old))
       if (Files.exists(od))
         Files.walk(od).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(manifestFile(name, old))
     }
     TableStore.TableStats(table(name).count(), bytes, v)
   }

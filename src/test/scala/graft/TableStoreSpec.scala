@@ -110,6 +110,43 @@ class TableStoreSpec extends SparkSpec {
     cat("c") shouldBe Seq("fk(pid→p)")
   }
 
+  test("partitioned UPDATE rewrites only touched partitions and reuses the rest") {
+    val st = freshStore()
+    val df = Seq((1, "click", 10.0), (2, "click", 20.0), (3, "view", 30.0),
+      (4, "buy", 40.0)).toDF("id", "etype", "amount")
+    st.createPartitioned("ev", df, "etype")
+    val ownersV0 = st.partitionOwners("ev")
+    ownersV0.keySet shouldBe Set("etype=click", "etype=view", "etype=buy")
+
+    val rewritten = st.updateWherePruned("ev",
+      col("etype") === "click" && col("amount") > 15, Map("amount" -> lit(0.0)))
+    rewritten shouldBe Seq("click")
+
+    val ownersV1 = st.partitionOwners("ev")
+    ownersV1("etype=click") should not be ownersV0("etype=click") // rewritten
+    ownersV1("etype=view") shouldBe ownersV0("etype=view")        // reused as-is
+    ownersV1("etype=buy") shouldBe ownersV0("etype=buy")
+    st.table("ev").filter($"amount" === 0.0).count() shouldBe 1
+    st.table("ev").count() shouldBe 4
+  }
+
+  test("partitioned DELETE prunes, drops emptied partitions, survives vacuum") {
+    val st = freshStore()
+    val df = Seq((1, "click", 10.0), (2, "view", 30.0), (3, "buy", 40.0))
+      .toDF("id", "etype", "amount")
+    st.createPartitioned("ev", df, "etype")
+    st.deleteWherePruned("ev", col("etype") === "view") shouldBe Seq("view")
+    st.table("ev").count() shouldBe 2
+    st.partitionOwners("ev").keySet shouldBe Set("etype=click", "etype=buy")
+    // vacuum must keep v0: it still owns the click/buy partitions
+    val stats = st.analyze("ev")
+    stats.rows shouldBe 2
+    st.table("ev").count() shouldBe 2
+    // a predicate matching nothing is a no-op (no new version)
+    st.deleteWherePruned("ev", col("etype") === "nope") shouldBe Nil
+    st.table("ev").count() shouldBe 2
+  }
+
   test("validateTable reports PK/FK/CHECK violations") {
     val st = freshStore()
     st.create("parents", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
