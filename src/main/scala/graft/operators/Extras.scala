@@ -81,5 +81,43 @@ object Extras {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68)
+  /** PIVOT: event-type value sums spread into columns per user bucket —
+    * Spark `pivot()` with an explicit value list (no extra distinct scan)
+    * against the portable conditional-aggregation oracle (which is the
+    * relational meaning of PIVOT). */
+  val q77 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val sqlCols = types.map(t =>
+      s"  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS $t")
+      .mkString(",\n")
+    QueryDef(
+      "q77_pivot",
+      s"""SELECT user_id % 10 AS bucket,
+         |$sqlCols
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", types)
+        .agg(sum(d4(col("value"))))
+        .select(col("bucket") +: types.map(t => out(col(t), 4).as(t)): _*)
+        .orderBy("bucket")
+    }
+  }
+
+  /** CUBE: all grouping-set combinations over (status, priority) with the
+    * NULLS FIRST sort pinned (Spark and DuckDB default null order differs). */
+  val q78 = QueryDef(
+    "q78_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), out(sum(d2(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78)
 }
