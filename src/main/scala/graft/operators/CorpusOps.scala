@@ -196,5 +196,35 @@ object CorpusOps {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75)
+  /** Training-mix weighting: deterministic per-stratum sampling rates (the
+    * "upsample en, downsample zh" mix step of corpus assembly). Keep a doc
+    * iff hash(doc_id) mod 100 < rate(lang) — shuffle-free, reproducible,
+    * and exactly proportional in expectation per stratum. */
+  val q79 = {
+    val rates = Seq("de" -> 40, "en" -> 80, "es" -> 40, "fr" -> 40, "zh" -> 20)
+    val caseSql = rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    QueryDef(
+      "q79_mixture_weights",
+      s"""WITH sampled AS (
+         |  SELECT doc_id, lang FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+         |        < CASE lang $caseSql ELSE 0 END)
+         |SELECT s.doc_id, s.lang, c.n_kept
+         |FROM sampled s
+         |JOIN (SELECT lang, COUNT(*) AS n_kept FROM sampled GROUP BY 1) c USING (lang)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val rate = rates.foldRight(lit(0)) { case ((l, r), e) =>
+        when(col("lang") === l, r).otherwise(e)
+      }
+      val sampled = Tables.documents(s, d)
+        .filter(hash60(col("doc_id").cast("string")) % 100 < rate)
+        .select("doc_id", "lang")
+      sampled
+        .join(broadcast(sampled.groupBy("lang").agg(count(lit(1)).as("n_kept"))), Seq("lang"))
+        .select("doc_id", "lang", "n_kept")
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79)
 }
