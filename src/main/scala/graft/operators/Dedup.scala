@@ -138,8 +138,17 @@ object Dedup {
   /** Spark side of [[lshPairsCtes]]: banded-LSH candidates, size-ratio
     * pruned, exact-Jaccard verified at ≥ 0.8 — the scalable (RefinedWeb /
     * FineWeb-shaped) near-dup pair generator, reused by q48 and as the
-    * edge source for q71's connected components. */
-  private[graft] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    * edge source for q71's connected components. Memoized per
+    * (session, dir): the shingle/minhash frames inside carry `.cache()`,
+    * and rebuilding them per caller would pin redundant copies of the
+    * suite's largest intermediates in executor storage. */
+  private val lshPairsMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsMemo.getOrElseUpdate((s, d), buildLshVerifiedPairs(s, d))
+
+  private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleDf(s, d).cache()
     val th = sh.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
     // ONE groupBy computes the 16 signature mins AND the set size — no

@@ -55,6 +55,25 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("i"),
         col("x").cast("double").cast("decimal(9,7)").as("xd"))
 
+  /** The shared (query × candidate) scaffold: broadcast the nQueries query
+    * components on `joinKeys`, codegen-sum the per-pair component products
+    * (`c` column, exact decimal or long), and attach both self-norm sums.
+    * Returns (query_id, neighbor_id, dt, qn, nrm). q50/q69 key on `i`,
+    * q51 keys on `(label, i)` — the IVF cluster restriction IS the join
+    * condition — and q74 feeds quantized longs. */
+  private def pairSums(el: DataFrame, joinKeys: Seq[String], nQueries: Int): DataFrame = {
+    val nrm = el.groupBy("vec_id").agg(sum(col("c") * col("c")).as("nrm"))
+    val qel = el.filter(col("vec_id") < nQueries)
+      .select(joinKeys.map(col) :+ col("vec_id").as("query_id") :+ col("c").as("qc"): _*)
+    el.join(broadcast(qel), joinKeys)
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("c") * col("qc")).as("dt"))
+      .join(broadcast(nrm.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
+      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+  }
+
   private val normedSql =
     s"""SELECT vec_id, label, embedding AS v, ${dotSql("embedding", "embedding")} AS nrm
        |  FROM embeddings""".stripMargin
@@ -71,22 +90,11 @@ object Similarity {
     * partial-aggregated (query_id, neighbor_id) rollup. Decimal addition
     * is exact, so the groupBy's arbitrary order matches the oracle's
     * sequential list_sum bit-for-bit. */
-  private[operators] def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame = {
-    val el = elems(s, d)
-    val nrm = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
-    val qel = el.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("i"), col("xd").as("qd"))
-    val dots = el.join(broadcast(qel), Seq("i"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("xd") * col("qd")).as("dt"))
-    dots
-      .join(broadcast(nrm.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
-      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+  private[operators] def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame =
+    pairSums(elems(s, d).select(col("vec_id"), col("i"), col("xd").as("c")),
+      Seq("i"), nQueries)
       .select(col("query_id"), col("neighbor_id"),
         cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
-  }
 
   private[operators] def topkOracleSql(k: Int, nQueries: Int): String =
     s"""WITH n AS ($normedSql),
@@ -142,21 +150,11 @@ object Similarity {
        |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
        |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
        |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    // the IVF restriction IS the join condition: broadcast the query
-    // components on (label, i), so only same-cluster candidate components
-    // ever match — the probe-1 N-per-cluster shape, fully codegen'd
-    val el = elems(s, d)
-    val nrm = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
-    val qel = el.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("label"), col("i"), col("xd").as("qd"))
-    val dots = el.join(broadcast(qel), Seq("label", "i"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("xd") * col("qd")).as("dt"))
-    dots
-      .join(broadcast(nrm.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
-      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+    // the IVF restriction IS the join condition: keying pairSums on
+    // (label, i) means only same-cluster candidate components ever match —
+    // the probe-1 N-per-cluster shape, fully codegen'd
+    pairSums(elems(s, d).select(col("vec_id"), col("label"), col("i"), col("xd").as("c")),
+      Seq("label", "i"), 20)
       .select(col("query_id"), col("neighbor_id"),
         cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
       .withColumn("rk", row_number().over(
@@ -278,20 +276,10 @@ object Similarity {
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
     val qz = elems(s, d)
       .select(col("vec_id"), col("i"),
-        round(col("xd") * 127, 0).cast("long").as("xq"))
-    val nrm = qz.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("nrm"))
-    val qel = qz.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("i"), col("xq").as("qq"))
-    val dots = qz.join(broadcast(qel), Seq("i"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("xq") * col("qq")).as("dt"))
-    dots
-      .join(broadcast(nrm.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
-      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+        round(col("xd") * 127, 0).cast("long").as("c"))
+    pairSums(qz, Seq("i"), 10)
       .select(col("query_id"), col("neighbor_id"),
-        (col("dt").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double")))).as("qcos"))
+        cos(col("dt"), col("qn"), col("nrm")).as("qcos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))).cast("int"))
       .filter(col("rk") <= 5)

@@ -15,6 +15,21 @@ import graft.functions.Dec._
   */
 object Windows {
 
+  /** RANK (= 1 + #rows strictly greater, ties share) over `valueCol`
+    * computed WITHOUT a Window operator: histogram of distinct values →
+    * broadcast non-equi self-join on strictly-greater values → prefix
+    * count. Safe at any input cardinality the caller has already reduced
+    * (post-aggregation / post-threshold); returns valueCol → rank. */
+  private def windowlessRankDesc(df: org.apache.spark.sql.DataFrame,
+                                 valueCol: String, rankName: String): org.apache.spark.sql.DataFrame = {
+    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    cnts.select(col(valueCol), col("__cnt"))
+      .join(broadcast(cnts.select(col(valueCol).as("__v_g"), col("__cnt").as("__cnt_g"))),
+        col("__v_g") > col(valueCol), "left")
+      .groupBy(col(valueCol))
+      .agg((coalesce(sum(col("__cnt_g")), lit(0L)) + 1L).as(rankName))
+  }
+
   /** §2.5 W1 — ROW_NUMBER dedupe, keep rn=1 (reference All-Tasks-of-SQL
     * .sql:68-77 duplicate-customer elimination). Partitioned window: scales
     * horizontally; deterministic tiebreak via event_id. */
@@ -66,12 +81,7 @@ object Windows {
       .orderBy(col("spent").desc).limit(10)          // TakeOrderedAndProject
       .agg(min(col("spent")).as("thresh"))
     val survivors = spent.join(broadcast(thresh), col("spent") >= col("thresh")).drop("thresh")
-    val cnts = survivors.groupBy(col("spent")).agg(count(lit(1)).as("cnt"))
-    val ranks = cnts.select(col("spent"), col("cnt"))
-      .join(broadcast(cnts.select(col("spent").as("spent_g"), col("cnt").as("cnt_g"))),
-        col("spent_g") > col("spent"), "left")
-      .groupBy(col("spent"))
-      .agg((coalesce(sum(col("cnt_g")), lit(0L)) + 1L).as("spend_rank"))
+    val ranks = windowlessRankDesc(survivors, "spent", "spend_rank")
     survivors.join(broadcast(ranks), Seq("spent"))
       .filter(col("spend_rank") <= 10)
       .select(col("c_custkey"), out(col("spent")).as("total_spent"), col("spend_rank"))
@@ -99,12 +109,7 @@ object Windows {
       .join(broadcast(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_nationkey"))), Seq("o_custkey"))
       .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_orders"))
-    val cnts = perNation.groupBy(col("n_orders")).agg(count(lit(1)).as("cnt"))
-    val ranks = cnts.select(col("n_orders"), col("cnt"))
-      .join(broadcast(cnts.select(col("n_orders").as("v_g"), col("cnt").as("cnt_g"))),
-        col("v_g") > col("n_orders"), "left")
-      .groupBy(col("n_orders"))
-      .agg((coalesce(sum(col("cnt_g")), lit(0L)) + 1L).as("order_rank"))
+    val ranks = windowlessRankDesc(perNation, "n_orders", "order_rank")
     perNation.join(broadcast(ranks), Seq("n_orders"))
       .select(col("n_name"), col("n_orders"), col("order_rank"))
       .orderBy("order_rank", "n_name")

@@ -23,6 +23,9 @@ import graft.constraints.Constraints._
   */
 final class TableStore(spark: SparkSession, root: String) {
 
+  /** Store root on disk (spec hook for asserting physical layout). */
+  def rootDir: String = root
+
   private case class Meta(constraints: Seq[Constraint])
   private val metas = scala.collection.mutable.Map[String, Meta]()
 
@@ -222,10 +225,15 @@ final class TableStore(spark: SparkSession, root: String) {
       .filter(_.contains("=")).toSeq.sorted
   }
 
+  /** Manifest entry subdir "." = the whole (non-partitioned) version dir —
+    * used when a mutation empties the table, so the schema survives. */
   private def readEntries(name: String, entries: Seq[(String, String)]): DataFrame =
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, es) =>
-      spark.read.option("basePath", s"$root/$name/$vd")
-        .parquet(es.map { case (sub, _) => s"$root/$name/$vd/$sub" }: _*)
+      if (es.exists(_._1 == "."))
+        spark.read.parquet(s"$root/$name/$vd")
+      else
+        spark.read.option("basePath", s"$root/$name/$vd")
+          .parquet(es.map { case (sub, _) => s"$root/$name/$vd/$sub" }: _*)
     }.reduce(_ unionByName _)
 
   /** CREATE TABLE … PARTITIONED BY (partCol). */
@@ -236,17 +244,32 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = currentVersion(name) + 1
     df.write.mode("overwrite").partitionBy(partCol).parquet(dataPath(name, v))
     val subs = listPartSubdirs(dataPath(name, v))
-    writeManifestAndFlip(name, v, Manifest(partCol, subs.map(_ -> s"v$v")))
+    val entries =
+      if (subs.nonEmpty) subs.map(_ -> s"v$v")
+      else { // empty input: keep the schema readable via an unpartitioned dir
+        df.write.mode("overwrite").parquet(dataPath(name, v))
+        Seq("." -> s"v$v")
+      }
+    writeManifestAndFlip(name, v, Manifest(partCol, entries))
   }
 
   /** UPDATE … WHERE on a partitioned table, rewriting ONLY partitions the
-    * predicate touches. Returns the set of partition values rewritten. */
-  def updateWherePruned(name: String, pred: Column, set: Map[String, Column]): Seq[String] =
+    * predicate touches. Returns the set of partition values rewritten.
+    * SET must not touch the partition column: a partition-moving update
+    * would need to rewrite the destination partitions too, breaking the
+    * "only touched partitions rewritten" contract. */
+  def updateWherePruned(name: String, pred: Column, set: Map[String, Column]): Seq[String] = {
+    val m = readManifest(name, currentVersion(name)).getOrElse(
+      throw new IllegalArgumentException(s"$name is not a partitioned table"))
+    require(!set.contains(m.partCol),
+      s"updateWherePruned cannot SET partition column ${m.partCol}; " +
+        "rows may not move between partitions under a pruned rewrite")
     mutatePruned(name, pred) { affected =>
       set.foldLeft(affected) { case (df, (c, v)) =>
         df.withColumn(c, when(pred, v).otherwise(col(c)))
       }
     }
+  }
 
   /** DELETE … WHERE on a partitioned table, partition-pruned like
     * [[updateWherePruned]]. */
@@ -260,19 +283,32 @@ final class TableStore(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(s"$name is not a partitioned table"))
     // which partitions hold matching rows? parquet partition pruning makes
     // this scan cheap when pred constrains the partition column
-    val affectedVals = table(name).filter(pred)
+    val affectedRaw = table(name).filter(pred)
       .select(col(m.partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(_.getString(0)).toSeq
+    require(!affectedRaw.contains(null),
+      s"partition column ${m.partCol} must be non-null " +
+        "(a NULL partition cannot be addressed by a pruned rewrite)")
+    val affectedVals = affectedRaw.sorted
     if (affectedVals.isEmpty) return Nil
     val affectedSubs = affectedVals.map(av => s"${m.partCol}=$av").toSet
     val touched = m.entries.filter { case (sub, _) => affectedSubs(sub) }
     val newV = v + 1
-    rewrite(readEntries(name, touched))
-      .write.mode("overwrite").partitionBy(m.partCol).parquet(dataPath(name, newV))
+    val rewritten = rewrite(readEntries(name, touched))
+    rewritten.write.mode("overwrite").partitionBy(m.partCol).parquet(dataPath(name, newV))
     val newSubs = listPartSubdirs(dataPath(name, newV))
     val kept = m.entries.filterNot { case (sub, _) => affectedSubs(sub) }
-    writeManifestAndFlip(name, newV,
-      Manifest(m.partCol, (kept ++ newSubs.map(_ -> s"v$newV")).sortBy(_._1)))
+    val entries =
+      if (kept.nonEmpty || newSubs.nonEmpty)
+        (kept ++ newSubs.map(_ -> s"v$newV")).sortBy(_._1)
+      else {
+        // the mutation emptied the whole table: a partitionBy write of an
+        // empty frame leaves no files at all, so re-write it unpartitioned
+        // to preserve the schema and point a "." entry at the version dir
+        rewritten.write.mode("overwrite").parquet(dataPath(name, newV))
+        Seq("." -> s"v$newV")
+      }
+    writeManifestAndFlip(name, newV, Manifest(m.partCol, entries))
     affectedVals
   }
 
@@ -291,24 +327,43 @@ final class TableStore(spark: SparkSession, root: String) {
   def analyze(name: String): TableStore.TableStats = {
     val v = currentVersion(name)
     import scala.jdk.CollectionConverters._
-    // live bytes: for manifest tables some live partitions are owned by
-    // older version dirs — sum over every referenced dir
-    val referenced: Set[String] = readManifest(name, v)
-      .map(_.entries.map(_._2).toSet).getOrElse(Set.empty)
-    val liveDirs = (referenced + s"v$v").toSeq.sorted
-      .map(vd => Paths.get(s"$root/$name/$vd")).filter(Files.exists(_))
-    val bytes = liveDirs.flatMap(d => Files.walk(d).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size(_)).toSeq).sum
-    // vacuum: remove superseded version directories — EXCEPT ones the
-    // current manifest still references (partition-level file reuse means
-    // old version dirs can own live partitions)
-    (0 until v).filterNot(old => referenced(s"v$old")).foreach { old =>
-      val od = Paths.get(dataPath(name, old))
-      if (Files.exists(od))
-        Files.walk(od).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(manifestFile(name, old))
+    def rm(p: java.nio.file.Path): Unit =
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    def sizeOf(p: java.nio.file.Path): Long =
+      if (!Files.exists(p)) 0L
+      else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size(_)).sum
+    readManifest(name, v) match {
+      case Some(m) =>
+        // vacuum (partitioned): drop whole version dirs with no live
+        // entries AND dead partition subdirs inside still-referenced old
+        // dirs (repeated pruned updates otherwise leak superseded files)
+        val liveByDir = m.entries.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        (0 until v).foreach { old =>
+          val od = Paths.get(dataPath(name, old))
+          if (Files.exists(od)) liveByDir.get(s"v$old") match {
+            case None => rm(od)
+            case Some(live) if !live(".") =>
+              listPartSubdirs(od.toString).filterNot(live)
+                .foreach(sub => rm(od.resolve(sub)))
+            case _ => ()
+          }
+          Files.deleteIfExists(manifestFile(name, old))
+        }
+        // live bytes: sum exactly the manifest's entries, not whole dirs
+        val bytes = m.entries.map { case (sub, vd) =>
+          sizeOf(if (sub == ".") Paths.get(s"$root/$name/$vd")
+                 else Paths.get(s"$root/$name/$vd/$sub"))
+        }.sum
+        TableStore.TableStats(table(name).count(), bytes, v)
+      case None =>
+        val bytes = sizeOf(Paths.get(dataPath(name, v)))
+        (0 until v).foreach { old =>
+          val od = Paths.get(dataPath(name, old))
+          if (Files.exists(od)) rm(od)
+        }
+        TableStore.TableStats(table(name).count(), bytes, v)
     }
-    TableStore.TableStats(table(name).count(), bytes, v)
   }
 
   /** §2.1 S11 — catalog introspection (the reference reads pg_constraint,

@@ -76,7 +76,13 @@ object EventStream {
   /** `flatMapGroupsWithState`: emit 0..n records per group per batch — an
     * alert every time a user's cumulative value crosses another multiple
     * of `step`. State is one running double per user; emission count is
-    * data-dependent, which is exactly what flatMap (vs map) buys. */
+    * data-dependent, which is exactly what flatMap (vs map) buys.
+    *
+    * The batch iterator carries NO ordering guarantee (it reflects shuffle
+    * order, not event time), so the group is sorted by (tsMillis, value)
+    * before folding — without this, alert attribution and, with negative
+    * values, the crossed-threshold set itself would vary run to run.
+    * `floor` (not truncation) keeps crossings symmetric below zero. */
   def thresholdAlerts(events: Dataset[UserEvent], step: Double): Dataset[Threshold] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -85,10 +91,10 @@ object EventStream {
         (uid: Long, batch: Iterator[UserEvent], state: GroupState[Double]) =>
           var total = state.getOption.getOrElse(0.0)
           val alerts = Seq.newBuilder[Threshold]
-          batch.foreach { e =>
-            val before = (total / step).toLong
+          batch.toSeq.sortBy(e => (e.tsMillis, e.value)).foreach { e =>
+            val before = math.floor(total / step).toLong
             total += e.value
-            val after = (total / step).toLong
+            val after = math.floor(total / step).toLong
             ((before + 1) to after).foreach { m =>
               alerts += Threshold(uid, m * step, e.tsMillis)
             }

@@ -147,6 +147,33 @@ class TableStoreSpec extends SparkSpec {
     st.table("ev").count() shouldBe 2
   }
 
+  test("partitioned edge cases: empty-table delete, partition-col SET guard, subdir vacuum") {
+    val st = freshStore()
+    val df = Seq((1, "click", 10.0), (2, "view", 30.0)).toDF("id", "etype", "amount")
+    st.createPartitioned("ev", df, "etype")
+    // SET on the partition column is rejected (rows may not move partitions)
+    an[IllegalArgumentException] should be thrownBy
+      st.updateWherePruned("ev", col("id") === 1, Map("etype" -> lit("view")))
+    // deleting everything leaves a readable empty table with its schema
+    st.deleteWherePruned("ev", lit(true)) shouldBe Seq("click", "view")
+    st.table("ev").count() shouldBe 0
+    st.table("ev").columns should contain("etype")
+    st.analyze("ev").rows shouldBe 0
+
+    // repeated pruned updates: vacuum reclaims the superseded subdir inside
+    // a version dir that still owns OTHER live partitions
+    val st2 = freshStore()
+    st2.createPartitioned("ev", df, "etype")
+    st2.updateWherePruned("ev", col("etype") === "click", Map("amount" -> lit(1.0)))
+    val beforeBytes = st2.analyze("ev").bytes
+    // v0 still owns etype=view; its dead etype=click subdir must be gone
+    st2.partitionOwners("ev")("etype=view") shouldBe "v0"
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(st2.rootDir, "ev", "v0", "etype=click")) shouldBe false
+    st2.table("ev").count() shouldBe 2
+    beforeBytes should be > 0L
+  }
+
   test("validateTable reports PK/FK/CHECK violations") {
     val st = freshStore()
     st.create("parents", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
