@@ -135,5 +135,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45)
+  /** Vocabulary extraction: global top-k tokens by document frequency —
+    * explode → two-level aggregate (distinct doc-token pairs, then token
+    * counts) → `TakeOrderedAndProject` top-k with a deterministic token
+    * tiebreak. The token-count frame is the only shuffle; top-k never
+    * globally sorts it. */
+  val q80 = QueryDef(
+    "q80_top_tokens",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      |  FROM documents),
+      |freq AS (SELECT w, COUNT(*) AS doc_freq FROM tok GROUP BY 1)
+      |SELECT w, doc_freq FROM freq
+      |ORDER BY doc_freq DESC, w LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+      .groupBy("w").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("w"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80)
 }
