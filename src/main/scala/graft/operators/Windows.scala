@@ -151,5 +151,34 @@ object Windows {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25)
+  /** §2.5 completeness — the navigation/distribution window functions a
+    * migrating user expects beyond ROW_NUMBER/RANK: LAG, LEAD, NTILE,
+    * FIRST_VALUE, PERCENT_RANK. All partition by user (distributed state,
+    * no global window); ordering carries a full tiebreak so every value is
+    * deterministic on both engines. */
+  val q81 = QueryDef(
+    "q81_window_navigation",
+    """SELECT user_id, event_id,
+      |  LAG(value) OVER w AS prev_value,
+      |  LEAD(event_type) OVER w AS next_type,
+      |  NTILE(4) OVER w AS quartile,
+      |  FIRST_VALUE(event_id) OVER w AS first_event,
+      |  PERCENT_RANK() OVER w AS pct_rank
+      |FROM events
+      |WHERE user_id < 30
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).cast("long").as("quartile"), // DuckDB NTILE is BIGINT
+        first(col("event_id")).over(w).as("first_event"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q81)
 }
