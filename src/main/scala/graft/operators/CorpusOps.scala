@@ -219,6 +219,7 @@ object CorpusOps {
       val sampled = Tables.documents(s, d)
         .filter(hash60(col("doc_id").cast("string")) % 100 < rate)
         .select("doc_id", "lang")
+        .cache() // read twice (row side + per-lang count aggregate)
       sampled
         .join(broadcast(sampled.groupBy("lang").agg(count(lit(1)).as("n_kept"))), Seq("lang"))
         .select("doc_id", "lang", "n_kept")

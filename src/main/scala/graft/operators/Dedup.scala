@@ -142,11 +142,24 @@ object Dedup {
     * (session, dir): the shingle/minhash frames inside carry `.cache()`,
     * and rebuilding them per caller would pin redundant copies of the
     * suite's largest intermediates in executor storage. */
+  // weak session keys: a stopped SparkSession (per-suite test sessions,
+  // repeated driver runs in one JVM) must stay collectible — a strong
+  // (session, dir) map would pin it plus its cached frames forever.
+  // Inputs are immutable driver-generated parquet, so no invalidation
+  // beyond session lifetime is needed.
   private val lshPairsMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   private[graft] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsMemo.getOrElseUpdate((s, d), buildLshVerifiedPairs(s, d))
+    lshPairsMemo.synchronized {
+      val perDir = {
+        val cur = lshPairsMemo.get(s)
+        if (cur != null) cur
+        else { val m = scala.collection.mutable.Map[String, DataFrame]();
+               lshPairsMemo.put(s, m); m }
+      }
+      perDir.getOrElseUpdate(d, buildLshVerifiedPairs(s, d))
+    }
 
   private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleDf(s, d).cache()

@@ -258,29 +258,29 @@ final class TableStore(spark: SparkSession, root: String) {
     * SET must not touch the partition column: a partition-moving update
     * would need to rewrite the destination partitions too, breaking the
     * "only touched partitions rewritten" contract. */
-  def updateWherePruned(name: String, pred: Column, set: Map[String, Column]): Seq[String] = {
-    val m = readManifest(name, currentVersion(name)).getOrElse(
-      throw new IllegalArgumentException(s"$name is not a partitioned table"))
-    require(!set.contains(m.partCol),
-      s"updateWherePruned cannot SET partition column ${m.partCol}; " +
-        "rows may not move between partitions under a pruned rewrite")
-    mutatePruned(name, pred) { affected =>
+  def updateWherePruned(name: String, pred: Column, set: Map[String, Column]): Seq[String] =
+    mutatePruned(name, pred,
+      // column resolution is case-insensitive, so the guard must be too
+      guard = m => require(!set.keys.exists(_.equalsIgnoreCase(m.partCol)),
+        s"updateWherePruned cannot SET partition column ${m.partCol}; " +
+          "rows may not move between partitions under a pruned rewrite")) { affected =>
       set.foldLeft(affected) { case (df, (c, v)) =>
         df.withColumn(c, when(pred, v).otherwise(col(c)))
       }
     }
-  }
 
   /** DELETE … WHERE on a partitioned table, partition-pruned like
     * [[updateWherePruned]]. */
   def deleteWherePruned(name: String, pred: Column): Seq[String] =
     mutatePruned(name, pred)(affected => affected.filter(!coalesce(pred, lit(false))))
 
-  private def mutatePruned(name: String, pred: Column)
+  private def mutatePruned(name: String, pred: Column,
+                           guard: Manifest => Unit = _ => ())
                           (rewrite: DataFrame => DataFrame): Seq[String] = {
     val v = currentVersion(name)
     val m = readManifest(name, v).getOrElse(
       throw new IllegalArgumentException(s"$name is not a partitioned table"))
+    guard(m)
     // which partitions hold matching rows? parquet partition pruning makes
     // this scan cheap when pred constrains the partition column
     val affectedRaw = table(name).filter(pred)
@@ -361,6 +361,9 @@ final class TableStore(spark: SparkSession, root: String) {
         (0 until v).foreach { old =>
           val od = Paths.get(dataPath(name, old))
           if (Files.exists(od)) rm(od)
+          // a formerly-partitioned table mutated through the plain path
+          // leaves superseded manifests behind — clear those too
+          Files.deleteIfExists(manifestFile(name, old))
         }
         TableStore.TableStats(table(name).count(), bytes, v)
     }

@@ -82,7 +82,14 @@ object EventStream {
     * order, not event time), so the group is sorted by (tsMillis, value)
     * before folding — without this, alert attribution and, with negative
     * values, the crossed-threshold set itself would vary run to run.
-    * `floor` (not truncation) keeps crossings symmetric below zero. */
+    * `floor` (not truncation) keeps crossings symmetric below zero.
+    *
+    * Costs stated honestly: the sort materializes one user's micro-batch
+    * on one task (memory O(events-per-user-per-batch) — bound it upstream
+    * with the trigger interval for pathological keys), and determinism is
+    * per micro-batch; events split across batches fold in batch order,
+    * which event-time ordering across batches would need watermarked
+    * session state to fix. */
   def thresholdAlerts(events: Dataset[UserEvent], step: Double): Dataset[Threshold] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

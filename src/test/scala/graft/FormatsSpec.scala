@@ -2,13 +2,28 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import graft.core.Tables
 import graft.sources.Formats
 
-class FormatsSpec extends SparkSpec {
+class FormatsSpec extends SparkSpec with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
-  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+  private val tmpDirs = scala.collection.mutable.Buffer[java.nio.file.Path]()
+  private def tmp(prefix: String) = {
+    val p = Files.createTempDirectory(prefix)
+    tmpDirs += p
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { p =>
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    super.afterAll()
+  }
 
   test("JSON round-trip with explicit schema preserves every row and type") {
     val nation = Tables.nation(spark, sf)
