@@ -4,15 +4,25 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 
-/** As-of join — an operator Spark has no primitive for, built the way the
-  * brief prefers (compose existing ops before custom plans): tag both
-  * streams, union, and take a running `last(..., ignoreNulls)` over a
-  * (user, time)-ordered window. One shuffle on user_id; state per user is
-  * a single struct — the same shape DuckDB's native ASOF JOIN (the oracle
-  * here) and kdb's aj implement natively.
+/** As-of join and range join — two operators Spark has no primitive for,
+  * built the way the brief prefers (compose existing ops before custom
+  * plans).
+  *
+  * As-of: tag both streams, union, and take a running
+  * `last(..., ignoreNulls)` over a (user, time)-ordered window. One
+  * shuffle on user_id; state per user is a single struct — the same shape
+  * DuckDB's native ASOF JOIN (the oracle here) and kdb's aj implement
+  * natively.
   *
   * Tie semantics: a click at exactly the purchase timestamp matches
   * (ASOF `>=`), reproduced by sorting clicks before purchases on ties.
+  *
+  * Range (point-in-interval) join: a naive `ts BETWEEN lo AND hi` theta
+  * join is not hash-joinable — Catalyst plans a nested loop over all
+  * pairs. The scalable form BINS the time axis: each interval explodes to
+  * the hour bins it covers, each point carries its one bin, the join is a
+  * plain equi-join on the bin, and the exact range predicate verifies the
+  * survivors. Cost O(points + intervals·bins_per_interval + matches).
   */
 object AsofJoin {
 
@@ -43,5 +53,34 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q65)
+  /** Binned point-in-interval range join: every ~97th event opens a
+    * 2-hour interval; find all events inside each interval. The bin
+    * equi-join makes this distributable — PlanSpec asserts no nested
+    * loop appears. Each event has exactly one bin and an interval covers
+    * each bin once, so candidate pairs are already distinct. */
+  val q82 = QueryDef(
+    "q82_range_join_binned",
+    """WITH iv AS (
+      |  SELECT event_id AS iv_id, ts AS iv_start, ts + INTERVAL 2 HOUR AS iv_end
+      |  FROM events WHERE event_id % 97 = 0)
+      |SELECT e.event_id, i.iv_id
+      |FROM events e JOIN iv i ON e.ts >= i.iv_start AND e.ts <= i.iv_end
+      |ORDER BY event_id, iv_id""".stripMargin) { (s, d) =>
+    val hourUs = 3600L * 1000000L
+    def hourBin(c: org.apache.spark.sql.Column) =
+      (unix_micros(c) / hourUs).cast("long") // '/' on longs is double in Spark
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), hourBin(col("ts")).as("bin"))
+    val iv = Tables.events(s, d)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("iv_id"), col("ts").as("iv_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("iv_end"))
+      .withColumn("bin", explode(sequence(hourBin(col("iv_start")), hourBin(col("iv_end")))))
+    ev.join(iv, Seq("bin"))
+      .filter(col("ts") >= col("iv_start") && col("ts") <= col("iv_end"))
+      .select(col("event_id"), col("iv_id"))
+      .orderBy("event_id", "iv_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q65, q82)
 }

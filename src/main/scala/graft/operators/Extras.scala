@@ -119,5 +119,21 @@ object Extras {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78)
+  /** Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
+    * per-status totals, per-priority totals, and a grand total in one
+    * pass. Spark's DataFrame API has no grouping-sets call, so this routes
+    * through spark.sql — same Expand-based Catalyst plan as q67/q78. */
+  val q83 = {
+    val sql =
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+    QueryDef("q83_grouping_sets", sql) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83)
 }

@@ -94,6 +94,12 @@ class PlanSpec extends SparkSpec {
     p76 should include("BroadcastHashJoin") // K·Dim centroid table broadcasts
   }
 
+  test("q82: binned range join is an equi-join, never a nested loop") {
+    val plan = planOf(graft.operators.AsofJoin.q82.build(spark, sf))
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("q75: curation pipeline dedups via semi-join, no extra shuffles") {
     val plan = planOf(graft.operators.CorpusOps.q75.build(spark, sf))
     plan should include("LeftSemi")
