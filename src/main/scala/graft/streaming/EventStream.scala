@@ -62,6 +62,22 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream join: attribute each purchase to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks and
+    * the join condition bounds the time skew, so each side's state store
+    * retains only the watermark horizon — bounded memory at any
+    * throughput, keyed (and distributed) by user. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "2 hours")
+    val p = purchases.withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming exact dedup (the streaming analog of the q46 content-hash
     * dedup): duplicate event_ids arriving within the watermark horizon are
     * dropped; state per key is bounded by the horizon, so memory is

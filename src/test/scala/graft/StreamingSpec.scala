@@ -103,6 +103,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to prior-hour clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStream.clickToPurchaseJoin(
+      clicks.toDF().toDF("click_ts", "click_user", "click_id"),
+      purchases.toDF().toDF("purchase_ts", "purchase_user", "purchase_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      clicks.addData(
+        (ts("2024-01-01 10:00:00"), 7L, 100L),
+        (ts("2024-01-01 08:00:00"), 7L, 101L), // >1h before purchase: no match
+        (ts("2024-01-01 10:10:00"), 8L, 102L)) // other user
+      purchases.addData((ts("2024-01-01 10:30:00"), 7L, 900L))
+      q.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      rows shouldBe Seq((7L, 100L, 900L))
+    } finally q.stop()
+  }
+
   test("the same rollup transform answers batch frames (one codebase)") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
