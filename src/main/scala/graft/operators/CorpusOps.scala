@@ -227,5 +227,27 @@ object CorpusOps {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79)
+  /** Per-stratum cap: keep at most N docs per language, selected by a
+    * deterministic hash order (fair "random" subset, reproducible across
+    * engines and runs). Partitioned window — state per stratum only, never
+    * a global sort. */
+  val q84 = QueryDef(
+    "q84_per_stratum_cap",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 30
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 30)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84)
 }

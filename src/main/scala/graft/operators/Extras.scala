@@ -135,5 +135,46 @@ object Extras {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83)
+  /** Exact second-moment statistics: stddev and correlation from EXACT
+    * decimal moments (Σx, Σx², Σxy …), finished with identical IEEE
+    * double ops on both engines. Naive float accumulation (what built-in
+    * stddev/corr do) is summation-order-dependent and therefore not
+    * reproducible distributed vs single-threaded; exact moments are. The
+    * per-group work is one partial+final aggregate. */
+  val q85 = QueryDef(
+    "q85_exact_moments",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+      |    SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sxx,
+      |    SUM(CAST(user_id % 50 AS BIGINT)) AS sy,
+      |    SUM(CAST(user_id % 50 AS BIGINT) * CAST(user_id % 50 AS BIGINT)) AS syy,
+      |    SUM(CAST(value AS DECIMAL(18,4)) * CAST(user_id % 50 AS BIGINT)) AS sxy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_value,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_vu
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val x = col("value").cast("decimal(18,4)")
+    val y = (col("user_id") % 50).cast("long")
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_value"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")).as("stddev_value"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))).as("corr_vu"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85)
 }
