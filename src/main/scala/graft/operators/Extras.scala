@@ -176,5 +176,25 @@ object Extras {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85)
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of disappearing — the semantics dimension lookups
+    * need when the dimension carries an explicit "unknown" row. The JSON
+    * payload extraction supplies genuine NULL keys. */
+  val q86 = QueryDef(
+    "q86_null_safe_join",
+    """WITH e AS (SELECT event_id, json_extract_string(props, '$.k') AS k FROM events),
+      |dim AS (SELECT DISTINCT k FROM e)
+      |SELECT d.k AS k, COUNT(*) AS n
+      |FROM e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+      |GROUP BY d.k
+      |ORDER BY d.k NULLS FIRST""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+    val dim = e.select(col("k").as("dk")).distinct()
+    e.join(dim, col("k") <=> col("dk"))
+      .groupBy(col("dk").as("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86)
 }
