@@ -67,8 +67,15 @@ object AsofJoin {
       |FROM events e JOIN iv i ON e.ts >= i.iv_start AND e.ts <= i.iv_end
       |ORDER BY event_id, iv_id""".stripMargin) { (s, d) =>
     val hourUs = 3600L * 1000000L
-    def hourBin(c: org.apache.spark.sql.Column) =
-      (unix_micros(c) / hourUs).cast("long") // '/' on longs is double in Spark
+    // floor-division, not truncation: long '/' is double division and
+    // cast('long') truncates toward zero, which misbins pre-1970 (negative
+    // epoch) timestamps. pmod is non-negative, so the numerator is the
+    // largest multiple of hourUs <= us — exact floor for all epochs, and
+    // exact in double because |us| < 2^53.
+    def hourBin(c: org.apache.spark.sql.Column) = {
+      val us = unix_micros(c)
+      ((us - pmod(us, lit(hourUs))) / hourUs).cast("long")
+    }
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), hourBin(col("ts")).as("bin"))
     val iv = Tables.events(s, d)

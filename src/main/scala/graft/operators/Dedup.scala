@@ -64,6 +64,7 @@ object Dedup {
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    assertGroundTruthScale(Tables.documents(s, d).count())
     val sh = shingleDf(s, d).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.toDF("doc_a", "s")
@@ -79,6 +80,19 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Corpus-size ceiling for the quadratic ground-truth variant (q47):
+    * its shingle self-join is O(pairs sharing a shingle) — fine for
+    * validation corpora, a scale-killer on a real one. Above the limit the
+    * caller must use the banded generator ([[lshVerifiedPairs]], q48),
+    * whose candidates are bucket-bounded. */
+  private[graft] val MaxGroundTruthDocs = 20000L
+
+  private[graft] def assertGroundTruthScale(nDocs: Long): Unit =
+    require(nDocs <= MaxGroundTruthDocs,
+      s"ngram-Jaccard ground truth is quadratic; corpus has $nDocs docs " +
+        s"(max $MaxGroundTruthDocs). Use the MinHash+LSH path (q48 / " +
+        "lshVerifiedPairs) for production-scale dedup.")
 
   private val NumHashes = 16
   private val Bands = 4 // 4 bands × 4 rows
@@ -159,6 +173,16 @@ object Dedup {
                lshPairsMemo.put(s, m); m }
       }
       perDir.getOrElseUpdate(d, buildLshVerifiedPairs(s, d))
+    }
+
+  /** Drop memoized pair frames for `dir` (all sessions). Call after
+    * rewriting the parquet under a previously-read directory — the memo
+    * otherwise assumes driver-generated inputs are immutable and would
+    * serve pairs computed from the old files. */
+  private[graft] def invalidateLshCache(dir: String): Unit =
+    lshPairsMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      lshPairsMemo.values.asScala.foreach(_.remove(dir))
     }
 
   private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame = {

@@ -20,9 +20,20 @@ object Windows {
     * broadcast non-equi self-join on strictly-greater values → prefix
     * count. Safe at any input cardinality the caller has already reduced
     * (post-aggregation / post-threshold); returns valueCol → rank. */
-  private def windowlessRankDesc(df: org.apache.spark.sql.DataFrame,
+  /** Ceiling on the distinct-value histogram [[windowlessRankDesc]] may
+    * self-join: the join is a deliberate broadcast nested loop, O(d²) in
+    * distinct values, so the caller contract (rank only already-reduced
+    * frames) is enforced, not assumed. */
+  private[graft] val MaxRankDistinct = 10000L
+
+  private[graft] def windowlessRankDesc(df: org.apache.spark.sql.DataFrame,
                                  valueCol: String, rankName: String): org.apache.spark.sql.DataFrame = {
-    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt")).cache()
+    val d = cnts.count()
+    require(d <= MaxRankDistinct,
+      s"windowlessRankDesc: $d distinct values of $valueCol exceed " +
+        s"$MaxRankDistinct; rank inputs must be pre-aggregated or " +
+        "pre-thresholded (the histogram self-join is O(d^2))")
     cnts.select(col(valueCol), col("__cnt"))
       .join(broadcast(cnts.select(col(valueCol).as("__v_g"), col("__cnt").as("__cnt_g"))),
         col("__v_g") > col(valueCol), "left")

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import graft.constraints.Constraints._
 
@@ -108,13 +109,26 @@ final class TableStore(spark: SparkSession, root: String) {
     n
   }
 
-  /** §2.9 D1 — UPDATE … SET … WHERE as when/otherwise rewrite. */
+  /** Apply all SET clauses in ONE projection so every RHS observes the
+    * pre-update row — SQL UPDATE semantics (SET a = b, b = a swaps; a
+    * sequential withColumn fold would see the already-updated value).
+    * `outCols` is the published column set; lookup is case-insensitive to
+    * match Spark's column resolution. */
+  private def applySet(df: DataFrame, outCols: Seq[String], pred: Column,
+                       set: Map[String, Column]): DataFrame = {
+    val unknown = set.keys.filterNot(k => outCols.exists(_.equalsIgnoreCase(k)))
+    require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
+    df.select(outCols.map { c =>
+      set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
+        when(pred, v).otherwise(col(c)).as(c)
+      }.getOrElse(col(c))
+    }: _*)
+  }
+
+  /** §2.9 D1 — UPDATE … SET … WHERE as a single when/otherwise projection. */
   def update(name: String, pred: Column, set: Map[String, Column]): Unit = {
     val cur = table(name)
-    val updated = set.foldLeft(cur) { case (df, (c, v)) =>
-      df.withColumn(c, when(pred, v).otherwise(col(c)))
-    }
-    publish(name, updated)
+    publish(name, applySet(cur, cur.columns.toSeq, pred, set))
   }
 
   /** §2.9 D2 — UPDATE … FROM join-update: left-join the (broadcastable)
@@ -124,10 +138,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val cur = table(name)
     val marked = source.withColumn("__matched", lit(true))
     val joined = cur.join(broadcast(marked), on, "left")
-    val updated = set.foldLeft(joined) { case (df, (c, v)) =>
-      df.withColumn(c, when(col("__matched"), v).otherwise(col(c)))
-    }
-    publish(name, updated.select(cur.columns.map(col).toSeq: _*))
+    publish(name, applySet(joined, cur.columns.toSeq, col("__matched"), set))
   }
 
   /** §2.9 D3 + §2.8 C2 — DELETE … WHERE with FK action propagation:
@@ -188,8 +199,9 @@ final class TableStore(spark: SparkSession, root: String) {
   // partition-level file reuse, the Delta/Iceberg snapshot idea in
   // miniature. The atomic VERSION flip is unchanged, so readers still
   // see complete snapshots.
-  // Partition values must be filesystem-simple strings (letters, digits,
-  // '-', '_') — true of every partition key in this schema.
+  // Partition values may contain any characters: subdir names are built
+  // with ExternalCatalogUtils.escapePathName, the same escaping
+  // partitionBy applies on write, so manifest entries always match disk.
   // ------------------------------------------------------------------
 
   private def manifestFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.manifest")
@@ -264,9 +276,7 @@ final class TableStore(spark: SparkSession, root: String) {
       guard = m => require(!set.keys.exists(_.equalsIgnoreCase(m.partCol)),
         s"updateWherePruned cannot SET partition column ${m.partCol}; " +
           "rows may not move between partitions under a pruned rewrite")) { affected =>
-      set.foldLeft(affected) { case (df, (c, v)) =>
-        df.withColumn(c, when(pred, v).otherwise(col(c)))
-      }
+      applySet(affected, affected.columns.toSeq, pred, set)
     }
 
   /** DELETE … WHERE on a partitioned table, partition-pruned like
@@ -289,9 +299,18 @@ final class TableStore(spark: SparkSession, root: String) {
     require(!affectedRaw.contains(null),
       s"partition column ${m.partCol} must be non-null " +
         "(a NULL partition cannot be addressed by a pruned rewrite)")
+    // loud failure on a mis-keyed partition column: the distinct-value list
+    // lives on the driver, so its cardinality must stay catalog-sized
+    require(affectedRaw.size <= TableStore.MaxPartitions,
+      s"predicate touches ${affectedRaw.size} partitions of $name (max ${TableStore.MaxPartitions}); " +
+        s"${m.partCol} looks mis-keyed for partition-pruned DML")
     val affectedVals = affectedRaw.sorted
     if (affectedVals.isEmpty) return Nil
-    val affectedSubs = affectedVals.map(av => s"${m.partCol}=$av").toSet
+    // partitionBy escapes special chars (space, '=', ':', '%', '/') in
+    // subdir names — build ours the same way or the manifest never matches
+    val affectedSubs = affectedVals
+      .map(av => s"${ExternalCatalogUtils.escapePathName(m.partCol)}=${ExternalCatalogUtils.escapePathName(av)}")
+      .toSet
     val touched = m.entries.filter { case (sub, _) => affectedSubs(sub) }
     val newV = v + 1
     val rewritten = rewrite(readEntries(name, touched))
@@ -377,4 +396,11 @@ final class TableStore(spark: SparkSession, root: String) {
 
 object TableStore {
   final case class TableStats(rows: Long, bytes: Long, version: Int)
+
+  /** Ceiling on distinct partition values one pruned mutation may touch.
+    * Partition counts are catalog-sized by design (dates, categories); a
+    * predicate touching more than this almost certainly means the table is
+    * partitioned on a high-cardinality column and the driver-side distinct
+    * collect in [[TableStore.mutatePruned]] would be the real OOM risk. */
+  val MaxPartitions: Int = 100000
 }

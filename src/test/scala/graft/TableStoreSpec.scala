@@ -174,6 +174,39 @@ class TableStoreSpec extends SparkSpec {
     beforeBytes should be > 0L
   }
 
+  test("all SET expressions observe the pre-update row (SET a=b, b=a swaps)") {
+    val st = freshStore()
+    st.create("t", Seq((1, 10, 20), (2, 3, 4)).toDF("id", "a", "b"))
+    st.update("t", col("id") === 1, Map("a" -> col("b"), "b" -> col("a")))
+    val r = st.table("t").filter($"id" === 1).head
+    (r.getInt(1), r.getInt(2)) shouldBe ((20, 10)) // swapped, not (20, 20)
+    an[IllegalArgumentException] should be thrownBy
+      st.update("t", lit(true), Map("nosuch" -> lit(1)))
+  }
+
+  test("pruned DML addresses partition values needing path escaping") {
+    val st = freshStore()
+    val df = Seq((1, "flash sale", 10.0), (2, "a=b:c", 20.0), (3, "plain", 30.0))
+      .toDF("id", "etype", "amount")
+    st.createPartitioned("ev", df, "etype")
+    val owners0 = st.partitionOwners("ev")
+    // subdirs on disk are escaped exactly as partitionBy writes them
+    // (Hive-style escaping touches '='/':'/'%' etc. but not spaces)
+    owners0.keySet should contain("etype=a%3Db%3Ac")
+
+    st.updateWherePruned("ev", col("etype") === "flash sale",
+      Map("amount" -> lit(0.0))) shouldBe Seq("flash sale")
+    val owners1 = st.partitionOwners("ev")
+    owners1("etype=flash sale") should not be owners0("etype=flash sale")
+    owners1("etype=plain") shouldBe owners0("etype=plain") // untouched, reused
+    st.table("ev").filter($"amount" === 0.0).count() shouldBe 1
+    st.table("ev").count() shouldBe 3
+
+    st.deleteWherePruned("ev", col("etype") === "a=b:c") shouldBe Seq("a=b:c")
+    st.table("ev").count() shouldBe 2
+    st.table("ev").filter($"etype" === "a=b:c").count() shouldBe 0
+  }
+
   test("validateTable reports PK/FK/CHECK violations") {
     val st = freshStore()
     st.create("parents", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
