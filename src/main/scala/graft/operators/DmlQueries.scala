@@ -130,5 +130,55 @@ object DmlQueries {
       .agg(count(lit(1)).as("n_rows"), out(sum(d2(col("o_totalprice")))).as("price_sum"))
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36)
+  /** §2.9 D5+ — INSERT … ON CONFLICT DO UPDATE (upsert / MERGE). Unlike
+    * q32-q36 this gate drives the REAL engine path: it loads orders into a
+    * [[graft.sources.TableStore]], upserts a batch (price bump + priority
+    * stamp on every 7th key, brand-new rows for every 13th), and emits the
+    * store's final contents — so the oracle checks the store's merge
+    * semantics end to end, not just a relational restatement. */
+  val q87 = QueryDef(
+    "q87_upsert",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |batch AS (
+      |  SELECT o_orderkey, 'UPSERTED' AS o_orderpriority,
+      |         CAST(price + 100 AS DECIMAL(18,2)) AS price
+      |  FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, 'NEWROW', price
+      |  FROM base WHERE o_orderkey % 13 = 0),
+      |merged AS (
+      |  SELECT b.o_orderkey,
+      |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority
+      |              ELSE b.o_orderpriority END AS o_orderpriority,
+      |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.price ELSE b.price END AS price
+      |  FROM base b LEFT JOIN batch u ON b.o_orderkey = u.o_orderkey
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, price FROM batch
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base))
+      |SELECT o_orderkey, o_orderpriority, CAST(price AS DOUBLE) AS o_totalprice
+      |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val st = new graft.sources.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-upsert").toString)
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        d2(col("o_totalprice")).as("o_totalprice"))
+    st.create("orders_t", base,
+      Seq(graft.constraints.Constraints.PrimaryKey(Seq("o_orderkey"))))
+    val batch = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("UPSERTED").as("o_orderpriority"),
+        (col("o_totalprice") + 100).cast(Money).as("o_totalprice"))
+      .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          lit("NEWROW").as("o_orderpriority"), col("o_totalprice")))
+    st.upsert("orders_t", batch)
+    st.table("orders_t")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87)
 }

@@ -109,6 +109,47 @@ final class TableStore(spark: SparkSession, root: String) {
     n
   }
 
+  /** §2.9 D5+ — upsert (INSERT … ON CONFLICT (pk) DO UPDATE / MERGE):
+    * batch rows matching an existing PK overwrite that row's non-key
+    * columns; the rest insert. Returns (nUpdated, nInserted).
+    *
+    * Like the SQL form, a batch carrying the same PK twice is refused —
+    * "cannot update the same row twice" — rather than silently picking a
+    * winner (DataFrames have no row order to break the tie with). The
+    * pre-publish checks run before any write, so a refused batch leaves
+    * the version pointer untouched (per-statement atomicity, D6).
+    *
+    * Scale: one broadcast of the batch against the table for the matched
+    * rewrite + one anti-join for the inserts — the fact table is scanned,
+    * never shuffled. */
+  def upsert(name: String, rows: DataFrame): (Long, Long) = {
+    val cur = table(name)
+    val cs = constraintsOf(name)
+    val pk = cs.collectFirst { case PrimaryKey(cols) => cols }.getOrElse(
+      throw new IllegalArgumentException(s"upsert requires a PRIMARY KEY on $name"))
+    val batch = applyDefaults(rows.select(cur.columns.map(col).toSeq: _*), cs).cache()
+    val nBatch = batch.count()
+    val nDistinctPk = batch.select(pk.map(col): _*).distinct().count()
+    require(nDistinctPk == nBatch,
+      s"upsert batch carries ${nBatch - nDistinctPk} duplicate PK rows; " +
+        "ON CONFLICT DO UPDATE cannot update the same row twice")
+    val nonKey = cur.columns.filterNot(c => pk.exists(_.equalsIgnoreCase(c)))
+    val marked = batch
+      .select(pk.map(col) ++ nonKey.map(c => col(c).as(s"__new_$c")): _*)
+      .withColumn("__matched", lit(true))
+    val joined = cur.join(broadcast(marked), pk, "left")
+    val updated = joined.select(cur.columns.map { c =>
+      if (nonKey.contains(c))
+        when(col("__matched"), col(s"__new_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }.toSeq: _*)
+    val nMatched = batch.join(cur.select(pk.map(col): _*), pk, "left_semi").count()
+    val inserted = batch.join(cur.select(pk.map(col): _*), pk, "left_anti")
+    publish(name, updated.unionByName(inserted))
+    batch.unpersist()
+    (nMatched, nBatch - nMatched)
+  }
+
   /** Apply all SET clauses in ONE projection so every RHS observes the
     * pre-update row — SQL UPDATE semantics (SET a = b, b = a swaps; a
     * sequential withColumn fold would see the already-updated value).

@@ -174,6 +174,27 @@ class TableStoreSpec extends SparkSpec {
     beforeBytes should be > 0L
   }
 
+  test("upsert updates matched rows, inserts the rest, refuses dup-PK batches atomically") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "x"),
+      Seq(PrimaryKey(Seq("id"))))
+    st.upsert("t", Seq((2L, "B", 99), (3L, "c", 30)).toDF("id", "v", "x")) shouldBe ((1L, 1L))
+    st.table("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq shouldBe
+      Seq((1L, "a", 10), (2L, "B", 99), (3L, "c", 30))
+
+    // a batch updating the same PK twice is refused BEFORE any write:
+    // the published version is untouched (per-statement atomicity)
+    an[IllegalArgumentException] should be thrownBy
+      st.upsert("t", Seq((4L, "x", 0), (4L, "y", 1)).toDF("id", "v", "x"))
+    st.table("t").count() shouldBe 3
+
+    // upsert is PK-addressed; a table without one cannot take it
+    st.create("nopk", Seq((1, "a")).toDF("id", "v"))
+    an[IllegalArgumentException] should be thrownBy
+      st.upsert("nopk", Seq((2, "b")).toDF("id", "v"))
+  }
+
   test("all SET expressions observe the pre-update row (SET a=b, b=a swaps)") {
     val st = freshStore()
     st.create("t", Seq((1, 10, 20), (2, 3, 4)).toDF("id", "a", "b"))
