@@ -45,10 +45,85 @@ final class TableStore(spark: SparkSession, root: String) {
   private def publish(name: String, df: DataFrame): Unit = {
     val v = currentVersion(name) + 1
     df.write.mode("overwrite").parquet(dataPath(name, v))
+    collectStats(name, v)
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ------------------------------------------------------------------
+  // File-level min/max data skipping: every version write records
+  // per-file column stats (parquet footer reads — metadata only) in a
+  // v{N}.stats sidecar; scanSkipping consults them to drop whole files
+  // for selective predicates before Spark lists a single row. The layer
+  // below partition pruning: inside surviving partitions, most files of
+  // a sorted/clustered table don't overlap a selective range.
+  // ------------------------------------------------------------------
+
+  private def statsFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.stats")
+
+  private def listParquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) Nil
+    else Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sorted
+  }
+
+  private def collectStats(name: String, v: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = Paths.get(s"$root/$name")
+    val stats = listParquetFiles(Paths.get(dataPath(name, v))).map { p =>
+      FileStats.readFooter(p.toString, tableDir.relativize(p).toString, conf)
+    }
+    Files.write(statsFile(name, v), FileStats.render(stats).getBytes)
+  }
+
+  /** Current snapshot's files as (path relative to the table dir, owning
+    * version dir). */
+  private def currentFiles(name: String): Seq[(String, String)] = {
+    val v = currentVersion(name)
+    require(v >= 0, s"no such table: $name")
+    val tableDir = Paths.get(s"$root/$name")
+    def rel(p: java.nio.file.Path) = tableDir.relativize(p).toString
+    readManifest(name, v) match {
+      case Some(m) => m.entries.flatMap { case (sub, vd) =>
+        val dir = if (sub == ".") Paths.get(s"$root/$name/$vd")
+                  else Paths.get(s"$root/$name/$vd/$sub")
+        listParquetFiles(dir).map(p => rel(p) -> vd)
+      }
+      case None =>
+        listParquetFiles(Paths.get(dataPath(name, v))).map(p => rel(p) -> s"v$v")
+    }
+  }
+
+  /** Scan with file-level skipping: read only files whose min/max stats
+    * overlap every range, then apply the exact predicate. Equivalent to
+    * `table(name).filter(ranges)`; the report says how many files the
+    * stats eliminated. Files without stats are always read. */
+  def scanSkipping(name: String,
+                   ranges: Seq[FileStats.ColumnRange]): (DataFrame, FileStats.ScanReport) = {
+    val files = currentFiles(name)
+    val statsByPath = files.map(_._2).distinct.flatMap { vd =>
+      val p = statsFile(name, vd.stripPrefix("v").toInt)
+      if (Files.exists(p)) FileStats.parse(new String(Files.readAllBytes(p))) else Nil
+    }.map(f => f.relPath -> f).toMap
+    val kept = files.filter { case (rel, _) =>
+      statsByPath.get(rel).forall(FileStats.mightMatch(_, ranges))
+    }
+    val pred = ranges.flatMap { r =>
+      r.lo.map(v => col(r.column) >= lit(v)) ++ r.hi.map(v => col(r.column) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          table(name).schema)
+      else kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, fs) =>
+        spark.read.option("basePath", s"$root/$name/$vd")
+          .parquet(fs.map { case (rel, _) => s"$root/$name/$rel" }: _*)
+      }.reduce(_ unionByName _)
+    (df.filter(pred), FileStats.ScanReport(files.size, kept.size))
   }
 
   // §2.1 S3/S4 — CREATE TABLE [AS SELECT]
@@ -303,6 +378,7 @@ final class TableStore(spark: SparkSession, root: String) {
         df.write.mode("overwrite").parquet(dataPath(name, v))
         Seq("." -> s"v$v")
       }
+    collectStats(name, v)
     writeManifestAndFlip(name, v, Manifest(partCol, entries))
   }
 
@@ -368,6 +444,7 @@ final class TableStore(spark: SparkSession, root: String) {
         rewritten.write.mode("overwrite").parquet(dataPath(name, newV))
         Seq("." -> s"v$newV")
       }
+    collectStats(name, newV)
     writeManifestAndFlip(name, newV, Manifest(m.partCol, entries))
     affectedVals
   }
@@ -401,9 +478,13 @@ final class TableStore(spark: SparkSession, root: String) {
         val liveByDir = m.entries.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
         (0 until v).foreach { old =>
           val od = Paths.get(dataPath(name, old))
-          if (Files.exists(od)) liveByDir.get(s"v$old") match {
-            case None => rm(od)
-            case Some(live) if !live(".") =>
+          liveByDir.get(s"v$old") match {
+            case None =>
+              if (Files.exists(od)) rm(od)
+              // a fully-dead version's file stats can go with it; stats of
+              // still-referenced old dirs must survive for scanSkipping
+              Files.deleteIfExists(statsFile(name, old))
+            case Some(live) if Files.exists(od) && !live(".") =>
               listPartSubdirs(od.toString).filterNot(live)
                 .foreach(sub => rm(od.resolve(sub)))
             case _ => ()
@@ -424,6 +505,7 @@ final class TableStore(spark: SparkSession, root: String) {
           // a formerly-partitioned table mutated through the plain path
           // leaves superseded manifests behind — clear those too
           Files.deleteIfExists(manifestFile(name, old))
+          Files.deleteIfExists(statsFile(name, old))
         }
         TableStore.TableStats(table(name).count(), bytes, v)
     }
