@@ -30,9 +30,11 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, out_width: Int, out_height: Int,
                                  n_bytes: Int, features: Array[Float])
 
-  /** STUB codec — deterministic fake standing in for a real image decoder.
-    * Derives a 16-dim "feature vector" from a byte histogram so tests have
-    * stable expected values. A real deployment replaces ONLY this object. */
+  /** STUB codec — deterministic fake, now standing in for VIDEO only
+    * (images decode through [[ImageCodec]], audio through [[AudioCodec]];
+    * the JDK has no video decoder). Derives a 16-dim "feature vector" from
+    * a byte histogram so tests have stable expected values. A real
+    * deployment replaces ONLY this object. */
   object FakeCodec {
     val FeatureDim = 16
 
@@ -115,6 +117,62 @@ object Multimodal {
       try g2.drawImage(src, 0, 0, outW, outH, null)
       finally g2.dispose()
       dst
+    }
+  }
+
+  /** REAL audio codec over `javax.sound.sampled` (the WAV reader/writer
+    * ships with the JDK, like imageio for images). The synth waveform is a
+    * closed-form integer sequence, so the decode round-trip is verifiable
+    * by arithmetic alone (q88 — the audio sibling of q73). */
+  object AudioCodec {
+
+    val SampleRateHz = 8000f
+
+    /** Deterministic 16-bit PCM sample i of clip `id` — mirrored by the
+      * q88 oracle in SQL. Range [-1000, 1000], well inside 16-bit. */
+    @inline def sample(id: Long, i: Int): Short =
+      (((i * (id % 7 + 1)) % 2001) - 1000).toShort
+
+    private def pcmFormat = new javax.sound.sampled.AudioFormat(
+      SampleRateHz, 16, 1, /*signed*/ true, /*bigEndian*/ false)
+
+    /** Synthesize the waveform and encode REAL WAV (RIFF) bytes. */
+    def encodeWav(id: Long, nSamples: Int): Array[Byte] = {
+      val raw = java.nio.ByteBuffer.allocate(nSamples * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < nSamples) { raw.putShort(sample(id, i)); i += 1 }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw.array()), pcmFormat, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(nSamples: Int, sampleRateHz: Float,
+                             sum: Long, absSum: Long, peak: Int)
+
+    /** Decode WAV bytes (header + PCM frames) and accumulate exact sample
+      * statistics. Fails loudly on a non-16-bit-mono stream rather than
+      * guessing a layout. */
+    def decodeWav(bytes: Array[Byte]): Decoded = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val data = ais.readAllBytes()
+      val buf = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var (n, sum, absSum, peak) = (0, 0L, 0L, 0)
+      while (buf.remaining() >= 2) {
+        val s = buf.getShort.toInt
+        n += 1; sum += s; absSum += math.abs(s)
+        peak = math.max(peak, math.abs(s))
+      }
+      Decoded(n, fmt.getSampleRate, sum, absSum, peak)
     }
   }
 
@@ -206,5 +264,38 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q53, q73)
+  /** Gate query for the REAL audio codec: synthesize a deterministic
+    * 16-bit PCM clip per document, encode it as actual WAV (RIFF) bytes,
+    * decode it back through `javax.sound.sampled`, and emit exact sample
+    * statistics. The oracle recomputes them arithmetically from the
+    * closed-form waveform — one flipped byte in the container round-trip
+    * fails the hash. Decode runs in `mapPartitions`, no shuffle. */
+  val q88 = QueryDef(
+    "q88_audio_decode",
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id % 500 + 100 AS INT) AS n
+      |  FROM documents),
+      |samp AS (
+      |  SELECT media_id, n, ((i * (media_id % 7 + 1)) % 2001) - 1000 AS s
+      |  FROM dims, range(0, 600) r(i) WHERE i < n)
+      |SELECT media_id, n AS n_samples,
+      |  CAST(SUM(s) AS BIGINT) AS sample_sum,
+      |  CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+      |  CAST(MAX(ABS(s)) AS INT) AS peak
+      |FROM samp GROUP BY 1, 2 ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dims = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("media_id"),
+        (col("doc_id") % 500 + 100).cast("int").as("n"))
+      .as[(Long, Int)]
+    dims.mapPartitions { it =>
+      it.map { case (id, n) =>
+        val dec = AudioCodec.decodeWav(AudioCodec.encodeWav(id, n))
+        (id, dec.nSamples, dec.sum, dec.absSum, dec.peak)
+      }
+    }.toDF("media_id", "n_samples", "sample_sum", "abs_sum", "peak")
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q53, q73, q88)
 }

@@ -36,6 +36,22 @@ class MultimodalSpec extends SparkSpec {
     frames.head.toSeq shouldBe (0 until 10).map(_.toByte)
   }
 
+  test("real WAV codec round-trips every sample exactly") {
+    import Multimodal.AudioCodec
+    val (id, n) = (42L, 357)
+    val wav = AudioCodec.encodeWav(id, n)
+    // a real RIFF/WAVE container, not raw PCM
+    new String(wav.take(4), "US-ASCII") shouldBe "RIFF"
+    new String(wav.slice(8, 12), "US-ASCII") shouldBe "WAVE"
+    val dec = AudioCodec.decodeWav(wav)
+    dec.nSamples shouldBe n
+    dec.sampleRateHz shouldBe AudioCodec.SampleRateHz
+    val samples = (0 until n).map(AudioCodec.sample(id, _).toLong)
+    dec.sum shouldBe samples.sum
+    dec.absSum shouldBe samples.map(math.abs).sum
+    dec.peak shouldBe samples.map(math.abs).max.toInt
+  }
+
   test("real PNG codec round-trips every pixel exactly") {
     import Multimodal.ImageCodec
     val (id, w, h) = (42L, 23, 19)
