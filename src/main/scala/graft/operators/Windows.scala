@@ -28,7 +28,10 @@ object Windows {
 
   private[graft] def windowlessRankDesc(df: org.apache.spark.sql.DataFrame,
                                  valueCol: String, rankName: String): org.apache.spark.sql.DataFrame = {
-    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt")).cache()
+    // No cache(): the caller contract guarantees a tiny pre-reduced input,
+    // so recomputing the histogram for the guard count and the two join
+    // sides is cheaper than pinning a cache entry for the session lifetime.
+    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
     val d = cnts.count()
     require(d <= MaxRankDistinct,
       s"windowlessRankDesc: $d distinct values of $valueCol exceed " +

@@ -59,7 +59,16 @@ object FileStats {
         val st = cc.getStatistics
         val cur: Option[ColStat] =
           if (st == null || st.isEmpty) None
-          else if (!st.hasNonNullValue) Some(ColStat("num", hasNonNull = false, "", ""))
+          else if (!st.hasNonNullValue) {
+            // min/max absent. Only when the null count proves EVERY value
+            // is NULL may we record the matches-nothing marker; writers
+            // also drop bounds while keeping values (parquet-mr omits
+            // min/max for float/double chunks containing NaN) — those
+            // columns must stay unknown, not "all null".
+            if (st.isNumNullsSet && st.getNumNulls == cc.getValueCount)
+              Some(ColStat("num", hasNonNull = false, "", ""))
+            else None
+          }
           else {
             val pt = cc.getPrimitiveType
             (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
@@ -67,8 +76,12 @@ object FileStats {
                                  l == null || l.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
                 Some(num(st.genericGetMin.toString, st.genericGetMax.toString))
               case (INT64, _) => Some(num(st.genericGetMin.toString, st.genericGetMax.toString))
-              case (FLOAT, _) | (DOUBLE, _) =>
-                Some(num(st.genericGetMin.toString, st.genericGetMax.toString))
+              case (FLOAT, _) =>
+                numDouble(st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue())
+              case (DOUBLE, _) =>
+                numDouble(st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue())
               case (BOOLEAN, _) =>
                 def b01(v: Any) = if (v.asInstanceOf[Boolean]) "1" else "0"
                 Some(num(b01(st.genericGetMin), b01(st.genericGetMax)))
@@ -87,6 +100,18 @@ object FileStats {
 
   private def num(mn: String, mx: String) = ColStat("num", hasNonNull = true, mn, mx)
 
+  /** Float/double bounds are persisted as the EXACT decimal expansion of the
+    * binary value (`new BigDecimal(double)`), not the shortest-roundtrip
+    * string — decimal("1.1") != the float 1.1f, and a bound falling in that
+    * gap would skip a file that contains matching rows. NaN/±Infinity have
+    * no BigDecimal form; a file whose bounds include them gets no stats for
+    * that column (the scan then always keeps it). */
+  private def numDouble(mn: Double, mx: Double): Option[ColStat] =
+    if (java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
+      Some(num(new java.math.BigDecimal(mn).toPlainString,
+        new java.math.BigDecimal(mx).toPlainString))
+    else None
+
   /** Merge stats across row groups. outer None = first group; inner None =
     * some group unknown → whole column unknown. */
   private def merge(prev: Option[Option[ColStat]], cur: Option[ColStat]): Option[ColStat] =
@@ -100,18 +125,27 @@ object FileStats {
           else if (!c.hasNonNull) Some(p)
           else {
             require(p.kind == c.kind)
-            Some(ColStat(p.kind, hasNonNull = true,
-              if (cmp(p.kind, c.min, p.min) < 0) c.min else p.min,
-              if (cmp(p.kind, c.max, p.max) > 0) c.max else p.max))
+            (cmpSafe(p.kind, c.min, p.min), cmpSafe(p.kind, c.max, p.max)) match {
+              case (Some(dMin), Some(dMax)) =>
+                Some(ColStat(p.kind, hasNonNull = true,
+                  if (dMin < 0) c.min else p.min,
+                  if (dMax > 0) c.max else p.max))
+              case _ => None // uncomparable group bounds → whole column unknown
+            }
           }
       }
     }
 
   // ---- comparison -----------------------------------------------------
 
-  private def cmp(kind: String, a: String, b: String): Int = kind match {
-    case "num" => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _     => utf8Cmp(a, b)
+  /** None = at least one side is not comparable (e.g. an "Infinity"/"NaN"
+    * numeric string from an old manifest) — callers must treat that as
+    * unknown, never as a skip. */
+  private def cmpSafe(kind: String, a: String, b: String): Option[Int] = kind match {
+    case "num" =>
+      try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+    case _ => Some(utf8Cmp(a, b))
   }
 
   /** Unsigned UTF-8 byte order — parquet's comparator for string stats. */
@@ -126,8 +160,15 @@ object FileStats {
     x.length - y.length
   }
 
-  /** Normalize a user bound into (kind, encoded) or None if unsupported. */
+  /** Normalize a user bound into (kind, encoded) or None if unsupported.
+    * Float/double bounds use the exact binary value (matching the persisted
+    * stats encoding); non-finite bounds are unsupported → the scan keeps
+    * every file rather than guessing an ordering for NaN. */
   private def norm(v: Any): Option[(String, String)] = v match {
+    case d: java.lang.Double =>
+      if (java.lang.Double.isFinite(d)) Some("num" -> new java.math.BigDecimal(d.doubleValue()).toPlainString) else None
+    case f: java.lang.Float =>
+      if (java.lang.Float.isFinite(f)) Some("num" -> new java.math.BigDecimal(f.doubleValue()).toPlainString) else None
     case n: java.lang.Number  => Some("num" -> new java.math.BigDecimal(n.toString).toPlainString)
     case b: java.lang.Boolean => Some("num" -> (if (b) "1" else "0"))
     case d: java.sql.Date     => Some("num" -> d.toLocalDate.toEpochDay.toString)
@@ -147,16 +188,17 @@ object FileStats {
           if (!st.hasNonNull) // all-NULL column: a range matches nothing
             r.lo.isEmpty && r.hi.isEmpty
           else {
-            val loOk = r.lo.flatMap(norm) match {
-              case Some((k, v)) if k == st.kind => cmp(k, st.max, v) >= 0
-              case Some(_) => true // cross-kind bound: keep
-              case None => r.lo.isEmpty
-            }
-            val hiOk = r.hi.flatMap(norm) match {
-              case Some((k, v)) if k == st.kind => cmp(k, st.min, v) <= 0
-              case Some(_) => true
-              case None => r.hi.isEmpty
-            }
+            // A bound only ever REMOVES a file when it normalized to the
+            // stats' kind AND the comparison succeeded; unnormalizable
+            // bounds (exotic JVM types, NaN) and unparseable stats both
+            // answer "keep" — skipping is an optimization, not a filter.
+            def ok(bound: Option[Any], pass: String => Option[Boolean]): Boolean =
+              bound.flatMap(norm) match {
+                case Some((k, v)) if k == st.kind => pass(v).getOrElse(true)
+                case _ => true // absent, cross-kind, or unnormalizable bound
+              }
+            val loOk = ok(r.lo, v => cmpSafe(st.kind, st.max, v).map(_ >= 0))
+            val hiOk = ok(r.hi, v => cmpSafe(st.kind, st.min, v).map(_ <= 0))
             loOk && hiOk
           }
       }

@@ -203,6 +203,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val pk = cs.collectFirst { case PrimaryKey(cols) => cols }.getOrElse(
       throw new IllegalArgumentException(s"upsert requires a PRIMARY KEY on $name"))
     val batch = applyDefaults(rows.select(cur.columns.map(col).toSeq: _*), cs).cache()
+    try {
     val nBatch = batch.count()
     val nDistinctPk = batch.select(pk.map(col): _*).distinct().count()
     require(nDistinctPk == nBatch,
@@ -221,8 +222,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val nMatched = batch.join(cur.select(pk.map(col): _*), pk, "left_semi").count()
     val inserted = batch.join(cur.select(pk.map(col): _*), pk, "left_anti")
     publish(name, updated.unionByName(inserted))
-    batch.unpersist()
     (nMatched, nBatch - nMatched)
+    } finally batch.unpersist() // also on require/publish failure
   }
 
   /** Apply all SET clauses in ONE projection so every RHS observes the

@@ -77,4 +77,50 @@ class DataSkippingSpec extends SparkSpec {
     val (_, rep) = st.scanSkipping("t", Seq(ColumnRange("id", Some(1L), Some(1L))))
     rep.filesRead shouldBe rep.filesTotal
   }
+
+  test("unnormalizable bounds keep files that HAVE stats on the column") {
+    val st = freshStore()
+    st.create("t", Seq((1L, java.sql.Date.valueOf("2021-06-01")),
+      (2L, java.sql.Date.valueOf("2022-06-01"))).toDF("id", "d"))
+    // java.time.LocalDate is valid for lit() and the exact predicate but
+    // not a type norm() understands; the documented contract is "unknown
+    // answers yes" — a present-but-unnormalizable bound must behave like
+    // no bound, not like an always-false one that skips every file
+    val (scan, rep) = st.scanSkipping("t",
+      Seq(ColumnRange("d", Some(java.time.LocalDate.of(2022, 1, 1)), None)))
+    rep.filesRead shouldBe rep.filesTotal
+    // the exact-predicate re-filter still applies underneath
+    scan.select("id").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
+  test("NaN/Infinity double values neither break DML nor cause wrong skips") {
+    val st = freshStore()
+    val df = Seq(
+      (1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 1.5), (5L, 2.5)
+    ).toDF("id", "x").repartition(1)
+    st.create("t", df) // collectStats on ±Inf/NaN bounds must not throw
+    // the x column's bounds include non-finite values → no stats recorded,
+    // every range on x keeps the file
+    val (scan, rep) = st.scanSkipping("t", Seq(ColumnRange("x", Some(2.0), None)))
+    rep.filesRead shouldBe rep.filesTotal
+    // Spark orders NaN greater than any double, so NaN, +Inf and 2.5 all
+    // satisfy x >= 2.0 — exactly why a file with NaN must never be skipped
+    scan.count() shouldBe 3
+    // DML on the table (rewrites files, re-collects stats) must also work
+    st.update("t", col("id") === 4L, Map("x" -> lit(9.5)))
+    st.table("t").filter(col("x") === 9.5).count() shouldBe 1
+  }
+
+  test("float bounds inside the decimal-print gap do not skip matching files") {
+    val st = freshStore()
+    val f = 1.1f // binary value 1.10000002384185791015625
+    st.create("t", Seq((1L, f), (2L, 0.5f)).toDF("id", "x").repartition(1))
+    // a double bound between decimal 1.1 and the binary float: with
+    // shortest-roundtrip-string stats ("1.1") this file would be skipped
+    val lo = 1.100000001
+    val (scan, rep) = st.scanSkipping("t", Seq(ColumnRange("x", Some(lo), None)))
+    rep.filesRead shouldBe rep.filesTotal
+    scan.count() shouldBe 1 // the 1.1f row matches x >= 1.100000001
+  }
 }
