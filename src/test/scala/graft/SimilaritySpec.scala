@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Recall invariants of the multi-probe IVF gate query (q89). The corpus
+  * is structureless (within/cross-label cosine both ≈ 0), so no fixed
+  * recall threshold is meaningful — what must hold for ANY corpus:
+  * recall@5 is monotone non-decreasing in nprobe, and probing every
+  * cluster (nprobe = K) reproduces the exact baseline, recall ≡ 1.0. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q89: recall monotone in nprobe; nprobe=K reproduces the exact top-5") {
+    val rows = Similarity.q89.build(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    rows.length shouldBe 30 // 10 queries × 3 probe levels
+
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      val byNp = rs.sortBy(_._2)
+      withClue(s"query $q: ") {
+        // monotone: more probed clusters can only add candidates
+        byNp.map(_._4).toSeq.sliding(2).foreach {
+          case Seq(a, b) => a should be <= b
+          case _ => ()
+        }
+        // probing all 10 clusters IS the exact scan
+        byNp.last._2 shouldBe 10
+        byNp.last._4 shouldBe 1.0
+        byNp.last._3 shouldBe 5L
+      }
+    }
+    // recall5 is always hits/5
+    rows.foreach { case (_, _, h, r) => r shouldBe h.toDouble / 5 }
+  }
+}
