@@ -112,17 +112,21 @@ object Dedup {
   private def minhashAggs: Seq[Column] =
     (0 until NumHashes).map(i => min(expr(s"h ^ ${xorMasks(i)}L")).as(s"h$i"))
 
+  private def mhSelectSql: String = (0 until NumHashes)
+    .map(i => s"min(xor(h, ${xorMasks(i)})) AS h$i").mkString(",\n    ")
+
+  private def bandRowsSql: String = (0 until Bands).map { b =>
+    val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+    s"SELECT doc_id, $b AS band, md5($cols) AS bv FROM mh"
+  }.mkString("\n  UNION ALL\n  ")
+
   /** CTE chain computing banded-LSH verified near-dup pairs, ending in a
     * `verified(doc_a, doc_b, jaccard)` CTE — shared by the q48 oracle and
     * the q71 component oracle (so cluster edges are by construction the
     * exact pairs the LSH detector emits, on both engines). */
   private[operators] val lshPairsCtes: String = {
-    val mhSelect = (0 until NumHashes)
-      .map(i => s"min(xor(h, ${xorMasks(i)})) AS h$i").mkString(",\n    ")
-    val bandRows = (0 until Bands).map { b =>
-      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($cols) AS bv FROM mh"
-    }.mkString("\n  UNION ALL\n  ")
+    val mhSelect = mhSelectSql
+    val bandRows = bandRowsSql
     s"""sh AS (
        |    $shingleSql),
        |th AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
@@ -185,6 +189,13 @@ object Dedup {
       lshPairsMemo.values.asScala.foreach(_.remove(dir))
     }
 
+  /** (doc_id, band, bv) band keys of a signature frame carrying h0..h15. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    (0 until Bands).map { b =>
+      val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
+      sig.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
+    }.reduce(_ unionByName _)
+
   private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleDf(s, d).cache()
     val th = sh.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
@@ -193,10 +204,7 @@ object Dedup {
     val mh = th.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), minhashAggs: _*)
       .cache()
-    val bands = (0 until Bands).map { b =>
-      val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
-      mh.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
-    }.reduce(_ unionByName _)
+    val bands = bandsOf(mh)
     val cand0 = bands.toDF("doc_a", "band", "bv")
       .join(bands.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
@@ -296,5 +304,136 @@ object Dedup {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49)
+  // ---- incremental dedup against a persisted signature store (q90) ----
+
+  /** Distinct (doc_id, shingle-hash) rows of a documents frame — the
+    * hashed-universe sibling of [[shingleDf]]: incremental verification
+    * joins stored HASHES (compact, persistable) instead of raw shingle
+    * strings, and both the Spark path and the oracle work in the same
+    * hashed universe so Jaccard counts agree exactly. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("t", tokens(col("text")))
+      .withColumn("s", explode(shingles3("t")))
+      .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
+      .distinct()
+
+  /** Persist the corpus side of incremental dedup into `st`:
+    * `sig`  = (doc_id, n, h0..h15) minhash signatures;
+    * `shh`  = (doc_id, h) distinct shingle hashes (the verification set).
+    * Built ONCE per corpus; daily batches then dedupe against these
+    * parquet tables without ever re-reading corpus text. */
+  private[graft] def buildSignatureStore(st: graft.sources.TableStore,
+                                         corpus: DataFrame): Unit = {
+    val th = shingleHashes(corpus)
+    st.create("shh", th)
+    st.create("sig", th.groupBy("doc_id").agg(count(lit(1)).as("n"), minhashAggs: _*))
+  }
+
+  /** Incremental near-dup pairs (VERDICT r2 #6): dedupe `newDocs` against
+    * the persisted signature store AND within itself. The 100 TB daily
+    * shape: shingle/minhash work is proportional to the BATCH, the corpus
+    * contributes parquet scans of its stored signatures and shingle
+    * hashes; corpus text is never touched (the function does not even
+    * receive it). Candidates come from the same 4×4 banding as q48 —
+    * every band join is an equi-join on (band, bv) — with the new side
+    * always the batch, then size-ratio pruning and exact hashed-Jaccard
+    * verification at ≥ 0.8. Corpus↔corpus pairs are excluded by
+    * construction (the stored corpus is already deduplicated). */
+  private[graft] def incrementalLshPairs(s: SparkSession,
+                                         store: graft.sources.TableStore,
+                                         newDocs: DataFrame): DataFrame = {
+    val newTh = shingleHashes(newDocs)
+    val newSig = newTh.groupBy("doc_id").agg(count(lit(1)).as("n"), minhashAggs: _*)
+    val allSig = store.table("sig").unionByName(newSig)
+    // batch bands join ALL bands (stored ∪ batch): each candidate pair has
+    // ≥ 1 batch endpoint; least/greatest normalizes new-new double hits
+    val cand0 = bandsOf(allSig).toDF("da", "band", "bv")
+      .join(bandsOf(newSig).toDF("db", "band", "bv"), Seq("band", "bv"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+    val sizes = allSig.select("doc_id", "n")
+    val cand = cand0
+      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
+      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
+      .select("doc_a", "doc_b")
+    // verification set = stored corpus hashes ∪ batch hashes; the join
+    // against candidates touches only candidate docs' rows
+    val allTh = store.table("shh").unionByName(newTh)
+    val inter = cand
+      .join(allTh.toDF("doc_a", "h"), Seq("doc_a"))
+      .join(allTh.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("na") + col("nb") - col("i")).cast("double")
+    inter
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  // weak session keys for the same reason as lshPairsMemo: a stopped
+  // session must stay collectible. The store itself lives in a temp dir.
+  private val sigStoreMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, graft.sources.TableStore]]()
+
+  private def corpusStore(s: SparkSession, d: String): graft.sources.TableStore =
+    sigStoreMemo.synchronized {
+      val perDir = {
+        val cur = sigStoreMemo.get(s)
+        if (cur != null) cur
+        else { val m = scala.collection.mutable.Map[String, graft.sources.TableStore]();
+               sigStoreMemo.put(s, m); m }
+      }
+      perDir.getOrElseUpdate(d, {
+        val st = new graft.sources.TableStore(s,
+          java.nio.file.Files.createTempDirectory("graft-sigstore").toString)
+        buildSignatureStore(st, Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
+        st
+      })
+    }
+
+  /** Incremental dedup gate: corpus = doc_id % 5 ≠ 0 (signatures persisted
+    * once), batch = doc_id % 5 = 0 (the "daily delta"). The oracle
+    * recomputes everything monolithically — semantics, not architecture —
+    * and restricts to pairs touching the batch; the Spark side runs the
+    * true delta flow against the stored tables. IncrementalDedupSpec
+    * proves the corpus text is not consulted at query time. */
+  val q90 = QueryDef(
+    "q90_incremental_dedup",
+    s"""WITH sh AS (
+       |    $shingleSql),
+       |th AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+       |mh AS (SELECT doc_id, COUNT(*) AS n,
+       |    $mhSelectSql
+       |  FROM th GROUP BY doc_id),
+       |bands AS (
+       |  $bandRowsSql),
+       |cand0 AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |         greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |                           AND a.doc_id <> b.doc_id
+       |  WHERE b.doc_id % 5 = 0),
+       |sizes AS (SELECT doc_id, n FROM mh),
+       |cand AS (SELECT doc_a, doc_b FROM cand0
+       |         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |         WHERE least(sa.n, sb.n) * 5 >= greatest(sa.n, sb.n) * 4),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |          FROM cand c JOIN th x ON x.doc_id = c.doc_a
+       |                      JOIN th y ON y.doc_id = c.doc_b AND y.h = x.h
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    incrementalLshPairs(s, corpusStore(s, d), batch).orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Dedup
+import graft.sources.TableStore
+
+/** Incremental dedup (VERDICT r2 #6): a new batch dedupes against a
+  * PERSISTED signature store — corpus text must not be consulted at
+  * query time, and the delta result must agree with the monolithic
+  * LSH detector on the same universe. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def mkDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("batch near-dups are found against stored signatures and within the batch") {
+    val st = new TableStore(spark, Files.createTempDirectory("graft-sig").toString)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = mkDocs(Seq(
+      1L -> base,
+      2L -> "completely unrelated text about distributed query engines and shuffles here",
+      3L -> "yet another document with no resemblance to anything else written so far"))
+    Dedup.buildSignatureStore(st, corpus)
+
+    val batch = mkDocs(Seq(
+      10L -> base, // exact dup of stored doc 1
+      11L -> "fresh content that matches nothing in the corpus or in this batch",
+      12L -> "brand new shared sentence repeated verbatim in one more batch document",
+      13L -> "brand new shared sentence repeated verbatim in one more batch document"))
+    val pairs = Dedup.incrementalLshPairs(spark, st, batch)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    pairs.map(p => (p._1, p._2)).toSeq shouldBe Seq((1L, 10L), (12L, 13L))
+    pairs.foreach(_._3 shouldBe 1.0) // exact dups: hashed Jaccard 1.0
+  }
+
+  test("the delta plan scans only the signature store, never corpus text") {
+    val st = new TableStore(spark, Files.createTempDirectory("graft-sig2").toString)
+    Dedup.buildSignatureStore(st, mkDocs(Seq(1L -> "alpha beta gamma delta epsilon zeta")))
+    val batch = mkDocs(Seq(10L -> "alpha beta gamma delta epsilon zeta"))
+    val result = Dedup.incrementalLshPairs(spark, st, batch)
+    result.collect() // materialize so AQE finalizes the plan
+    val plan = result.queryExecution.executedPlan.toString
+    // all file locations in the final plan must live under the store root:
+    // no path back to corpus documents (which never even existed as files)
+    val locs = "file:[^\\]\\s,]*".r.findAllIn(plan).toSeq.filterNot(_.isEmpty)
+    locs should not be empty // stored sig + shh parquet are really read
+    locs.foreach(_ should include("graft-sig2"))
+  }
+
+  test("q90 delta pairs equal the monolithic LSH pairs restricted to the batch") {
+    val delta = Dedup.q90.build(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mono = Dedup.q48.build(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0).toSet
+    delta shouldBe mono
+  }
+}
