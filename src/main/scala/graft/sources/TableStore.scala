@@ -46,10 +46,69 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = currentVersion(name) + 1
     df.write.mode("overwrite").parquet(dataPath(name, v))
     collectStats(name, v)
+    carryBatchLedger(name, v)
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ------------------------------------------------------------------
+  // Exactly-once streaming sink support: a per-version sidecar ledger of
+  // committed foreachBatch epoch ids. The ledger is written BEFORE the
+  // version-pointer flip, so "batch data visible" and "batch id
+  // committed" become true atomically — a replayed epoch after a crash
+  // either sees neither (and re-runs) or both (and no-ops), never a
+  // duplicate. Every other mutation carries the current ledger forward
+  // so interleaved DML cannot resurrect a committed batch.
+  // ------------------------------------------------------------------
+
+  private def batchesFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.batches")
+
+  private def committedBatches(name: String, v: Int): Set[Long] =
+    if (v < 0) Set.empty
+    else {
+      val p = batchesFile(name, v)
+      if (!Files.exists(p)) Set.empty
+      else new String(Files.readAllBytes(p)).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+    }
+
+  private def writeBatches(name: String, v: Int, ids: Set[Long]): Unit =
+    Files.write(batchesFile(name, v), ids.toSeq.sorted.mkString("\n").getBytes)
+
+  private def carryBatchLedger(name: String, newV: Int): Unit =
+    if (!Files.exists(batchesFile(name, newV))) {
+      val prev = committedBatches(name, newV - 1)
+      if (prev.nonEmpty) writeBatches(name, newV, prev)
+    }
+
+  /** Exactly-once streaming append (the foreachBatch sink): commit `rows`
+    * under `batchId` atomically with the version flip; a replayed epoch
+    * (same batchId, e.g. after a restart from checkpoint) is a no-op.
+    * Returns whether the batch was applied. O(batch): the new version dir
+    * holds only the batch's files, prior data is reused via manifest
+    * entries — the shape a continuous ingest needs (compaction = vacuum
+    * after a full rewrite by any other DML). */
+  def appendBatch(name: String, batchId: Long, rows: DataFrame): Boolean = {
+    val v0 = currentVersion(name)
+    require(v0 >= 0, s"no such table: $name")
+    val done = committedBatches(name, v0)
+    if (done.contains(batchId)) return false
+    val v = v0 + 1
+    val cur = table(name)
+    rows.select(cur.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(dataPath(name, v))
+    val prevEntries = readManifest(name, v0) match {
+      case Some(m) =>
+        require(m.partCol.isEmpty,
+          s"appendBatch supports unpartitioned tables; $name is partitioned on ${m.partCol}")
+        m.entries
+      case None => Seq("." -> s"v$v0")
+    }
+    collectStats(name, v)
+    writeBatches(name, v, done + batchId)
+    writeManifestAndFlip(name, v, Manifest("", prevEntries :+ ("." -> s"v$v")))
+    true
   }
 
   // ------------------------------------------------------------------
@@ -341,6 +400,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val body = (s"#partcol=${m.partCol}" +: m.entries.map { case (s, vd) => s"$s\t$vd" })
       .mkString("\n")
     Files.write(manifestFile(name, v), body.getBytes)
+    carryBatchLedger(name, v)
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
@@ -406,8 +466,9 @@ final class TableStore(spark: SparkSession, root: String) {
                            guard: Manifest => Unit = _ => ())
                           (rewrite: DataFrame => DataFrame): Seq[String] = {
     val v = currentVersion(name)
-    val m = readManifest(name, v).getOrElse(
-      throw new IllegalArgumentException(s"$name is not a partitioned table"))
+    val m = readManifest(name, v)
+      .filter(_.partCol.nonEmpty) // append manifests carry no partition col
+      .getOrElse(throw new IllegalArgumentException(s"$name is not a partitioned table"))
     guard(m)
     // which partitions hold matching rows? parquet partition pruning makes
     // this scan cheap when pred constrains the partition column
@@ -491,6 +552,7 @@ final class TableStore(spark: SparkSession, root: String) {
             case _ => ()
           }
           Files.deleteIfExists(manifestFile(name, old))
+          Files.deleteIfExists(batchesFile(name, old))
         }
         // live bytes: sum exactly the manifest's entries, not whole dirs
         val bytes = m.entries.map { case (sub, vd) =>
@@ -507,6 +569,7 @@ final class TableStore(spark: SparkSession, root: String) {
           // leaves superseded manifests behind — clear those too
           Files.deleteIfExists(manifestFile(name, old))
           Files.deleteIfExists(statsFile(name, old))
+          Files.deleteIfExists(batchesFile(name, old))
         }
         TableStore.TableStats(table(name).count(), bytes, v)
     }

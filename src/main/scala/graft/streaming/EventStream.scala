@@ -87,6 +87,18 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once `foreachBatch` sink into the versioned table store
+    * (VERDICT r2 #8): Structured Streaming guarantees at-least-once
+    * foreachBatch invocation with a monotone epoch id; the store's
+    * [[graft.sources.TableStore.appendBatch]] makes the append idempotent
+    * on that id (ledger committed atomically with the version pointer), so
+    * the composition is exactly-once — a restart from checkpoint that
+    * replays the last epoch finds its id already committed and no-ops.
+    * Wire as `ds.writeStream.foreachBatch(exactlyOnceSink(store, "t"))`. */
+  def exactlyOnceSink(store: graft.sources.TableStore,
+                      table: String): (DataFrame, Long) => Unit =
+    (batch, epochId) => { store.appendBatch(table, epochId, batch); () }
+
   final case class Threshold(user_id: Long, threshold: Double, at_ts: Long)
 
   /** `flatMapGroupsWithState`: emit 0..n records per group per batch — an
