@@ -7,13 +7,15 @@ import graft.core.{QueryDef, Tables}
 
 /** Multimodal columns: media as opaque `binary` + typed metadata struct.
   *
-  * Image decode is REAL: [[ImageCodec]] encodes/decodes actual PNG bytes
-  * through `javax.imageio` (ships with the JDK — no external codec needed)
-  * and is gate-checked end-to-end by q73, whose DuckDB oracle recomputes
-  * the expected channel statistics arithmetically from the deterministic
-  * pixel pattern. Only formats the JVM lacks (video/audio) keep the
-  * clearly-marked deterministic fake ([[FakeCodec]]) for the batch/stride
-  * plumbing; a real deployment swaps ONLY that object.
+  * All three modalities decode REAL container formats through JDK codecs,
+  * each gate-checked end-to-end by a DuckDB oracle that recomputes the
+  * decoded statistics arithmetically from a closed-form signal:
+  * [[ImageCodec]] = PNG via `javax.imageio` (q73), [[AudioCodec]] = WAV
+  * via `javax.sound.sampled` (q88), [[VideoCodec]] = animated GIF
+  * (multi-frame encode/decode + frame sampling) via `javax.imageio`
+  * (q91). [[FakeCodec]] remains only as a codec-independent byte-feature
+  * kernel exercising the batch/stride plumbing in isolation; no modality
+  * depends on it.
   *
   * Scale: decode runs via `mapPartitions` (one codec context per
   * partition, streaming iterator — never materializes a partition), the
@@ -30,11 +32,12 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, out_width: Int, out_height: Int,
                                  n_bytes: Int, features: Array[Float])
 
-  /** STUB codec — deterministic fake, now standing in for VIDEO only
-    * (images decode through [[ImageCodec]], audio through [[AudioCodec]];
-    * the JDK has no video decoder). Derives a 16-dim "feature vector" from
-    * a byte histogram so tests have stable expected values. A real
-    * deployment replaces ONLY this object. */
+  /** Codec-INDEPENDENT byte-feature kernel (deterministic, clearly not a
+    * media decoder): derives a 16-dim "feature vector" from a byte
+    * histogram so the mapPartitions batch/stride plumbing can be tested
+    * in isolation from any container format. Every actual modality has a
+    * real codec ([[ImageCodec]]/[[AudioCodec]]/[[VideoCodec]]); nothing
+    * stands in for a missing one anymore. */
   object FakeCodec {
     val FeatureDim = 16
 
@@ -176,6 +179,92 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec over animated GIF — a genuine multi-frame container
+    * the JDK can both write (`ImageWriter.writeToSequence`) and read
+    * (`ImageReader.read(frameIndex)`), making video the third REAL
+    * modality after PNG (q73) and WAV (q88). Frames are 8-bit grayscale
+    * under an explicit 256-entry gray palette, so encode→decode is
+    * lossless; decoded values are read through `getRGB` (palette-resolved
+    * color, immune to any index permutation an encoder might apply). The
+    * per-pixel pattern is closed-form, so the q91 oracle recomputes the
+    * sampled-frame statistics purely arithmetically. */
+  object VideoCodec {
+
+    /** Deterministic gray level of pixel (x, y) in frame f of clip `id` —
+      * mirrored by the q91 oracle in SQL. */
+    @inline def gray(id: Long, f: Int, x: Int, y: Int): Int =
+      ((x + 2L * y + 3L * f + id) % 256).toInt
+
+    private def grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Render nFrames gradient frames and encode a REAL animated GIF. */
+    def encodeGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, gray(id, f, x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    final case class FrameStat(frameIdx: Int, width: Int, height: Int, graySum: Long)
+
+    /** Decode the container and keep every `stride`-th frame — the frame
+      * sampling step of a video feature pipeline, on real decoded frames. */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[FrameStat] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).filter(_ % stride == 0).map { f =>
+          val img = reader.read(f)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff // gray via palette
+              x += 1
+            }
+            y += 1
+          }
+          FrameStat(f, img.getWidth, img.getHeight, sum)
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    /** Total frame count without decoding pixel data. */
+    def frameCount(bytes: Array[Byte]): Int = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try { reader.setInput(iis); reader.getNumImages(true) }
+      finally { reader.dispose(); iis.close() }
+    }
+  }
+
   /** Partition-parallel decode: one kernel init per partition, streaming
     * iterator in and out (the mapInPandas batch shape, Scala-native). */
   def decodeAll(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaFeatures] = {
@@ -297,5 +386,52 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q53, q73, q88)
+  /** Gate query for the REAL video codec: synthesize a deterministic
+    * grayscale clip per document, encode a REAL animated GIF, decode it
+    * back frame by frame through `javax.imageio`, SAMPLE every 2nd frame,
+    * and emit exact sampled statistics. The oracle recomputes them
+    * arithmetically from the closed-form pattern — a mis-decoded frame,
+    * wrong frame count, or broken sampling fails the hash. Decode runs in
+    * `mapPartitions` (one reader per row, one codec context per
+    * partition), no shuffle. */
+  val q91 = QueryDef(
+    "q91_video_frame_sample",
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id % 12 + 6 AS INT) AS w,
+      |         CAST(doc_id % 10 + 6 AS INT) AS h, CAST(doc_id % 6 + 3 AS INT) AS nf
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, w, h, nf,
+      |    SUM((x + 2*y + 3*f + media_id) % 256) AS gs
+      |  FROM dims, range(0, 9) rf(f), range(0, 18) rx(x), range(0, 16) ry(y)
+      |  WHERE f < nf AND f % 2 = 0 AND x < w AND y < h
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT media_id, nf AS n_frames, CAST((nf + 1) // 2 AS INT) AS n_sampled,
+      |  w AS width, h AS height,
+      |  CAST(gs AS BIGINT) AS gray_sum,
+      |  CAST(gs AS DOUBLE) / ((nf + 1) // 2 * w * h) AS mean_gray
+      |FROM px ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dims = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("media_id"),
+        (col("doc_id") % 12 + 6).cast("int").as("w"),
+        (col("doc_id") % 10 + 6).cast("int").as("h"),
+        (col("doc_id") % 6 + 3).cast("int").as("nf"))
+      .as[(Long, Int, Int, Int)]
+    dims.mapPartitions { it =>
+      it.map { case (id, w, h, nf) =>
+        val bytes = VideoCodec.encodeGif(id, w, h, nf)
+        val frames = VideoCodec.sampleFrames(bytes, stride = 2)
+        (id, VideoCodec.frameCount(bytes), frames.size,
+          frames.head.width, frames.head.height, frames.map(_.graySum).sum)
+      }
+    }.toDF("media_id", "n_frames", "n_sampled", "width", "height", "gray_sum")
+      .select(col("media_id"), col("n_frames"), col("n_sampled"),
+        col("width"), col("height"), col("gray_sum"),
+        (col("gray_sum").cast("double") /
+          (col("n_sampled") * col("width") * col("height"))).as("mean_gray"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q53, q73, q88, q91)
 }

@@ -70,6 +70,24 @@ class MultimodalSpec extends SparkSpec {
     (img.getWidth, img.getHeight) shouldBe ((224, 224))
   }
 
+  test("real animated-GIF video codec round-trips every frame pixel exactly") {
+    import Multimodal.VideoCodec
+    val (id, w, h, nf) = (17L, 11, 9, 5)
+    val bytes = VideoCodec.encodeGif(id, w, h, nf)
+    VideoCodec.frameCount(bytes) shouldBe nf
+    // stride 1 = full decode: every frame, every pixel, bit-exact
+    val full = VideoCodec.sampleFrames(bytes, stride = 1)
+    full.map(_.frameIdx) shouldBe (0 until nf)
+    full.foreach { fr =>
+      (fr.width, fr.height) shouldBe ((w, h))
+      val exp = (for (y <- 0 until h; x <- 0 until w)
+        yield VideoCodec.gray(id, fr.frameIdx, x, y).toLong).sum
+      fr.graySum shouldBe exp
+    }
+    // stride 2 = frame sampling keeps exactly frames 0, 2, 4
+    VideoCodec.sampleFrames(bytes, stride = 2).map(_.frameIdx) shouldBe Seq(0, 2, 4)
+  }
+
   test("media table derives deterministically from documents") {
     val m = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     m.count() shouldBe 500
