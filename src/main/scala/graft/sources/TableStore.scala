@@ -76,11 +76,24 @@ final class TableStore(spark: SparkSession, root: String) {
   private def writeBatches(name: String, v: Int, ids: Set[Long]): Unit =
     Files.write(batchesFile(name, v), ids.toSeq.sorted.mkString("\n").getBytes)
 
-  private def carryBatchLedger(name: String, newV: Int): Unit =
-    if (!Files.exists(batchesFile(name, newV))) {
-      val prev = committedBatches(name, newV - 1)
-      if (prev.nonEmpty) writeBatches(name, newV, prev)
-    }
+  /** Epoch id being committed by the in-flight mutation, if any. The store
+    * is single-writer (like the version pointer itself), so a plain field
+    * suffices; it is only ever set around an appendBatch/upsertBatch. */
+  private var pendingBatch: Option[Long] = None
+
+  /** Every version flip re-writes the ledger as (previous ledger ∪ the
+    * in-flight epoch id) — called from both publish paths BEFORE the
+    * pointer flip, so ledger and data become visible atomically and
+    * ordinary DML (pendingBatch = None) carries the ledger forward. */
+  private def carryBatchLedger(name: String, newV: Int): Unit = {
+    val ids = committedBatches(name, newV - 1) ++ pendingBatch
+    if (ids.nonEmpty) writeBatches(name, newV, ids)
+  }
+
+  private def withBatch[A](batchId: Long)(body: => A): A = {
+    pendingBatch = Some(batchId)
+    try body finally pendingBatch = None
+  }
 
   /** Exactly-once streaming append (the foreachBatch sink): commit `rows`
     * under `batchId` atomically with the version flip; a replayed epoch
@@ -92,8 +105,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def appendBatch(name: String, batchId: Long, rows: DataFrame): Boolean = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
-    val done = committedBatches(name, v0)
-    if (done.contains(batchId)) return false
+    if (committedBatches(name, v0).contains(batchId)) return false
     val v = v0 + 1
     val cur = table(name)
     rows.select(cur.columns.map(col).toSeq: _*)
@@ -106,9 +118,33 @@ final class TableStore(spark: SparkSession, root: String) {
       case None => Seq("." -> s"v$v0")
     }
     collectStats(name, v)
-    writeBatches(name, v, done + batchId)
-    writeManifestAndFlip(name, v, Manifest("", prevEntries :+ ("." -> s"v$v")))
+    withBatch(batchId) {
+      writeManifestAndFlip(name, v, Manifest("", prevEntries :+ ("." -> s"v$v")))
+    }
     true
+  }
+
+  /** Compact an append chain: rewrite the current snapshot as ONE plain
+    * version (collapsing the manifest's many small per-epoch files into
+    * few large ones), then vacuum the superseded directories. The batch
+    * ledger survives (publish carries it), so replayed epochs still no-op
+    * after compaction. Run periodically under any continuous ingest. */
+  def compact(name: String): TableStore.TableStats = {
+    publish(name, table(name))
+    analyze(name)
+  }
+
+  /** Exactly-once streaming UPSERT (the update-mode aggregation sink):
+    * each epoch's changed aggregate rows MERGE into the table by primary
+    * key, idempotent on the epoch id exactly like [[appendBatch]]. A
+    * replayed epoch no-ops even though a re-applied upsert would be
+    * value-idempotent anyway — the ledger also shields against an epoch
+    * whose recomputed aggregates could differ after a lossy source replay. */
+  def upsertBatch(name: String, batchId: Long, rows: DataFrame): (Long, Long) = {
+    val v0 = currentVersion(name)
+    require(v0 >= 0, s"no such table: $name")
+    if (committedBatches(name, v0).contains(batchId)) return (0L, 0L)
+    withBatch(batchId) { upsert(name, rows) }
   }
 
   // ------------------------------------------------------------------

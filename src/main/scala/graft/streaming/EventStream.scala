@@ -99,6 +99,15 @@ object EventStream {
                       table: String): (DataFrame, Long) => Unit =
     (batch, epochId) => { store.appendBatch(table, epochId, batch); () }
 
+  /** Exactly-once UPDATE-MODE sink: a streaming aggregation emits changed
+    * aggregate rows per epoch; MERGE them into the store by primary key
+    * (the table must carry one), idempotent on the epoch id. Wire as
+    * `agg.writeStream.outputMode("update")
+    *     .foreachBatch(exactlyOnceUpsertSink(store, "t"))`. */
+  def exactlyOnceUpsertSink(store: graft.sources.TableStore,
+                            table: String): (DataFrame, Long) => Unit =
+    (batch, epochId) => { store.upsertBatch(table, epochId, batch); () }
+
   final case class Threshold(user_id: Long, threshold: Double, at_ts: Long)
 
   /** `flatMapGroupsWithState`: emit 0..n records per group per batch — an

@@ -48,6 +48,58 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     st.table("t").count() shouldBe 2
   }
 
+  test("compact collapses an append chain and keeps the epoch ledger") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "s"))
+    (0L until 4L).foreach { e =>
+      st.appendBatch("t", e, Seq((10L + e, s"b$e")).toDF("id", "s")) shouldBe true
+    }
+    st.compact("t")
+    st.table("t").count() shouldBe 5
+    // one live version dir remains after the rewrite + vacuum
+    val dirs = new java.io.File(s"${st.rootDir}/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    dirs.length shouldBe 1
+    // replayed epochs still no-op post-compaction
+    st.appendBatch("t", 2L, Seq((12L, "b2")).toDF("id", "s")) shouldBe false
+    st.table("t").count() shouldBe 5
+  }
+
+  test("update-mode aggregation streams through exactlyOnceUpsertSink") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.constraints.Constraints._
+    val st = freshStore()
+    st.create("agg",
+      Seq.empty[(Timestamp, String, Long, Double)]
+        .toDF("hour_start", "event_type", "n_events", "value_sum"),
+      Seq(PrimaryKey(Seq("hour_start", "event_type"))))
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val ckpt = Files.createTempDirectory("graft-eos-agg-ckpt").toString
+    val q = EventStream.hourlyRollup(events).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(EventStream.exactlyOnceUpsertSink(st, "agg"))
+      .start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      // same window again: the changed aggregate row must REPLACE, not append
+      input.addData((Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0))
+      q.processAllAvailable()
+      val rows = st.table("agg").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      rows.toSeq shouldBe Seq(("2024-01-01 10:00:00.0", "click", 2L, 3.0))
+      // replayed epoch: upsert must no-op on the committed id
+      val lastEpoch = q.lastProgress.batchId
+      st.upsertBatch("agg", lastEpoch,
+        Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 99L, 99.0))
+          .toDF("hour_start", "event_type", "n_events", "value_sum")) shouldBe ((0L, 0L))
+      st.table("agg").collect().map(_.getLong(2)).toSeq shouldBe Seq(2L)
+    } finally q.stop()
+  }
+
   test("a real stream through exactlyOnceSink lands each epoch exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val st = freshStore()
