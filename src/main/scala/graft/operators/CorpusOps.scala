@@ -249,5 +249,36 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84)
+  /** Sequence packing (q92): assign documents to fixed-token-budget packs
+    * per language — the "fill each 2048-token context window" step between
+    * curation and tokenization in a training pipeline. Deterministic
+    * contiguous packing: docs in doc_id order, pack boundary every time
+    * the EXCLUSIVE prefix token sum crosses a budget multiple. One
+    * partitioned running-sum window (state per language, never a global
+    * sort), then pure expression work — linear at any corpus size. */
+  val q92 = QueryDef(
+    "q92_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prior
+      |  FROM t)
+      |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(prior // 2048 AS BIGINT) AS pack_id
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("prior") / 2048).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92)
 }

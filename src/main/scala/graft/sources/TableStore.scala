@@ -461,6 +461,22 @@ final class TableStore(spark: SparkSession, root: String) {
           .parquet(es.map { case (sub, _) => s"$root/$name/$vd/$sub" }: _*)
     }.reduce(_ unionByName _)
 
+  /** CREATE TABLE … CLUSTERED BY (cols): range-repartition into `files`
+    * files and sort within each — the write-side half of file-level data
+    * skipping. Clustering gives files DISJOINT min/max ranges on the
+    * cluster columns, so scanSkipping's footer stats eliminate all but
+    * the overlapping files for a selective predicate; on an unclustered
+    * write the same stats overlap everywhere and skip nothing. (The
+    * Delta/Iceberg OPTIMIZE ... ZORDER idea, single-dimension form.) */
+  def createClustered(name: String, df: DataFrame, clusterCols: Seq[String],
+                      files: Int, constraints: Seq[Constraint] = Nil): Unit = {
+    require(clusterCols.nonEmpty && files > 0)
+    create(name,
+      df.repartitionByRange(files, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*),
+      constraints)
+  }
+
   /** CREATE TABLE … PARTITIONED BY (partCol). */
   def createPartitioned(name: String, df: DataFrame, partCol: String,
                         constraints: Seq[Constraint] = Nil): Unit = {

@@ -78,6 +78,27 @@ class DataSkippingSpec extends SparkSpec {
     rep.filesRead shouldBe rep.filesTotal
   }
 
+  test("clustered write makes skipping effective; unclustered stats overlap everywhere") {
+    val st = freshStore()
+    // deterministic interleaved order: every file of a naive write holds
+    // the full id range, so its min/max prune nothing
+    val df = spark.range(0, 8000).toDF("seq")
+      .withColumn("id", (col("seq") * 2654435761L) % 8000)
+      .drop("seq")
+    st.create("messy", df.repartition(8))
+    st.createClustered("clustered", df, Seq("id"), files = 8)
+
+    val r = Seq(ColumnRange("id", Some(1000L), Some(1999L)))
+    val (_, repMessy) = st.scanSkipping("messy", r)
+    val (scan, repClus) = st.scanSkipping("clustered", r)
+    repMessy.filesRead shouldBe repMessy.filesTotal // overlapping stats: no skip
+    repClus.filesTotal shouldBe 8
+    // range boundaries are sampled, so the 1/8-range query may straddle a
+    // couple of them — but never the whole table
+    repClus.filesRead should be <= 3
+    scan.count() shouldBe 1000 // and still exactly the right rows
+  }
+
   test("unnormalizable bounds keep files that HAVE stats on the column") {
     val st = freshStore()
     st.create("t", Seq((1L, java.sql.Date.valueOf("2021-06-01")),

@@ -94,6 +94,25 @@ class PlanSpec extends SparkSpec {
     p76 should include("BroadcastHashJoin") // K·Dim centroid table broadcasts
   }
 
+  test("q90: incremental dedup plans banded equi-joins, no nested loop") {
+    val plan = planOf(Dedup.q90.build(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q89: candidate scoring is hash-joined; only the 3-row probe-level fan-out crosses") {
+    val plan = planOf(graft.operators.Similarity.q89.build(spark, sf))
+    plan should not include "CartesianProduct"
+    // the ONLY nested loops are deliberate crossJoins against the 3-row
+    // nprobe-level literal frame; any conditioned nested loop would mean
+    // a candidate join fell off the hash path
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).foreach { line =>
+      line should include("Cross")
+    }
+    plan should include("BroadcastHashJoin")
+  }
+
   test("q82: binned range join is an equi-join, never a nested loop") {
     val plan = planOf(graft.operators.AsofJoin.q82.build(spark, sf))
     plan should not include "BroadcastNestedLoopJoin"
