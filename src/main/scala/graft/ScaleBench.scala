@@ -89,7 +89,8 @@ object ScaleBench {
     "q01_pricing_summary", "q10_revenue_by_nation", "q46_dedup_exact",
     "q48_minhash_lsh", "q71_neardup_components", "q75_curation_pipeline",
     "q50_cosine_topk", "q69_topk_aggregator", "q76_kmeans_ivf_train",
-    "q58_salted_skew_agg")
+    "q58_salted_skew_agg", "q89_ivf_multiprobe_recall",
+    "q90_incremental_dedup", "q91_video_frame_sample", "q92_sequence_packing")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
