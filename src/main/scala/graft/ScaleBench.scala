@@ -41,8 +41,12 @@ object ScaleBench {
   }
 
   private def buildReplica(spark: SparkSession, base: String, out: String): Unit = {
-    val ready = new java.io.File(s"$out/_READY")
-    if (ready.exists()) return
+    // the marker records WHICH base built the replica: reusing a replica
+    // derived from a different base would silently produce bogus ratios
+    val ready = java.nio.file.Paths.get(s"$out/_READY")
+    val stamp = s"base=$base replicas=$Replicas"
+    if (java.nio.file.Files.exists(ready) &&
+        new String(java.nio.file.Files.readAllBytes(ready)) == stamp) return
     def reps(f: Int => DataFrame): DataFrame =
       (0 until Replicas).map(f).reduce(_ unionByName _)
     def write(name: String, df: DataFrame): Unit =
@@ -77,7 +81,7 @@ object ScaleBench {
     Seq("nation", "region", "supplier", "part").foreach { t =>
       write(t, spark.read.parquet(s"$base/$t.parquet"))
     }
-    ready.createNewFile()
+    java.nio.file.Files.write(ready, stamp.getBytes)
     ()
   }
 

@@ -353,10 +353,14 @@ object Dedup {
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
       .distinct()
+    // NO broadcast hint here, unlike the monolithic q48: `sizes` spans the
+    // whole stored corpus (one row per document), which at the function's
+    // stated scale must never be collected to the driver — the joins are
+    // candidate-bounded equi-joins; AQE may still broadcast when small
     val sizes = allSig.select("doc_id", "n")
     val cand = cand0
-      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
-      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
       .select("doc_a", "doc_b")
     // verification set = stored corpus hashes ∪ batch hashes; the join
@@ -376,24 +380,28 @@ object Dedup {
   }
 
   // weak session keys for the same reason as lshPairsMemo: a stopped
-  // session must stay collectible. The store itself lives in a temp dir.
+  // session must stay collectible. The memo value is the store's ROOT PATH
+  // (a String), NOT the TableStore — a TableStore holds its SparkSession,
+  // and a WeakHashMap whose values strongly reach their own keys never
+  // collects anything. A fresh handle over the existing directory is free.
   private val sigStoreMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, graft.sources.TableStore]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
 
   private def corpusStore(s: SparkSession, d: String): graft.sources.TableStore =
     sigStoreMemo.synchronized {
       val perDir = {
         val cur = sigStoreMemo.get(s)
         if (cur != null) cur
-        else { val m = scala.collection.mutable.Map[String, graft.sources.TableStore]();
+        else { val m = scala.collection.mutable.Map[String, String]();
                sigStoreMemo.put(s, m); m }
       }
-      perDir.getOrElseUpdate(d, {
+      val root = perDir.getOrElseUpdate(d, {
         val st = new graft.sources.TableStore(s,
           java.nio.file.Files.createTempDirectory("graft-sigstore").toString)
         buildSignatureStore(st, Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
-        st
+        st.rootDir
       })
+      new graft.sources.TableStore(s, root)
     }
 
   /** Incremental dedup gate: corpus = doc_id % 5 ≠ 0 (signatures persisted

@@ -229,16 +229,20 @@ object Multimodal {
 
     final case class FrameStat(frameIdx: Int, width: Int, height: Int, graySum: Long)
 
-    /** Decode the container and keep every `stride`-th frame — the frame
-      * sampling step of a video feature pipeline, on real decoded frames. */
-    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[FrameStat] = {
+    final case class SampledClip(nFrames: Int, frames: Seq[FrameStat])
+
+    /** ONE decoder pass: total frame count plus every `stride`-th frame's
+      * stats — the frame-sampling step of a video feature pipeline, on
+      * real decoded frames, without re-parsing the container for the
+      * count. */
+    def decodeSampled(bytes: Array[Byte], stride: Int): SampledClip = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
-        (0 until n).filter(_ % stride == 0).map { f =>
+        val frames = (0 until n).filter(_ % stride == 0).map { f =>
           val img = reader.read(f)
           var sum = 0L
           var y = 0
@@ -252,8 +256,13 @@ object Multimodal {
           }
           FrameStat(f, img.getWidth, img.getHeight, sum)
         }
+        SampledClip(n, frames)
       } finally { reader.dispose(); iis.close() }
     }
+
+    /** Every `stride`-th frame's stats (see [[decodeSampled]]). */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[FrameStat] =
+      decodeSampled(bytes, stride).frames
 
     /** Total frame count without decoding pixel data. */
     def frameCount(bytes: Array[Byte]): Int = {
@@ -421,9 +430,10 @@ object Multimodal {
     dims.mapPartitions { it =>
       it.map { case (id, w, h, nf) =>
         val bytes = VideoCodec.encodeGif(id, w, h, nf)
-        val frames = VideoCodec.sampleFrames(bytes, stride = 2)
-        (id, VideoCodec.frameCount(bytes), frames.size,
-          frames.head.width, frames.head.height, frames.map(_.graySum).sum)
+        val clip = VideoCodec.decodeSampled(bytes, stride = 2) // one parse
+        (id, clip.nFrames, clip.frames.size,
+          clip.frames.head.width, clip.frames.head.height,
+          clip.frames.map(_.graySum).sum)
       }
     }.toDF("media_id", "n_frames", "n_sampled", "width", "height", "gray_sum")
       .select(col("media_id"), col("n_frames"), col("n_sampled"),

@@ -28,15 +28,19 @@ object Windows {
 
   private[graft] def windowlessRankDesc(df: org.apache.spark.sql.DataFrame,
                                  valueCol: String, rankName: String): org.apache.spark.sql.DataFrame = {
-    // No cache(): the caller contract guarantees a tiny pre-reduced input,
-    // so recomputing the histogram for the guard count and the two join
-    // sides is cheaper than pinning a cache entry for the session lifetime.
-    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
-    val d = cnts.count()
-    require(d <= MaxRankDistinct,
-      s"windowlessRankDesc: $d distinct values of $valueCol exceed " +
-        s"$MaxRankDistinct; rank inputs must be pre-aggregated or " +
+    // Run the upstream aggregation EXACTLY ONCE: limit(max+1).collect()
+    // bounds driver memory (the guard trips before anything larger lands),
+    // and the collected histogram becomes a local relation reused by both
+    // self-join sides — no cache entry to leak, no upstream recompute.
+    val agg = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val rows = agg.limit(MaxRankDistinct.toInt + 1).collect()
+    require(rows.length <= MaxRankDistinct,
+      s"windowlessRankDesc: over $MaxRankDistinct distinct values of " +
+        s"$valueCol; rank inputs must be pre-aggregated or " +
         "pre-thresholded (the histogram self-join is O(d^2))")
+    val spark = df.sparkSession
+    val cnts = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agg.schema)
     cnts.select(col(valueCol), col("__cnt"))
       .join(broadcast(cnts.select(col(valueCol).as("__v_g"), col("__cnt").as("__cnt_g"))),
         col("__v_g") > col(valueCol), "left")

@@ -65,51 +65,59 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def batchesFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.batches")
 
-  private def committedBatches(name: String, v: Int): Set[Long] =
-    if (v < 0) Set.empty
+  /** Highest committed epoch id at version v, or None. Epoch ids are
+    * monotone per table (the Structured Streaming epoch contract, the same
+    * assumption as Delta's per-appId txn version), so ONE number is the
+    * whole ledger: `id <= max` ⇔ replayed. Constant-size forever — a set
+    * would grow one entry per micro-batch and be rewritten per commit.
+    * (Legacy multi-line ledgers read as their max.) */
+  private def committedMaxBatch(name: String, v: Int): Option[Long] =
+    if (v < 0) None
     else {
       val p = batchesFile(name, v)
-      if (!Files.exists(p)) Set.empty
-      else new String(Files.readAllBytes(p)).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+      if (!Files.exists(p)) None
+      else new String(Files.readAllBytes(p)).split("\n")
+        .filter(_.nonEmpty).map(_.toLong).maxOption
     }
 
-  private def writeBatches(name: String, v: Int, ids: Set[Long]): Unit =
-    Files.write(batchesFile(name, v), ids.toSeq.sorted.mkString("\n").getBytes)
+  private def writeBatches(name: String, v: Int, maxId: Long): Unit =
+    Files.write(batchesFile(name, v), maxId.toString.getBytes)
 
-  /** Epoch id being committed by the in-flight mutation, if any. The store
-    * is single-writer (like the version pointer itself), so a plain field
-    * suffices; it is only ever set around an appendBatch/upsertBatch. */
-  private var pendingBatch: Option[Long] = None
+  /** Epoch id being committed by the CURRENT THREAD's in-flight mutation.
+    * Thread-local so concurrent foreachBatch callbacks of different
+    * streams (different tables, different query-execution threads) can
+    * never record each other's epoch ids. Writers to the SAME table must
+    * still be single — that is the version pointer's own contract. */
+  private val pendingBatch = new ThreadLocal[Option[Long]] {
+    override def initialValue(): Option[Long] = None
+  }
 
-  /** Every version flip re-writes the ledger as (previous ledger ∪ the
-    * in-flight epoch id) — called from both publish paths BEFORE the
-    * pointer flip, so ledger and data become visible atomically and
-    * ordinary DML (pendingBatch = None) carries the ledger forward. */
+  /** Every version flip re-writes the ledger as max(previous, in-flight
+    * epoch id) — called from both publish paths BEFORE the pointer flip,
+    * so ledger and data become visible atomically and ordinary DML
+    * (no pending id) carries the ledger forward. */
   private def carryBatchLedger(name: String, newV: Int): Unit = {
-    val ids = committedBatches(name, newV - 1) ++ pendingBatch
-    if (ids.nonEmpty) writeBatches(name, newV, ids)
+    val ids = committedMaxBatch(name, newV - 1).toSeq ++ pendingBatch.get()
+    ids.maxOption.foreach(writeBatches(name, newV, _))
   }
 
   private def withBatch[A](batchId: Long)(body: => A): A = {
-    pendingBatch = Some(batchId)
-    try body finally pendingBatch = None
+    pendingBatch.set(Some(batchId))
+    try body finally pendingBatch.remove()
   }
 
   /** Exactly-once streaming append (the foreachBatch sink): commit `rows`
     * under `batchId` atomically with the version flip; a replayed epoch
-    * (same batchId, e.g. after a restart from checkpoint) is a no-op.
-    * Returns whether the batch was applied. O(batch): the new version dir
-    * holds only the batch's files, prior data is reused via manifest
-    * entries — the shape a continuous ingest needs (compaction = vacuum
-    * after a full rewrite by any other DML). */
+    * (batchId ≤ the committed max — Structured Streaming epoch ids are
+    * monotone, e.g. a restart from checkpoint re-offers the last id) is a
+    * no-op. Returns whether the batch was applied. O(batch): the new
+    * version dir holds only the batch's files, prior data is reused via
+    * manifest entries; [[compact]] collapses long chains. */
   def appendBatch(name: String, batchId: Long, rows: DataFrame): Boolean = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
-    if (committedBatches(name, v0).contains(batchId)) return false
-    val v = v0 + 1
-    val cur = table(name)
-    rows.select(cur.columns.map(col).toSeq: _*)
-      .write.mode("overwrite").parquet(dataPath(name, v))
+    if (committedMaxBatch(name, v0).exists(batchId <= _)) return false
+    // validate BEFORE any write so a refused call leaves no orphan v-dir
     val prevEntries = readManifest(name, v0) match {
       case Some(m) =>
         require(m.partCol.isEmpty,
@@ -117,6 +125,10 @@ final class TableStore(spark: SparkSession, root: String) {
         m.entries
       case None => Seq("." -> s"v$v0")
     }
+    val v = v0 + 1
+    val cur = table(name)
+    rows.select(cur.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(dataPath(name, v))
     collectStats(name, v)
     withBatch(batchId) {
       writeManifestAndFlip(name, v, Manifest("", prevEntries :+ ("." -> s"v$v")))
@@ -130,6 +142,13 @@ final class TableStore(spark: SparkSession, root: String) {
     * ledger survives (publish carries it), so replayed epochs still no-op
     * after compaction. Run periodically under any continuous ingest. */
   def compact(name: String): TableStore.TableStats = {
+    // compaction targets append chains; a partitioned table rewritten as a
+    // plain version would silently lose its partition layout (and with it
+    // pruned DML), so refuse rather than destroy
+    readManifest(name, currentVersion(name)).foreach { m =>
+      require(m.partCol.isEmpty,
+        s"compact supports unpartitioned tables; $name is partitioned on ${m.partCol}")
+    }
     publish(name, table(name))
     analyze(name)
   }
@@ -143,7 +162,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def upsertBatch(name: String, batchId: Long, rows: DataFrame): (Long, Long) = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
-    if (committedBatches(name, v0).contains(batchId)) return (0L, 0L)
+    if (committedMaxBatch(name, v0).exists(batchId <= _)) return (0L, 0L)
     withBatch(batchId) { upsert(name, rows) }
   }
 

@@ -63,6 +63,13 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     // replayed epochs still no-op post-compaction
     st.appendBatch("t", 2L, Seq((12L, "b2")).toDF("id", "s")) shouldBe false
     st.table("t").count() shouldBe 5
+    // compact must refuse a partitioned table rather than flatten it
+    st.createPartitioned("p", Seq((1L, "a")).toDF("id", "par"), "par")
+    an[IllegalArgumentException] should be thrownBy st.compact("p")
+    // and appendBatch's partition guard fires BEFORE any file is written
+    an[IllegalArgumentException] should be thrownBy
+      st.appendBatch("p", 0L, Seq((2L, "b")).toDF("id", "par"))
+    new java.io.File(s"${st.rootDir}/p/v1").exists() shouldBe false
   }
 
   test("update-mode aggregation streams through exactlyOnceUpsertSink") {
