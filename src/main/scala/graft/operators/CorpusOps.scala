@@ -280,5 +280,31 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92)
+  /** Deterministic corpus shuffle (q93): the global reshuffle a training
+    * run applies before sequence packing — every doc gets a shard (hash
+    * mod 8) and a position within its shard (rank by a second hash
+    * slice), reproducible across engines, runs and cluster sizes (no
+    * rand()). Scale: one hash-partitioned window per shard; the per-shard
+    * sort IS what a corpus shuffle costs, distributed over shards. */
+  val q93 = QueryDef(
+    "q93_corpus_shuffle",
+    """WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+      |SELECT doc_id,
+      |  CAST(('0x' || substr(hx, 1, 8))::BIGINT % 8 AS INT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 8
+      |    ORDER BY substr(hx, 9, 8), doc_id) AS BIGINT) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val hx = md5(col("doc_id").cast("string"))
+    val shard = (conv(substring(hx, 1, 8), 16, 10).cast("long") % 8).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(substring(hx, 9, 8), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.as("shard"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93)
 }

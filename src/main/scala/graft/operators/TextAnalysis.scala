@@ -156,5 +156,44 @@ object TextAnalysis {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80)
+  /** Vocabulary coverage / OOV rate (q94): per-document fraction of token
+    * OCCURRENCES outside the corpus's top-100 document-frequency
+    * vocabulary (the q80 ranking, deterministic (df DESC, w) tiebreak) —
+    * the tokenizer-coverage diagnostic run before committing a vocab.
+    * Scale: the vocab is a top-k (TakeOrderedAndProject) broadcast to a
+    * left join against the exploded tokens; everything else is linear
+    * expression work. */
+  val q94 = QueryDef(
+    "q94_oov_rate",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      |  FROM documents),
+      |freq AS (SELECT w, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1),
+      |vocab AS (SELECT w FROM freq ORDER BY doc_freq DESC, w LIMIT 100),
+      |per AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM tok t LEFT JOIN vocab v ON v.w = t.w
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_oov AS BIGINT) AS n_oov,
+      |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok
+      .groupBy("w").agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("w"))
+      .limit(100)
+      .select(col("w"), lit(true).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94)
 }
