@@ -88,5 +88,37 @@ object NativeOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q56, q57, q58, q69)
+  /** Salted skew JOIN (q95) — the join-side sibling of q58's salted
+    * aggregation: when one hot key would funnel a shuffle join through a
+    * single task, salt the fact side (deterministic salt from a row id)
+    * and replicate the other side once per salt value, joining on
+    * (key, salt) so each hot key spreads over `Salts` tasks. Results are
+    * provably identical to the unsalted join (the oracle IS the plain
+    * join). The replicated side carries a shuffle_hash hint — the
+    * mechanism targets the case where it is too big to broadcast, so the
+    * demonstration must not silently degrade into a broadcast join
+    * (plan-asserted). */
+  val q95 = {
+    val Salts = 8
+    QueryDef(
+      "q95_salted_skew_join",
+      """WITH tiers AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+        |SELECT t.tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM events e JOIN tiers t ON t.user_id = e.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("salt", (col("event_id") % Salts).cast("int"))
+      val tiers = ev.select(col("user_id")).distinct()
+        .withColumn("tier", col("user_id") % 5)
+        .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+      ev.join(tiers.hint("shuffle_hash"), Seq("user_id", "salt"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("value_sum"))
+        .orderBy("tier")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q56, q57, q58, q69, q95)
 }

@@ -113,6 +113,13 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("q95: salted join is a shuffled hash join on (key, salt), not broadcast") {
+    val plan = planOf(NativeOps.q95.build(spark, sf))
+    plan should include("ShuffledHashJoin")
+    plan should not include "BroadcastHashJoin"
+    plan should include("salt") // the salt is really part of the join key
+  }
+
   test("q82: binned range join is an equi-join, never a nested loop") {
     val plan = planOf(graft.operators.AsofJoin.q82.build(spark, sf))
     plan should not include "BroadcastNestedLoopJoin"
