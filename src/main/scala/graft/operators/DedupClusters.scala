@@ -72,6 +72,10 @@ object DedupClusters {
       labels = stepped.select(col("doc_id"), col("next_component").as("component"))
       rounds += 1
     }
+    // the loop ran eagerly (per-round count actions) and the final labels
+    // are localCheckpoint-materialized, so the edge cache is dead weight
+    // from here on — release it on the failure path too, not just success
+    edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connected-components label propagation did not converge after $MaxRounds rounds " +

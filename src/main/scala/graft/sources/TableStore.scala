@@ -110,9 +110,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * under `batchId` atomically with the version flip; a replayed epoch
     * (batchId ≤ the committed max — Structured Streaming epoch ids are
     * monotone, e.g. a restart from checkpoint re-offers the last id) is a
-    * no-op. Returns whether the batch was applied. O(batch): the new
-    * version dir holds only the batch's files, prior data is reused via
-    * manifest entries; [[compact]] collapses long chains. */
+    * no-op. Returns whether the batch was applied.
+    *
+    * CONTRACT (the Delta txnAppId/txnVersion semantics): batch ids must be
+    * MONOTONE per table — any id ≤ the committed max is treated as a
+    * replay and silently skipped, exactly like Delta skips a lower
+    * txnVersion. Consequences callers must own: a RESET checkpoint
+    * (epochs restart at 0) must write to a fresh table or the restarted
+    * epochs no-op until they pass the historical max, and out-of-order
+    * "backfill" ids below the max cannot be expressed through this API —
+    * use plain [[insert]] for non-epoch writes.
+    *
+    * O(batch): the new version dir holds only the batch's files, prior
+    * data is reused via manifest entries; [[compact]] collapses long
+    * chains. */
   def appendBatch(name: String, batchId: Long, rows: DataFrame): Boolean = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
@@ -155,10 +166,11 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Exactly-once streaming UPSERT (the update-mode aggregation sink):
     * each epoch's changed aggregate rows MERGE into the table by primary
-    * key, idempotent on the epoch id exactly like [[appendBatch]]. A
-    * replayed epoch no-ops even though a re-applied upsert would be
-    * value-idempotent anyway — the ledger also shields against an epoch
-    * whose recomputed aggregates could differ after a lossy source replay. */
+    * key, idempotent on the epoch id exactly like [[appendBatch]] (same
+    * monotone-id contract — see there). A replayed epoch no-ops even
+    * though a re-applied upsert would be value-idempotent anyway — the
+    * ledger also shields against an epoch whose recomputed aggregates
+    * could differ after a lossy source replay. */
   def upsertBatch(name: String, batchId: Long, rows: DataFrame): (Long, Long) = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
