@@ -128,22 +128,25 @@ final class TableStore(spark: SparkSession, root: String) {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
     if (committedMaxBatch(name, v0).exists(batchId <= _)) return false
-    // validate BEFORE any write so a refused call leaves no orphan v-dir
-    val prevEntries = readManifest(name, v0) match {
-      case Some(m) =>
-        require(m.partCol.isEmpty,
-          s"appendBatch supports unpartitioned tables; $name is partitioned on ${m.partCol}")
-        m.entries
-      case None => Seq("." -> s"v$v0")
-    }
     val v = v0 + 1
     val cur = table(name)
-    rows.select(cur.columns.map(col).toSeq: _*)
-      .write.mode("overwrite").parquet(dataPath(name, v))
-    collectStats(name, v)
-    withBatch(batchId) {
-      writeManifestAndFlip(name, v, Manifest("", prevEntries :+ ("." -> s"v$v")))
+    val batch = rows.select(cur.columns.map(col).toSeq: _*)
+    val m = readManifest(name, v0) match {
+      case Some(prev) if prev.partCol.nonEmpty =>
+        // partitioned append (events-by-date continuous ingest): the batch
+        // writes ONLY its own partition subdirs under v{N}; every prior
+        // partition entry is reused untouched, so partition-pruned DML and
+        // subdir vacuum keep working across the append chain
+        batch.write.mode("overwrite").partitionBy(prev.partCol).parquet(dataPath(name, v))
+        val newSubs = listPartSubdirs(dataPath(name, v))
+        Manifest(prev.partCol, (prev.entries ++ newSubs.map(_ -> s"v$v")).sortBy(_._1))
+      case prev =>
+        batch.write.mode("overwrite").parquet(dataPath(name, v))
+        val prevEntries = prev.map(_.entries).getOrElse(Seq("." -> s"v$v0"))
+        Manifest("", prevEntries :+ ("." -> s"v$v"))
     }
+    collectStats(name, v)
+    withBatch(batchId) { writeManifestAndFlip(name, v, m) }
     true
   }
 

@@ -66,10 +66,35 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     // compact must refuse a partitioned table rather than flatten it
     st.createPartitioned("p", Seq((1L, "a")).toDF("id", "par"), "par")
     an[IllegalArgumentException] should be thrownBy st.compact("p")
-    // and appendBatch's partition guard fires BEFORE any file is written
-    an[IllegalArgumentException] should be thrownBy
-      st.appendBatch("p", 0L, Seq((2L, "b")).toDF("id", "par"))
-    new java.io.File(s"${st.rootDir}/p/v1").exists() shouldBe false
+  }
+
+  test("partitioned appendBatch reuses prior partitions and keeps pruned DML working") {
+    val st = freshStore()
+    st.createPartitioned("ev", Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("id", "day", "x"), "day")
+    // epoch 0 appends a new day plus more rows for an existing day
+    st.appendBatch("ev", 0L,
+      Seq((3L, "2024-01-02", 3.0), (4L, "2024-01-03", 4.0)).toDF("id", "day", "x")) shouldBe true
+    st.table("ev").count() shouldBe 4
+    // replay no-ops
+    st.appendBatch("ev", 0L,
+      Seq((3L, "2024-01-02", 3.0)).toDF("id", "day", "x")) shouldBe false
+    st.table("ev").count() shouldBe 4
+    // prior partitions are REUSED: day=2024-01-01 still lives in v0
+    val owners = st.partitionOwners("ev")
+    owners("day=2024-01-01") shouldBe "v0"
+    // partition-pruned DML still works across the append chain, touching
+    // rows of one day that now spans TWO version dirs
+    st.updateWherePruned("ev", org.apache.spark.sql.functions.col("day") === "2024-01-02",
+      Map("x" -> org.apache.spark.sql.functions.lit(-1.0))) shouldBe Seq("2024-01-02")
+    st.table("ev").filter($"x" === -1.0).count() shouldBe 2
+    st.table("ev").count() shouldBe 4
+    // untouched days still reused after the pruned rewrite + vacuum
+    st.analyze("ev")
+    st.table("ev").count() shouldBe 4
+    st.appendBatch("ev", 1L,
+      Seq((5L, "2024-01-04", 5.0)).toDF("id", "day", "x")) shouldBe true
+    st.table("ev").count() shouldBe 5
   }
 
   test("update-mode aggregation streams through exactlyOnceUpsertSink") {
