@@ -511,6 +511,44 @@ final class TableStore(spark: SparkSession, root: String) {
       constraints)
   }
 
+  /** CREATE TABLE … clustered on a Z-ORDER curve (the multi-dimensional
+    * sibling of [[createClustered]], the Delta/Iceberg OPTIMIZE ZORDER
+    * idea): each numeric cluster column is bucketed into 256 equal-width
+    * bins (width_bucket — codegen'd, no interpreted higher-order calls on
+    * the write path), the bucket bits are INTERLEAVED into a Z-value, and
+    * files are range-partitioned by it. A single-column sort gives perfect
+    * skipping on that column and none on the others; the Z-curve gives
+    * PARTIAL skipping on EVERY cluster dimension — the right trade for
+    * multi-predicate scan workloads. Equal-width bins assume roughly
+    * uniform value spread; heavy skew degrades balance, not correctness
+    * (skipping stays conservative either way). */
+  def createZOrdered(name: String, df: DataFrame, clusterCols: Seq[String],
+                     files: Int, constraints: Seq[Constraint] = Nil): Unit = {
+    require(clusterCols.nonEmpty && files > 0)
+    val BitsPerCol = 8
+    val bins = 1 << BitsPerCol
+    val aggCols = clusterCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val nCols = clusterCols.length
+    val buckets = clusterCols.zipWithIndex.map { case (c, ci) =>
+      val mn = stats.getDouble(2 * ci); val mx = stats.getDouble(2 * ci + 1)
+      // width_bucket yields 1..bins inside [mn,mx]; clamp to 0-based bits
+      least(greatest(width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(bins)) - 1,
+        lit(0)), lit(bins - 1))
+    }
+    // interleave: output bit (i*nCols + ci) = bit i of column ci's bucket
+    val z = (for (i <- 0 until BitsPerCol; ci <- 0 until nCols) yield
+      shiftleft(shiftright(buckets(ci), i).bitwiseAND(lit(1)),
+        i * nCols + ci)).reduce(_.bitwiseOR(_))
+    create(name,
+      df.withColumn("__z", z)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z"),
+      constraints)
+  }
+
   /** CREATE TABLE … PARTITIONED BY (partCol). */
   def createPartitioned(name: String, df: DataFrame, partCol: String,
                         constraints: Seq[Constraint] = Nil): Unit = {

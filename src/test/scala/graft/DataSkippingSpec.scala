@@ -99,6 +99,35 @@ class DataSkippingSpec extends SparkSpec {
     scan.count() shouldBe 1000 // and still exactly the right rows
   }
 
+  test("z-order clustering skips on EVERY cluster dimension; 1-D sort only on its own") {
+    val st = freshStore()
+    // two independent uniform dimensions (decorrelated via multiplicative
+    // hashing) — the workload where a single-column sort helps only one
+    // predicate and z-order helps both
+    val df = spark.range(0, 16000).toDF("seq")
+      .withColumn("a", (col("seq") * 2654435761L) % 4000)
+      .withColumn("b", (col("seq") * 40503L) % 4000)
+      .drop("seq")
+    st.createClustered("by_a", df, Seq("a"), files = 16)
+    st.createZOrdered("zord", df, Seq("a", "b"), files = 16)
+
+    val onA = Seq(ColumnRange("a", Some(0L), Some(499L)))   // 1/8 of dim a
+    val onB = Seq(ColumnRange("b", Some(0L), Some(499L)))   // 1/8 of dim b
+
+    val (_, aOnA) = st.scanSkipping("by_a", onA)
+    val (_, aOnB) = st.scanSkipping("by_a", onB)
+    aOnA.filesRead should be <= 4        // sorted dim: strong skipping
+    aOnB.filesRead shouldBe aOnB.filesTotal // other dim: none at all
+
+    val (za, zOnA) = st.scanSkipping("zord", onA)
+    val (zb, zOnB) = st.scanSkipping("zord", onB)
+    // the z-curve trades perfect 1-D skipping for partial skipping in BOTH
+    zOnA.filesRead should be < zOnA.filesTotal
+    zOnB.filesRead should be < zOnB.filesTotal
+    za.count() shouldBe 2000 // 500 values × 4 occurrences each
+    zb.count() shouldBe 2000
+  }
+
   test("unnormalizable bounds keep files that HAVE stats on the column") {
     val st = freshStore()
     st.create("t", Seq((1L, java.sql.Date.valueOf("2021-06-01")),
