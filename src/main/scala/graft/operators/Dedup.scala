@@ -317,16 +317,22 @@ object Dedup {
       .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
       .distinct()
 
-  /** Persist the corpus side of incremental dedup into `st`:
-    * `sig`  = (doc_id, n, h0..h15) minhash signatures;
-    * `shh`  = (doc_id, h) distinct shingle hashes (the verification set).
-    * Built ONCE per corpus; daily batches then dedupe against these
-    * parquet tables without ever re-reading corpus text. */
+  /** (sig, shh) signature frames of a documents frame — sig = (doc_id, n,
+    * h0..h15) minhash signatures, shh = (doc_id, h) distinct shingle
+    * hashes (the verification set). */
+  private[graft] def signatureFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val th = shingleHashes(docs)
+    (th.groupBy("doc_id").agg(count(lit(1)).as("n"), minhashAggs: _*), th)
+  }
+
+  /** Persist the corpus side of incremental dedup into `st`. Built ONCE
+    * per corpus; daily batches then dedupe against these parquet tables
+    * without ever re-reading corpus text. */
   private[graft] def buildSignatureStore(st: graft.sources.TableStore,
                                          corpus: DataFrame): Unit = {
-    val th = shingleHashes(corpus)
-    st.create("shh", th)
-    st.create("sig", th.groupBy("doc_id").agg(count(lit(1)).as("n"), minhashAggs: _*))
+    val (sig, shh) = signatureFrames(corpus)
+    st.create("shh", shh)
+    st.create("sig", sig)
   }
 
   /** Incremental near-dup pairs (VERDICT r2 #6): dedupe `newDocs` against
@@ -364,12 +370,16 @@ object Dedup {
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
       .select("doc_a", "doc_b")
     // verification set = stored corpus hashes ∪ batch hashes; the join
-    // against candidates touches only candidate docs' rows
+    // against candidates touches only candidate docs' rows. countDistinct
+    // (not count) keeps the intersection exact even if a doc's hashes
+    // appear on both sides — the streaming sink's replay-after-partial-
+    // commit window recomputes a batch whose shh rows already persisted,
+    // and the distinct is bounded by candidate volume, never corpus size
     val allTh = store.table("shh").unionByName(newTh)
     val inter = cand
       .join(allTh.toDF("doc_a", "h"), Seq("doc_a"))
       .join(allTh.toDF("doc_b", "h"), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .groupBy("doc_a", "doc_b").agg(countDistinct(col("h")).as("i"))
     val jac = col("i").cast("double") /
       (col("na") + col("nb") - col("i")).cast("double")
     inter

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.TableStore
+
+/** Continuous DEDUPLICATING corpus ingest — the capstone composition of
+  * the suite's pieces: each micro-batch of documents is near-dup-checked
+  * (MinHash+LSH band join, exact hashed-Jaccard verify) against the
+  * PERSISTED corpus signature store and against itself, only the keepers
+  * are appended to the corpus, and the store's signatures are extended
+  * with those keepers — every step idempotent on the Structured Streaming
+  * epoch id, so the whole pipeline is exactly-once end to end.
+  *
+  * Store layout (one [[TableStore]]): `corpus` = published documents,
+  * `sig` = (doc_id, n, h0..h15) minhash signatures, `shh` = (doc_id, h)
+  * shingle hashes. `sig` doubles as the membership marker and commits
+  * LAST, so every crash window replays to the same converged state:
+  *  - crash after `corpus`: replay recomputes the same keeper set
+  *    (sig/shh unchanged), corpus no-ops on its ledger, sig/shh apply;
+  *  - crash after `corpus`+`shh`: replay recomputes with the batch's shh
+  *    rows already stored — the verification intersection stays exact
+  *    (countDistinct in the verifier), shh no-ops on its ledger, sig
+  *    applies.
+  *
+  * Scale posture: per batch, shingle/minhash work is proportional to the
+  * batch; the corpus contributes band-join scans of its stored tables;
+  * appended versions are O(batch) manifest entries ([[TableStore
+  * .appendBatch]]); [[TableStore.compact]] collapses long chains offline.
+  */
+object DedupIngest {
+
+  /** Wire as `docs.writeStream.foreachBatch(dedupIngestSink(store))`.
+    * Tables `corpus`/`sig`/`shh` must exist (create via
+    * `Dedup.buildSignatureStore` + a `corpus` create, possibly empty). */
+  def dedupIngestSink(store: TableStore): (DataFrame, Long) => Unit =
+    (batch0, epochId) => {
+      val batch = batch0.cache()
+      try {
+        // drop docs already published (makes replays of a partially
+        // committed epoch converge instead of re-deduping stored docs)
+        val newDocs = batch.join(
+          store.table("sig").select("doc_id"), Seq("doc_id"), "left_anti")
+        val pairs = Dedup.incrementalLshPairs(batch.sparkSession, store, newDocs)
+          .select("doc_a", "doc_b")
+        val ids = newDocs.select("doc_id")
+        // a batch doc is a DUP if it pairs with a smaller batch doc
+        // (keep-first within the batch: pairs are doc_a < doc_b, so any
+        // batch doc_b loses) or with ANY corpus doc — the published doc
+        // stays regardless of id order, so a batch doc_a whose partner
+        // doc_b is NOT in the batch is also a dup
+        val dupB = pairs.join(ids.toDF("doc_b"), Seq("doc_b"), "left_semi")
+          .select(col("doc_b").as("doc_id"))
+        val dupA = pairs.join(ids.toDF("doc_a"), Seq("doc_a"), "left_semi")
+          .join(ids.toDF("doc_b"), Seq("doc_b"), "left_anti")
+          .select(col("doc_a").as("doc_id"))
+        // cache: three appends below would otherwise re-run the whole
+        // band-join/verify pipeline once each
+        val keep = newDocs.join(
+          dupB.unionByName(dupA).distinct(), Seq("doc_id"), "left_anti").cache()
+        try {
+          store.appendBatch("corpus", epochId, keep)
+          val (sig, shh) = Dedup.signatureFrames(keep)
+          store.appendBatch("shh", epochId, shh)
+          store.appendBatch("sig", epochId, sig) // membership marker: LAST
+        } finally keep.unpersist()
+      } finally { batch.unpersist(); () }
+    }
+}
