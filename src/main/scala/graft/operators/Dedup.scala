@@ -211,10 +211,13 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     val sizes = mh.select("doc_id", "n")
     // size-ratio prefilter: jaccard >= 0.8 implies min·5 >= max·4, so
-    // this prunes candidates without changing the result set
+    // this prunes candidates without changing the result set. No broadcast
+    // hint: `sizes` is one row per corpus document — forcing it to the
+    // driver is exactly the OOM a 100 TB corpus cannot afford; these are
+    // candidate-bounded equi-joins and AQE still broadcasts when small.
     val cand = cand0
-      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
-      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
       .select("doc_a", "doc_b")
     val inter = cand
