@@ -511,6 +511,44 @@ final class TableStore(spark: SparkSession, root: String) {
       constraints)
   }
 
+  /** Time travel: the table AS OF version `v` (every mutation publishes a
+    * new version, so versions are a complete history until [[analyze]]'s
+    * vacuum reclaims superseded ones). Fails loudly on a vacuumed or
+    * never-existing version rather than returning partial data. */
+  def tableAt(name: String, v: Int): DataFrame = {
+    val cur = currentVersion(name)
+    require(cur >= 0, s"no such table: $name")
+    require(v >= 0 && v <= cur, s"$name has no version $v (current: v$cur)")
+    val df = readManifest(name, v) match {
+      case Some(m) =>
+        m.entries.foreach { case (sub, vd) =>
+          val p = if (sub == ".") Paths.get(s"$root/$name/$vd")
+                  else Paths.get(s"$root/$name/$vd/$sub")
+          require(Files.exists(p),
+            s"$name version $v references vacuumed data ($vd/$sub); " +
+              "time travel only reaches versions analyze() has not reclaimed")
+        }
+        readEntries(name, m.entries)
+      case None =>
+        val p = Paths.get(dataPath(name, v))
+        require(Files.exists(p),
+          s"$name version $v was vacuumed; time travel only reaches " +
+            "versions analyze() has not reclaimed")
+        spark.read.parquet(p.toString)
+    }
+    df
+  }
+
+  /** Versions of `name` whose data is still fully readable (time-travel
+    * targets), oldest first. */
+  def liveVersions(name: String): Seq[Int] = {
+    val cur = currentVersion(name)
+    (0 to cur).filter { v =>
+      try { tableAt(name, v); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+  }
+
   /** CREATE TABLE … clustered on a Z-ORDER curve (the multi-dimensional
     * sibling of [[createClustered]], the Delta/Iceberg OPTIMIZE ZORDER
     * idea): each numeric cluster column is bucketed into 256 equal-width

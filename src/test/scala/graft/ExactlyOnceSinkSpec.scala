@@ -68,6 +68,25 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy st.compact("p")
   }
 
+  test("time travel reads historical versions until vacuum reclaims them") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "s"))                 // v0
+    st.appendBatch("t", 0L, Seq((2L, "b")).toDF("id", "s"))        // v1
+    st.update("t", org.apache.spark.sql.functions.col("id") === 1L,
+      Map("s" -> org.apache.spark.sql.functions.lit("z")))         // v2
+
+    st.tableAt("t", 0).select("s").as[String].collect().toSeq shouldBe Seq("a")
+    st.tableAt("t", 1).count() shouldBe 2
+    st.tableAt("t", 2).filter($"s" === "z").count() shouldBe 1
+    st.liveVersions("t") shouldBe Seq(0, 1, 2)
+    an[IllegalArgumentException] should be thrownBy st.tableAt("t", 3)
+
+    st.analyze("t") // vacuum: superseded versions become unreachable, loudly
+    st.liveVersions("t") shouldBe Seq(2)
+    an[IllegalArgumentException] should be thrownBy st.tableAt("t", 0)
+    st.tableAt("t", 2).count() shouldBe 2 // current version always reachable
+  }
+
   test("partitioned appendBatch reuses prior partitions and keeps pruned DML working") {
     val st = freshStore()
     st.createPartitioned("ev", Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
