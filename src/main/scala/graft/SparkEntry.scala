@@ -17,7 +17,8 @@ object SparkEntry {
       operators.TextAnalysis.all ++ operators.Dedup.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.SqlEntry.all ++ operators.NativeOps.all ++
       operators.CorpusOps.all ++ operators.SetOps.all ++ operators.AsofJoin.all ++
-      operators.Extras.all ++ operators.DedupClusters.all ++ operators.IngestGate.all
+      operators.Extras.all ++ operators.DedupClusters.all ++ operators.IngestGate.all ++
+      operators.BloomJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

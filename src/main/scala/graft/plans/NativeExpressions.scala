@@ -109,10 +109,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotF64Expr].getName, "dot_f64"),
     (children: Seq[Expression]) => DotF64Expr(children(0), children(1)))
 
-  /** Register the native functions on an existing session (idempotent). */
+  /** Register the native functions on an existing session (idempotent).
+    *
+    * Besides the graft kernels this exposes Spark's own (non-public-API)
+    * bloom-filter pair — the exact expressions AQE's runtime row-level
+    * filtering injects — so operators can build an explicit semi-join
+    * bloom prune where the optimizer can't see the opportunity:
+    * `bloom_agg(xxhash64(k), estItems)` → binary sketch;
+    * `bloom_might_contain(sketch, xxhash64(k))` → boolean prune. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5Expr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_f64", es => DotF64Expr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      es => new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)),
+      "built-in")
   }
 }
