@@ -180,5 +180,41 @@ object DmlQueries {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87)
+  /** q102: incremental materialized-view maintenance — the upsert (q87)
+    * put to its real 100 TB use. A per-lang (n_docs, n_tokens) aggregate
+    * is built once from the base corpus slice and stored with `lang` as
+    * primary key; a new batch then refreshes it by aggregating ONLY the
+    * batch, merging the tiny delta into the tiny current MV with a FULL
+    * OUTER join (a lang can exist on either side only), and upserting the
+    * merged rows back. The corpus is never rescanned on refresh — refresh
+    * cost is O(batch) + O(|MV|), which is what makes a materialized
+    * aggregate worth storing at scale. The oracle recomputes the aggregate
+    * over the whole corpus in one pass: incremental ≡ full recompute.
+    * Counts sum exact BIGINTs, so merge order cannot perturb values. */
+  val q102 = QueryDef(
+    "q102_incremental_mv",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.tokens
+    val st = new graft.sources.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-mv").toString)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("ntok"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    st.create("mv", agg(docs.filter(col("doc_id") % 10 =!= 0)),
+      Seq(graft.constraints.Constraints.PrimaryKey(Seq("lang"))))
+    val delta = agg(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("lang"), col("n_docs").as("d_docs"), col("n_tokens").as("d_toks"))
+    val merged = st.table("mv")
+      .join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("d_toks"), lit(0L))).as("n_tokens"))
+    st.upsert("mv", merged)
+    st.table("mv").orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87, q102)
 }

@@ -69,5 +69,70 @@ object SearchOps {
     conjunctiveSearch(s, d, Seq("dup", "window"))
   }
 
-  val all: Seq[QueryDef] = Seq(q98, q99)
+  /** q101: BM25 ranked retrieval — the scoring side of the q98/q99 index.
+    * Classic Okapi shape, k1 = 1.2, b = 0.75, with the log-free idf
+    * variant idf(t) = (N - df + 0.5)/(df + 0.5): every factor is IEEE
+    * +,-,×,÷ on doubles, so Spark and DuckDB produce bit-identical scores
+    * when the expression trees associate identically (they are written as
+    * literal mirrors below). `ln` is deliberately avoided — libm vs JDK
+    * log can differ in the last ulp and would flake the hash gate.
+    *
+    * The per-doc score sums ONE double per query term; the gate query uses
+    * two terms, and a+b is IEEE-commutative, so Spark's unordered partial
+    * aggregation cannot change the bits. (3+ terms would make the sum
+    * order-sensitive — a production caller gets ranked results either way,
+    * but the cross-engine gate pins exactly this 2-term form.)
+    *
+    * Scale posture: df (one row per query term) and the corpus stats (one
+    * row) broadcast; the only shuffle joins the per-term postings (docs
+    * containing a query term) against doc lengths on doc_id. At 100 TB
+    * the dl table is the stored index's doc-length sidecar, not a rescan. */
+  def bm25(s: org.apache.spark.sql.SparkSession, dir: String,
+           terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    tf.crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+          .as("s"))
+      .groupBy("doc_id").agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  val q101 = QueryDef(
+    "q101_bm25_rank",
+    """WITH dl AS (
+      |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+      |stats AS (
+      |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |         CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+      |  WHERE w IN ('dup', 'window') GROUP BY 1, 2),
+      |df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id AS doc_id,
+      |  SUM(((stats.n - df.df + 0.5) / (df.df + 0.5)) *
+      |      ((tf.tf * 2.2) /
+      |       (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))) AS score
+      |FROM tf CROSS JOIN stats
+      |JOIN df ON df.w = tf.w
+      |JOIN dl ON dl.doc_id = tf.doc_id
+      |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin) { (s, d) =>
+    bm25(s, d, Seq("dup", "window"), 20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q98, q99, q101)
 }

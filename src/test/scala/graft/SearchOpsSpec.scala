@@ -37,6 +37,25 @@ class SearchOpsSpec extends SparkSpec {
     viaIndex(Seq("window", "zzz_not_a_token")) shouldBe empty
   }
 
+  test("bm25 ranks only docs containing a query term, scores positive-desc") {
+    val terms = Seq("dup", "window")
+    val rows = SearchOps.bm25(spark, sf, terms, 20).collect()
+    rows should not be empty
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    scores shouldBe scores.sortBy(-_) // already in rank order
+    all(scores) should be > 0.0
+    // every ranked doc matches at least one term (union of postings)
+    val union = terms.flatMap(t => directScanAny(Seq(t))).toSet
+    rows.map(_.getAs[Long]("doc_id")).foreach(id => union should contain(id))
+  }
+
+  private def directScanAny(terms: Seq[String]): Seq[Long] = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, sf)
+      .filter(terms.map(t => array_contains(toks, t)).reduce(_ || _))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+  }
+
   test("q98 postings are sorted, distinct, and consistent with doc_freq") {
     val rows = SearchOps.q98.build(spark, sf).collect()
     rows should not be empty
