@@ -195,5 +195,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94)
+  /** q103: winsorized (percentile-clipped) doc-length — the outlier-
+    * clipping step of a quality pipeline: per-language p05/p95 of token
+    * count, each doc's length clamped into its language's band. Emits the
+    * PER-DOC clipped value rather than a re-aggregated mean: percentile
+    * interpolation is deterministic on both engines (proven by q68) and
+    * the clamp is a pure comparison, while averaging the clipped doubles
+    * would reintroduce order-dependent fp summation the hash gate can't
+    * tolerate.
+    *
+    * Scale posture: one partial+final aggregate for the per-lang band
+    * (exact percentile's sort is per-group; at 100 TB swap in
+    * approx_percentile, same plan shape), then a broadcast join of the
+    * ~|langs|-row band table back onto the corpus — narrow per-doc work,
+    * no second shuffle. */
+  val q103 = QueryDef(
+    "q103_winsorize_length",
+    """WITH dl AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |band AS (
+      |  SELECT lang, quantile_cont(dl, 0.05) AS lo, quantile_cont(dl, 0.95) AS hi
+      |  FROM dl GROUP BY 1)
+      |SELECT d.doc_id, d.lang, CAST(d.dl AS BIGINT) AS n_tokens,
+      |  CASE WHEN d.dl < b.lo THEN b.lo
+      |       WHEN d.dl > b.hi THEN b.hi ELSE d.dl END AS clipped
+      |FROM dl d JOIN band b ON b.lang = d.lang
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val dl = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("double").as("dl"))
+    val band = dl.groupBy("lang").agg(
+      expr("percentile(dl, 0.05)").as("lo"),
+      expr("percentile(dl, 0.95)").as("hi"))
+    dl.join(broadcast(band), "lang")
+      .select(col("doc_id"), col("lang"), col("dl").cast("long").as("n_tokens"),
+        when(col("dl") < col("lo"), col("lo"))
+          .when(col("dl") > col("hi"), col("hi"))
+          .otherwise(col("dl")).as("clipped"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103)
 }

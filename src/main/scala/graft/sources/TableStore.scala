@@ -47,6 +47,7 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").parquet(dataPath(name, v))
     collectStats(name, v)
     carryBatchLedger(name, v)
+    carryAddCols(name, v)
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
@@ -249,8 +250,10 @@ final class TableStore(spark: SparkSession, root: String) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           table(name).schema)
       else kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, fs) =>
-        spark.read.option("basePath", s"$root/$name/$vd")
-          .parquet(fs.map { case (rel, _) => s"$root/$name/$rel" }: _*)
+        fillAddCols(
+          spark.read.option("basePath", s"$root/$name/$vd")
+            .parquet(fs.map { case (rel, _) => s"$root/$name/$rel" }: _*),
+          readAddCols(name, currentVersion(name)))
       }.reduce(_ unionByName _)
     (df.filter(pred), FileStats.ScanReport(files.size, kept.size))
   }
@@ -266,8 +269,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = currentVersion(name)
     require(v >= 0, s"no such table: $name")
     readManifest(name, v) match {
-      case Some(m) => readEntries(name, m.entries)
-      case None => spark.read.parquet(dataPath(name, v))
+      case Some(m) => readEntries(name, v, m.entries)
+      case None => fillAddCols(spark.read.parquet(dataPath(name, v)), readAddCols(name, v))
     }
   }
 
@@ -471,6 +474,7 @@ final class TableStore(spark: SparkSession, root: String) {
       .mkString("\n")
     Files.write(manifestFile(name, v), body.getBytes)
     carryBatchLedger(name, v)
+    carryAddCols(name, v)
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
@@ -485,15 +489,141 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Manifest entry subdir "." = the whole (non-partitioned) version dir —
-    * used when a mutation empties the table, so the schema survives. */
-  private def readEntries(name: String, entries: Seq[(String, String)]): DataFrame =
+    * used when a mutation empties the table, so the schema survives.
+    *
+    * `v` is the version whose SCHEMA governs the read: each per-dir frame
+    * is default-filled for columns added (metadata-only, [[addColumn]])
+    * after that dir's files were written, so dirs written before and after
+    * a schema change union cleanly. */
+  private def readEntries(name: String, v: Int, entries: Seq[(String, String)]): DataFrame = {
+    val deltas = readAddCols(name, v)
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, es) =>
-      if (es.exists(_._1 == "."))
-        spark.read.parquet(s"$root/$name/$vd")
-      else
-        spark.read.option("basePath", s"$root/$name/$vd")
-          .parquet(es.map { case (sub, _) => s"$root/$name/$vd/$sub" }: _*)
+      val raw =
+        if (es.exists(_._1 == "."))
+          spark.read.parquet(s"$root/$name/$vd")
+        else
+          spark.read.option("basePath", s"$root/$name/$vd")
+            .parquet(es.map { case (sub, _) => s"$root/$name/$vd/$sub" }: _*)
+      fillAddCols(raw, deltas)
     }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
+  // Schema evolution: ALTER TABLE ADD COLUMN is METADATA-ONLY — the new
+  // version's manifest points at the SAME data files as the old one, and
+  // a v{N}.addcols sidecar records (column, type, default-expression).
+  // Readers fill the column per file-dir (old files project the default,
+  // files written later carry real values); the next physical write
+  // materializes it for its own files. At 100 TB this is the only
+  // acceptable ADD COLUMN: rewriting the table to add a column is a
+  // full-corpus job, while this is two sidecar files. The same idea as
+  // Delta/Iceberg metadata-only schema evolution.
+  // ------------------------------------------------------------------
+
+  private def addColsFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.addcols")
+
+  private sealed trait SchemaDelta
+  private case class AddCol(col: String, typeDdl: String, default: String) extends SchemaDelta
+  private case class DropCol(col: String) extends SchemaDelta
+
+  private def readAddCols(name: String, v: Int): Seq[SchemaDelta] = {
+    val p = addColsFile(name, v)
+    if (!Files.exists(p)) Nil
+    else new String(Files.readAllBytes(p)).split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      l.split("\t", 4) match {
+        case Array("ADD", c, t, e) => AddCol(c, t, e)
+        case Array("DROP", c) => DropCol(c)
+        case other => sys.error(s"corrupt schema-delta line in $p: ${other.mkString("\\t")}")
+      }
+    }
+  }
+
+  private def renderDelta(d: SchemaDelta): String = d match {
+    case AddCol(c, t, e) => s"ADD\t$c\t$t\t$e"
+    case DropCol(c) => s"DROP\t$c"
+  }
+
+  private def writeAddCols(name: String, v: Int, ds: Seq[SchemaDelta]): Unit =
+    Files.write(addColsFile(name, v), ds.map(renderDelta).mkString("\n").getBytes)
+
+  private def carryAddCols(name: String, newV: Int): Unit = {
+    val prev = addColsFile(name, newV - 1)
+    if (newV > 0 && Files.exists(prev) && !Files.exists(addColsFile(name, newV)))
+      Files.copy(prev, addColsFile(name, newV))
+  }
+
+  /** Replay schema deltas IN ORDER over one file-dir's physical frame:
+    * an ADD fills the default only where the files predate the column; a
+    * DROP projects it away wherever it physically exists. Order matters —
+    * add x / drop x / re-add x must end with the re-added default, not
+    * resurrected old values. */
+  private def fillAddCols(df: DataFrame, deltas: Seq[SchemaDelta]): DataFrame =
+    deltas.foldLeft(df) {
+      case (acc, AddCol(c, t, e)) =>
+        if (acc.columns.exists(_.equalsIgnoreCase(c))) acc
+        else acc.withColumn(c, expr(e).cast(t))
+      case (acc, DropCol(c)) =>
+        if (acc.columns.exists(_.equalsIgnoreCase(c))) acc.drop(c) else acc
+    }
+
+  /** ALTER TABLE … ADD COLUMN with a constant DEFAULT (SQL expression
+    * text, e.g. `"0"`, `"'unknown'"`, `"NULL"`). Metadata-only: no data
+    * file is read or written. Existing rows read the default until a later
+    * physical rewrite materializes it; INSERT/UPSERT batches must carry
+    * the column (a registered DEFAULT backfills NULLs in inserts). */
+  def addColumn(name: String, colName: String, typeDdl: String,
+                defaultExpr: String = "NULL"): Unit = {
+    val v0 = currentVersion(name)
+    require(v0 >= 0, s"no such table: $name")
+    require(!table(name).columns.exists(_.equalsIgnoreCase(colName)),
+      s"$name already has a column named $colName")
+    val d = expr(defaultExpr).cast(typeDdl)
+    // eagerly prove the default is a valid constant of the declared type
+    spark.range(1).select(d.as(colName)).collect()
+    val v = v0 + 1
+    val (partCol, entries) = readManifest(name, v0) match {
+      case Some(m) => (m.partCol, m.entries)
+      case None => ("", Seq("." -> s"v$v0"))
+    }
+    writeAddCols(name, v, readAddCols(name, v0) :+ AddCol(colName, typeDdl, defaultExpr))
+    val prevCs = metas.get(name).map(_.constraints).getOrElse(Nil)
+    metas(name) = Meta(prevCs :+ Default(colName, d))
+    writeManifestAndFlip(name, v, Manifest(partCol, entries))
+  }
+
+  /** ALTER TABLE … DROP COLUMN — metadata-only like [[addColumn]]: the
+    * column disappears from every read immediately; the bytes in existing
+    * files are ignored until a later physical rewrite drops them for its
+    * own files. Refused for the partition column and for columns a
+    * PRIMARY KEY / FOREIGN KEY / UNIQUE constraint depends on; DEFAULT
+    * and NOT NULL registrations on the column are removed. */
+  def dropColumn(name: String, colName: String): Unit = {
+    val v0 = currentVersion(name)
+    require(v0 >= 0, s"no such table: $name")
+    require(table(name).columns.exists(_.equalsIgnoreCase(colName)),
+      s"$name has no column named $colName")
+    val (partCol, entries) = readManifest(name, v0) match {
+      case Some(m) => (m.partCol, m.entries)
+      case None => ("", Seq("." -> s"v$v0"))
+    }
+    require(!partCol.equalsIgnoreCase(colName),
+      s"cannot drop partition column $colName of $name")
+    val cs = constraintsOf(name)
+    val keyed = cs.exists {
+      case PrimaryKey(cols) => cols.exists(_.equalsIgnoreCase(colName))
+      case ForeignKey(cols, _, _, _) => cols.exists(_.equalsIgnoreCase(colName))
+      case Unique(cols) => cols.exists(_.equalsIgnoreCase(colName))
+      case _ => false
+    }
+    require(!keyed, s"cannot drop $colName: a key constraint on $name depends on it")
+    writeAddCols(name, v0 + 1, readAddCols(name, v0) :+ DropCol(colName))
+    metas(name) = Meta(cs.filterNot {
+      case Default(c, _) => c.equalsIgnoreCase(colName)
+      case NotNullCol(c) => c.equalsIgnoreCase(colName)
+      case _ => false
+    })
+    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries))
+  }
 
   /** CREATE TABLE … CLUSTERED BY (cols): range-repartition into `files`
     * files and sort within each — the write-side half of file-level data
@@ -528,13 +658,13 @@ final class TableStore(spark: SparkSession, root: String) {
             s"$name version $v references vacuumed data ($vd/$sub); " +
               "time travel only reaches versions analyze() has not reclaimed")
         }
-        readEntries(name, m.entries)
+        readEntries(name, v, m.entries)
       case None =>
         val p = Paths.get(dataPath(name, v))
         require(Files.exists(p),
           s"$name version $v was vacuumed; time travel only reaches " +
             "versions analyze() has not reclaimed")
-        spark.read.parquet(p.toString)
+        fillAddCols(spark.read.parquet(p.toString), readAddCols(name, v))
     }
     df
   }
@@ -654,7 +784,7 @@ final class TableStore(spark: SparkSession, root: String) {
       .toSet
     val touched = m.entries.filter { case (sub, _) => affectedSubs(sub) }
     val newV = v + 1
-    val rewritten = rewrite(readEntries(name, touched))
+    val rewritten = rewrite(readEntries(name, v, touched))
     rewritten.write.mode("overwrite").partitionBy(m.partCol).parquet(dataPath(name, newV))
     val newSubs = listPartSubdirs(dataPath(name, newV))
     val kept = m.entries.filterNot { case (sub, _) => affectedSubs(sub) }
@@ -715,6 +845,7 @@ final class TableStore(spark: SparkSession, root: String) {
           }
           Files.deleteIfExists(manifestFile(name, old))
           Files.deleteIfExists(batchesFile(name, old))
+          Files.deleteIfExists(addColsFile(name, old))
         }
         // live bytes: sum exactly the manifest's entries, not whole dirs
         val bytes = m.entries.map { case (sub, vd) =>
@@ -732,6 +863,7 @@ final class TableStore(spark: SparkSession, root: String) {
           Files.deleteIfExists(manifestFile(name, old))
           Files.deleteIfExists(statsFile(name, old))
           Files.deleteIfExists(batchesFile(name, old))
+          Files.deleteIfExists(addColsFile(name, old))
         }
         TableStore.TableStats(table(name).count(), bytes, v)
     }

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.functions._
+import graft.constraints.Constraints._
+import graft.sources.TableStore
+
+/** Metadata-only ALTER TABLE ADD COLUMN (`TableStore.addColumn`): no data
+  * rewrite at alter time, defaults visible immediately, later writes
+  * materialize physically, time travel stays version-correct.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft-evolve").toString)
+
+  private def parquetFiles(dir: String): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Nil
+    else Files.walk(p).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+      .toSeq.sorted
+  }
+
+  test("add column is metadata-only: same data files, default visible") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val before = parquetFiles(st.rootDir)
+    st.addColumn("t", "score", "BIGINT", "0")
+    parquetFiles(st.rootDir) shouldBe before // not one byte of data rewritten
+    val rows = st.table("t").orderBy("id").collect()
+    rows.map(_.getLong(2)).toSeq shouldBe Seq(0L, 0L)
+    st.table("t").schema("score").dataType.typeName shouldBe "long"
+  }
+
+  test("string default, and a second add stacks on the first") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    st.addColumn("t", "lang", "STRING", "'unknown'")
+    st.addColumn("t", "weight", "DOUBLE", "1.0")
+    val r = st.table("t").head
+    r.getString(2) shouldBe "unknown"
+    r.getDouble(3) shouldBe 1.0
+  }
+
+  test("duplicate name and malformed default are refused") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    an[IllegalArgumentException] should be thrownBy
+      st.addColumn("t", "V", "STRING", "''") // case-insensitive collision
+    an[Exception] should be thrownBy
+      st.addColumn("t", "w", "BIGINT", "not_a_column_or_literal")
+  }
+
+  test("a later UPDATE materializes the column; values survive physically") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    st.addColumn("t", "score", "BIGINT", "0")
+    st.update("t", col("id") === 2, Map("score" -> lit(7L)))
+    val got = st.table("t").orderBy("id").collect().map(r => (r.getInt(0), r.getLong(2)))
+    got.toSeq shouldBe Seq((1, 0L), (2, 7L))
+    // the current version dir physically contains the column now
+    val cur = spark.read.parquet(s"${st.rootDir}/t/v2")
+    cur.columns should contain("score")
+  }
+
+  test("time travel is version-correct across the schema change") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v")) // v0
+    st.addColumn("t", "score", "BIGINT", "0")     // v1 (metadata-only)
+    st.update("t", col("id") === 1, Map("score" -> lit(5L))) // v2
+    st.tableAt("t", 0).columns should not contain "score"
+    st.tableAt("t", 1).head.getLong(2) shouldBe 0L
+    st.tableAt("t", 2).head.getLong(2) shouldBe 5L
+  }
+
+  test("partitioned table: pruned DML after add rewrites only its partition") {
+    val st = freshStore()
+    st.createPartitioned("t",
+      Seq((1, "us", "a"), (2, "eu", "b"), (3, "eu", "c")).toDF("id", "region", "v"),
+      "region")
+    st.addColumn("t", "flag", "STRING", "'new'")
+    st.updateWherePruned("t", col("region") === "eu", Map("flag" -> lit("set")))
+    // untouched partition still owned by the original version dir
+    st.partitionOwners("t")("region=us") shouldBe "v0"
+    val got = st.table("t").orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("flag")))
+    got.toSeq shouldBe Seq((1, "new"), (2, "set"), (3, "set"))
+  }
+
+  test("inserts carry the column; NULL backfills via the registered default") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    st.addColumn("t", "score", "BIGINT", "42")
+    st.insert("t", Seq((2, "b", None: Option[Long])).toDF("id", "v", "score"))
+    val got = st.table("t").orderBy("id").collect().map(_.getLong(2))
+    got.toSeq shouldBe Seq(42L, 42L)
+  }
+
+  test("upsert after add merges on the evolved schema") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      Seq(PrimaryKey(Seq("id"))))
+    st.addColumn("t", "score", "BIGINT", "0")
+    st.upsert("t", Seq((2, "b2", 9L), (3, "c", 1L)).toDF("id", "v", "score"))
+    val got = st.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    got.toSeq shouldBe Seq((1, "a", 0L), (2, "b2", 9L), (3, "c", 1L))
+  }
+
+  test("drop column is metadata-only and immediate; re-add starts fresh") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "v", "score"))
+    val before = parquetFiles(st.rootDir)
+    st.dropColumn("t", "score")
+    parquetFiles(st.rootDir) shouldBe before
+    st.table("t").columns should not contain "score"
+    // re-add with a new type: old physical values must NOT resurrect
+    st.addColumn("t", "score", "STRING", "'fresh'")
+    st.table("t").orderBy("id").collect().map(_.getString(2)).toSeq shouldBe
+      Seq("fresh", "fresh")
+    // time travel still sees the original values before the drop
+    st.tableAt("t", 0).orderBy("id").collect().map(_.getLong(2)).toSeq shouldBe
+      Seq(10L, 20L)
+  }
+
+  test("drop refuses key and partition columns") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
+    an[IllegalArgumentException] should be thrownBy st.dropColumn("t", "id")
+    st.createPartitioned("p", Seq((1, "us")).toDF("id", "region"), "region")
+    an[IllegalArgumentException] should be thrownBy st.dropColumn("p", "region")
+    an[IllegalArgumentException] should be thrownBy st.dropColumn("t", "nope")
+  }
+
+  test("physical rewrite after a drop leaves the bytes behind for good") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 10L)).toDF("id", "v", "score"))
+    st.dropColumn("t", "score")
+    st.update("t", col("id") === 1, Map("v" -> lit("z")))
+    // the rewritten current version dir physically lacks the column
+    spark.read.parquet(s"${st.rootDir}/t/v2").columns should not contain "score"
+    st.table("t").head.getString(1) shouldBe "z"
+  }
+
+  test("vacuum keeps the shared data alive while the current version needs it") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    st.addColumn("t", "score", "BIGINT", "0")
+    st.analyze("t") // must NOT reclaim v0: the v1 manifest references it
+    st.table("t").head.getLong(2) shouldBe 0L
+  }
+}
