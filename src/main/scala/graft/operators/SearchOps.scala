@@ -47,12 +47,13 @@ object SearchOps {
   def conjunctiveSearch(s: org.apache.spark.sql.SparkSession, dir: String,
                         terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "conjunctive search needs at least one term")
+    val ts = terms.distinct // a repeated term must not inflate the hit target
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .filter(col("w").isin(terms: _*))
+      .filter(col("w").isin(ts: _*))
       .groupBy("doc_id")
       .agg(countDistinct(col("w")).as("n_hit"))
-      .filter(col("n_hit") === terms.length)
+      .filter(col("n_hit") === ts.length)
       .select("doc_id")
       .orderBy("doc_id")
   }

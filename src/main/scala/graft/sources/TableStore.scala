@@ -249,12 +249,15 @@ final class TableStore(spark: SparkSession, root: String) {
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           table(name).schema)
-      else kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, fs) =>
-        fillAddCols(
-          spark.read.option("basePath", s"$root/$name/$vd")
-            .parquet(fs.map { case (rel, _) => s"$root/$name/$rel" }: _*),
-          readAddCols(name, currentVersion(name)))
-      }.reduce(_ unionByName _)
+      else {
+        val deltas = readAddCols(name, currentVersion(name))
+        kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, fs) =>
+          fillAddCols(
+            spark.read.option("basePath", s"$root/$name/$vd")
+              .parquet(fs.map { case (rel, _) => s"$root/$name/$rel" }: _*),
+            deltas, vd.stripPrefix("v").toInt)
+        }.reduce(_ unionByName _)
+      }
     (df.filter(pred), FileStats.ScanReport(files.size, kept.size))
   }
 
@@ -270,7 +273,7 @@ final class TableStore(spark: SparkSession, root: String) {
     require(v >= 0, s"no such table: $name")
     readManifest(name, v) match {
       case Some(m) => readEntries(name, v, m.entries)
-      case None => fillAddCols(spark.read.parquet(dataPath(name, v)), readAddCols(name, v))
+      case None => fillAddCols(spark.read.parquet(dataPath(name, v)), readAddCols(name, v), v)
     }
   }
 
@@ -469,12 +472,16 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  private def writeManifestAndFlip(name: String, v: Int, m: Manifest): Unit = {
+  private def writeManifestAndFlip(name: String, v: Int, m: Manifest,
+                                   schemaDeltas: Option[Seq[SchemaDelta]] = None): Unit = {
     val body = (s"#partcol=${m.partCol}" +: m.entries.map { case (s, vd) => s"$s\t$vd" })
       .mkString("\n")
     Files.write(manifestFile(name, v), body.getBytes)
     carryBatchLedger(name, v)
-    carryAddCols(name, v)
+    schemaDeltas match {
+      case Some(ds) => writeAddCols(name, v, ds)
+      case None => carryAddCols(name, v)
+    }
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
@@ -504,7 +511,7 @@ final class TableStore(spark: SparkSession, root: String) {
         else
           spark.read.option("basePath", s"$root/$name/$vd")
             .parquet(es.map { case (sub, _) => s"$root/$name/$vd/$sub" }: _*)
-      fillAddCols(raw, deltas)
+      fillAddCols(raw, deltas, vd.stripPrefix("v").toInt)
     }.reduce(_ unionByName _)
   }
 
@@ -522,47 +529,65 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def addColsFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.addcols")
 
-  private sealed trait SchemaDelta
-  private case class AddCol(col: String, typeDdl: String, default: String) extends SchemaDelta
-  private case class DropCol(col: String) extends SchemaDelta
+  /** Each delta records the version that introduced it (`atV`): replaying
+    * over a file-dir applies ONLY deltas newer than the dir, because every
+    * physical write materializes the full logical schema of its own
+    * version. Presence checks alone would be wrong — after drop x /
+    * re-add x / physical rewrite, the carried DROP must not strip the
+    * rewritten files' real x values. */
+  private sealed trait SchemaDelta { def atV: Int }
+  private case class AddCol(col: String, typeDdl: String, default: String,
+                            atV: Int) extends SchemaDelta
+  private case class DropCol(col: String, atV: Int) extends SchemaDelta
 
   private def readAddCols(name: String, v: Int): Seq[SchemaDelta] = {
     val p = addColsFile(name, v)
     if (!Files.exists(p)) Nil
     else new String(Files.readAllBytes(p)).split("\n").toSeq.filter(_.nonEmpty).map { l =>
-      l.split("\t", 4) match {
-        case Array("ADD", c, t, e) => AddCol(c, t, e)
-        case Array("DROP", c) => DropCol(c)
+      l.split("\t", 5) match {
+        case Array("ADD", av, c, t, e) => AddCol(c, t, e, av.toInt)
+        case Array("DROP", av, c) => DropCol(c, av.toInt)
         case other => sys.error(s"corrupt schema-delta line in $p: ${other.mkString("\\t")}")
       }
     }
   }
 
   private def renderDelta(d: SchemaDelta): String = d match {
-    case AddCol(c, t, e) => s"ADD\t$c\t$t\t$e"
-    case DropCol(c) => s"DROP\t$c"
+    case AddCol(c, t, e, av) => s"ADD\t$av\t$c\t$t\t$e"
+    case DropCol(c, av) => s"DROP\t$av\t$c"
   }
 
-  private def writeAddCols(name: String, v: Int, ds: Seq[SchemaDelta]): Unit =
-    Files.write(addColsFile(name, v), ds.map(renderDelta).mkString("\n").getBytes)
+  /** Atomic sidecar write (tmp + rename): a crash mid-write must never
+    * leave a corrupt delta file behind. */
+  private def writeAddCols(name: String, v: Int, ds: Seq[SchemaDelta]): Unit = {
+    val tmp = Paths.get(s"${addColsFile(name, v)}.tmp")
+    Files.write(tmp, ds.map(renderDelta).mkString("\n").getBytes)
+    Files.move(tmp, addColsFile(name, v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
+  /** Carry the previous version's deltas into `newV`, CLOBBERING anything
+    * already there: a sidecar pre-written by an ALTER that crashed before
+    * its version flip must not be adopted by the next unrelated publish
+    * (the aborted DDL never committed). Committed ALTERs write their
+    * sidecar through [[writeManifestAndFlip]]'s schemaDeltas parameter,
+    * never by pre-writing. */
   private def carryAddCols(name: String, newV: Int): Unit = {
     val prev = addColsFile(name, newV - 1)
-    if (newV > 0 && Files.exists(prev) && !Files.exists(addColsFile(name, newV)))
-      Files.copy(prev, addColsFile(name, newV))
+    if (newV > 0 && Files.exists(prev))
+      Files.copy(prev, addColsFile(name, newV), StandardCopyOption.REPLACE_EXISTING)
+    else Files.deleteIfExists(addColsFile(name, newV))
   }
 
-  /** Replay schema deltas IN ORDER over one file-dir's physical frame:
-    * an ADD fills the default only where the files predate the column; a
-    * DROP projects it away wherever it physically exists. Order matters —
-    * add x / drop x / re-add x must end with the re-added default, not
-    * resurrected old values. */
-  private def fillAddCols(df: DataFrame, deltas: Seq[SchemaDelta]): DataFrame =
-    deltas.foldLeft(df) {
-      case (acc, AddCol(c, t, e)) =>
+  /** Replay schema deltas newer than one file-dir's version, IN ORDER,
+    * over that dir's physical frame. */
+  private def fillAddCols(df: DataFrame, deltas: Seq[SchemaDelta],
+                          dirVersion: Int): DataFrame =
+    deltas.filter(_.atV > dirVersion).foldLeft(df) {
+      case (acc, AddCol(c, t, e, _)) =>
         if (acc.columns.exists(_.equalsIgnoreCase(c))) acc
         else acc.withColumn(c, expr(e).cast(t))
-      case (acc, DropCol(c)) =>
+      case (acc, DropCol(c, _)) =>
         if (acc.columns.exists(_.equalsIgnoreCase(c))) acc.drop(c) else acc
     }
 
@@ -578,17 +603,24 @@ final class TableStore(spark: SparkSession, root: String) {
     require(!table(name).columns.exists(_.equalsIgnoreCase(colName)),
       s"$name already has a column named $colName")
     val d = expr(defaultExpr).cast(typeDdl)
-    // eagerly prove the default is a valid constant of the declared type
-    spark.range(1).select(d.as(colName)).collect()
+    // eagerly prove the default is a DETERMINISTIC CONSTANT of the
+    // declared type: a 1-row ZERO-column probe (range minus id) rejects
+    // any column reference at analysis, the collect rejects bad casts
+    // under ANSI, and the determinism check rejects rand()-style defaults
+    // that would make reads of one version non-reproducible
+    val probe = spark.range(1).drop("id").select(d.as(colName))
+    require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"ADD COLUMN default must be deterministic, got: $defaultExpr")
+    probe.collect()
     val v = v0 + 1
     val (partCol, entries) = readManifest(name, v0) match {
       case Some(m) => (m.partCol, m.entries)
       case None => ("", Seq("." -> s"v$v0"))
     }
-    writeAddCols(name, v, readAddCols(name, v0) :+ AddCol(colName, typeDdl, defaultExpr))
     val prevCs = metas.get(name).map(_.constraints).getOrElse(Nil)
     metas(name) = Meta(prevCs :+ Default(colName, d))
-    writeManifestAndFlip(name, v, Manifest(partCol, entries))
+    writeManifestAndFlip(name, v, Manifest(partCol, entries),
+      Some(readAddCols(name, v0) :+ AddCol(colName, typeDdl, defaultExpr, v)))
   }
 
   /** ALTER TABLE … DROP COLUMN — metadata-only like [[addColumn]]: the
@@ -609,20 +641,41 @@ final class TableStore(spark: SparkSession, root: String) {
     require(!partCol.equalsIgnoreCase(colName),
       s"cannot drop partition column $colName of $name")
     val cs = constraintsOf(name)
+    // a CHECK depends on the column iff its predicate fails to analyze
+    // against a FRESH relation carrying only the remaining columns.
+    // (Column exposes no expression tree in the Spark 4 API, so resolution
+    // is the dependency test — and it must be a fresh relation: filtering
+    // table(name).drop(col) would succeed anyway, because the analyzer's
+    // missing-references rule resolves filter columns through a Project.)
+    val remaining = org.apache.spark.sql.types.StructType(
+      table(name).schema.filterNot(_.name.equalsIgnoreCase(colName)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remaining)
+    def checkDependsOn(pred: Column): Boolean =
+      try { empty.filter(pred).queryExecution.analyzed; false }
+      catch { case _: Throwable => true }
     val keyed = cs.exists {
       case PrimaryKey(cols) => cols.exists(_.equalsIgnoreCase(colName))
       case ForeignKey(cols, _, _, _) => cols.exists(_.equalsIgnoreCase(colName))
       case Unique(cols) => cols.exists(_.equalsIgnoreCase(colName))
+      case Check(_, pred) => checkDependsOn(pred)
       case _ => false
     }
-    require(!keyed, s"cannot drop $colName: a key constraint on $name depends on it")
-    writeAddCols(name, v0 + 1, readAddCols(name, v0) :+ DropCol(colName))
+    require(!keyed, s"cannot drop $colName: a constraint on $name depends on it")
+    // inbound FKs: a child table pointing AT this column blocks the drop
+    val inbound = metas.exists { case (_, m) => m.constraints.exists {
+      case ForeignKey(_, ref, refCols, _) =>
+        ref == name && refCols.exists(_.equalsIgnoreCase(colName))
+      case _ => false
+    } }
+    require(!inbound, s"cannot drop $name.$colName: a foreign key references it")
     metas(name) = Meta(cs.filterNot {
       case Default(c, _) => c.equalsIgnoreCase(colName)
       case NotNullCol(c) => c.equalsIgnoreCase(colName)
       case _ => false
     })
-    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries))
+    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
+      Some(readAddCols(name, v0) :+ DropCol(colName, v0 + 1)))
   }
 
   /** CREATE TABLE … CLUSTERED BY (cols): range-repartition into `files`
@@ -664,7 +717,7 @@ final class TableStore(spark: SparkSession, root: String) {
         require(Files.exists(p),
           s"$name version $v was vacuumed; time travel only reaches " +
             "versions analyze() has not reclaimed")
-        fillAddCols(spark.read.parquet(p.toString), readAddCols(name, v))
+        fillAddCols(spark.read.parquet(p.toString), readAddCols(name, v), v)
     }
     df
   }

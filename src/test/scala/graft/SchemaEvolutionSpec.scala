@@ -135,6 +135,49 @@ class SchemaEvolutionSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy st.dropColumn("t", "nope")
   }
 
+  test("drop refuses CHECK-referenced and inbound-FK-referenced columns") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 5L)).toDF("id", "v", "score"),
+      Seq(Check("pos_score", col("score") > 0)))
+    an[IllegalArgumentException] should be thrownBy st.dropColumn("t", "score")
+    st.create("parent", Seq((1, "x")).toDF("pid", "w"), Seq(PrimaryKey(Seq("pid"))))
+    st.create("child", Seq((10, 1)).toDF("cid", "pref"),
+      Seq(ForeignKey(Seq("pref"), "parent", Seq("pid"), Restrict)))
+    an[IllegalArgumentException] should be thrownBy st.dropColumn("parent", "pid")
+  }
+
+  test("non-constant and nondeterministic defaults are refused") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    an[Exception] should be thrownBy st.addColumn("t", "x", "BIGINT", "id + 1")
+    an[IllegalArgumentException] should be thrownBy st.addColumn("t", "y", "DOUBLE", "rand()")
+  }
+
+  test("drop, re-add, then physical rewrite: re-added values survive reads") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "v", "score"))
+    st.dropColumn("t", "score")                      // v1
+    st.addColumn("t", "score", "BIGINT", "0")        // v2
+    st.update("t", col("id") === 1, Map("score" -> lit(7L))) // v3: materializes
+    // the carried [DROP, ADD] deltas must NOT strip the rewritten files'
+    // real values and refill defaults (deltas older than the files no-op)
+    val got = st.table("t").orderBy("id").collect().map(r => (r.getInt(0), r.getLong(2)))
+    got.toSeq shouldBe Seq((1, 7L), (2, 0L))
+    st.table("t").orderBy("id").collect() // stable on a second read
+      .map(_.getLong(2)).toSeq shouldBe Seq(7L, 0L)
+  }
+
+  test("a sidecar pre-written without a version flip is not adopted by the next publish") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    // simulate an ALTER that crashed after writing its sidecar but before
+    // flipping VERSION: v1.addcols exists, VERSION still says 0
+    Files.write(Paths.get(s"${st.rootDir}/t/v1.addcols"),
+      "ADD\t1\tphantom\tBIGINT\t99".getBytes)
+    st.update("t", col("id") === 1, Map("v" -> lit("z"))) // publishes v1
+    st.table("t").columns should not contain "phantom"
+  }
+
   test("physical rewrite after a drop leaves the bytes behind for good") {
     val st = freshStore()
     st.create("t", Seq((1, "a", 10L)).toDF("id", "v", "score"))

@@ -37,6 +37,10 @@ class SearchOpsSpec extends SparkSpec {
     viaIndex(Seq("window", "zzz_not_a_token")) shouldBe empty
   }
 
+  test("duplicate terms collapse: [dup, dup] answers like [dup]") {
+    viaIndex(Seq("dup", "dup")) shouldBe directScan(Seq("dup"))
+  }
+
   test("bm25 ranks only docs containing a query term, scores positive-desc") {
     val terms = Seq("dup", "window")
     val rows = SearchOps.bm25(spark, sf, terms, 20).collect()
