@@ -216,5 +216,28 @@ object DmlQueries {
     st.table("mv").orderBy("lang")
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87, q102)
+  /** q104: schema evolution exercised END TO END through the store — not
+    * just spec-tested. Documents land in a table, a `tier` column is added
+    * METADATA-ONLY (no data rewrite — SchemaEvolutionSpec proves the file
+    * set is untouched), long documents are then tiered by UPDATE (which
+    * physically materializes the column for its rewrite), and the final
+    * table must equal the oracle's plain CASE projection. Covers the
+    * add-default read path AND the materialize-on-write path in one gate. */
+  val q104 = QueryDef(
+    "q104_schema_evolution",
+    """SELECT doc_id,
+      |  CASE WHEN len(string_split(trim(text), ' ')) > 120 THEN 'long'
+      |       ELSE 'unrated' END AS tier
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.tokens
+    val st = new graft.sources.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-evolve-q").toString)
+    st.create("docs", Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).as("ntok")))
+    st.addColumn("docs", "tier", "STRING", "'unrated'")
+    st.update("docs", col("ntok") > 120, Map("tier" -> lit("long")))
+    st.table("docs").select("doc_id", "tier").orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87, q102, q104)
 }

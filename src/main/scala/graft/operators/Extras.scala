@@ -231,5 +231,36 @@ object Extras {
       .orderBy("lang")
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100)
+  /** q106: UNPIVOT — the inverse of q77's PIVOT: a wide per-lang metric
+    * row melts into (lang, metric, value) long form via Spark's native
+    * `unpivot` (one narrow projection, no shuffle beyond the aggregate);
+    * the oracle is the UNION ALL form, which is UNPIVOT's relational
+    * meaning. Metrics are exact ints cast to double, so values carry no
+    * fp-summation order risk. */
+  val q106 = QueryDef(
+    "q106_unpivot",
+    """SELECT lang, 'max_tokens' AS metric,
+      |  CAST(MAX(len(string_split(trim(text), ' '))) AS DOUBLE) AS value
+      |FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT lang, 'n_docs', CAST(COUNT(*) AS DOUBLE) FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT lang, 'n_tokens',
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE)
+      |FROM documents GROUP BY lang
+      |ORDER BY lang, metric""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.tokens
+    Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).as("ntok"))
+      .groupBy("lang")
+      .agg(max(col("ntok")).cast("double").as("max_tokens"),
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("ntok")).cast("double").as("n_tokens"))
+      .unpivot(Array(col("lang")),
+        Array(col("max_tokens"), col("n_docs"), col("n_tokens")),
+        "metric", "value")
+      .orderBy("lang", "metric")
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106)
 }

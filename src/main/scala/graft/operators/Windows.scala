@@ -198,5 +198,29 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q81)
+  /** q105: per-group DENSE_RANK with real ties — ranking by token count
+    * alone (no unique tiebreak) so equal-length docs share a rank and a
+    * rank band can hold more rows than its nominal size; keep bands ≤ 3.
+    * PARTITIONED window (per lang): scales horizontally, unlike a global
+    * rank — the 100 TB-safe shape q22/q23 exist to avoid globally. */
+  val q105 = QueryDef(
+    "q105_dense_rank_groups",
+    """SELECT lang, doc_id, dr FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(DENSE_RANK() OVER (
+      |      PARTITION BY lang
+      |      ORDER BY len(string_split(trim(text), ' ')) DESC) AS BIGINT) AS dr
+      |  FROM documents) t
+      |WHERE dr <= 3 ORDER BY lang, dr, doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.tokens
+    val w = Window.partitionBy("lang")
+      .orderBy(size(tokens(col("text"))).desc)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        dense_rank().over(w).cast("long").as("dr"))
+      .filter(col("dr") <= 3)
+      .orderBy("lang", "dr", "doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q81, q105)
 }
