@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, CorpusOps, Dedup, NativeOps, Windows}
+import graft.operators.{Analytics, CorpusOps, Dedup, NativeOps, SearchOps, Windows}
 
 /** Physical-plan assertions: the scale-critical properties SURVEY.md §4
   * commits to — filters and projections reach the parquet scan, dim joins
@@ -118,6 +118,31 @@ class PlanSpec extends SparkSpec {
     plan should include("ShuffledHashJoin")
     plan should not include "BroadcastHashJoin"
     plan should include("salt") // the salt is really part of the join key
+  }
+
+  test("q97: edit-distance dedup joins on the blocking key, no nested loop") {
+    val plan = planOf(Dedup.q97.build(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q98: inverted-index build aggregates partially before its one shuffle") {
+    val plan = planOf(SearchOps.q98.build(spark, sf))
+    plan should not include "CartesianProduct"
+    // partial+final pairs for both the distinct and the postings aggregate
+    plan should include("partial_count")
+  }
+
+  test("q101: BM25 joins hash-wise; only the 1-row stats frame crosses") {
+    val df = SearchOps.q101.build(spark, sf)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    // the executed AdaptiveSparkPlan prints final AND initial plans; only
+    // the final one is what ran
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    plan should not include "CartesianProduct"
+    // the single BroadcastNestedLoopJoin is the 1-row corpus-stats cross
+    plan.sliding("BroadcastNestedLoopJoin".length).count(
+      _ == "BroadcastNestedLoopJoin") should be <= 1
   }
 
   test("q82: binned range join is an equi-join, never a nested loop") {
