@@ -86,15 +86,22 @@ object ScaleBench {
   }
 
   /** Flagships: scan/agg, broadcast join chain, the dedup→components→
-    * curation chain, exact + trained ANN, bounded top-k, skew agg. q47 is
-    * excluded by design — its guard (MaxGroundTruthDocs) correctly
-    * refuses the 50k-doc replica. */
+    * curation chain, exact + trained ANN, bounded top-k, skew agg, the
+    * inverted-index/BM25 search side, MV refresh, and percentile bands.
+    * q47 is excluded by design — its guard (MaxGroundTruthDocs) correctly
+    * refuses the 50k-doc replica. q97 is excluded for the same class of
+    * reason: the replica copies every document's opening words 10×, so
+    * its prefix-blocking key degenerates into 10×-sized hot blocks
+    * (quadratic candidates) by construction — a replication artifact, not
+    * a property of prefix blocking on a real 10× corpus. */
   private val flagships = Seq(
     "q01_pricing_summary", "q10_revenue_by_nation", "q46_dedup_exact",
     "q48_minhash_lsh", "q71_neardup_components", "q75_curation_pipeline",
     "q50_cosine_topk", "q69_topk_aggregator", "q76_kmeans_ivf_train",
     "q58_salted_skew_agg", "q89_ivf_multiprobe_recall",
-    "q90_incremental_dedup", "q91_video_frame_sample", "q92_sequence_packing")
+    "q90_incremental_dedup", "q91_video_frame_sample", "q92_sequence_packing",
+    "q98_inverted_index", "q101_bm25_rank", "q102_incremental_mv",
+    "q103_winsorize_length")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

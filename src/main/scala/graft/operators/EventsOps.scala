@@ -85,5 +85,30 @@ object EventsOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70)
+  /** q107: time-based RANGE window frame — a trailing 1-hour sliding sum
+    * per user, the frame form q66's ROWS BETWEEN cannot express (peers
+    * are chosen by ORDER-BY VALUE distance, not row position, so ties in
+    * the same second enter the frame together on both engines). The frame
+    * orders on integer epoch SECONDS (Spark `unix_timestamp` ≡ DuckDB
+    * `epoch_ns // 1e9`, both floor on positive epochs) and sums
+    * decimal-exact values, so frame contents and totals are bit-identical
+    * cross-engine. Partitioned by user_id: state distributes, no global
+    * window. */
+  val q107 = QueryDef(
+    "q107_range_frame_window",
+    """SELECT event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts) // 1000000000
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_1h
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), out(sum(d4(col("value"))).over(w), 4).as("v_1h"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107)
 }
