@@ -539,6 +539,7 @@ final class TableStore(spark: SparkSession, root: String) {
   private case class AddCol(col: String, typeDdl: String, default: String,
                             atV: Int) extends SchemaDelta
   private case class DropCol(col: String, atV: Int) extends SchemaDelta
+  private case class RenameCol(from: String, to: String, atV: Int) extends SchemaDelta
 
   private def readAddCols(name: String, v: Int): Seq[SchemaDelta] = {
     val p = addColsFile(name, v)
@@ -547,6 +548,7 @@ final class TableStore(spark: SparkSession, root: String) {
       l.split("\t", 5) match {
         case Array("ADD", av, c, t, e) => AddCol(c, t, e, av.toInt)
         case Array("DROP", av, c) => DropCol(c, av.toInt)
+        case Array("RENAME", av, f, t) => RenameCol(f, t, av.toInt)
         case other => sys.error(s"corrupt schema-delta line in $p: ${other.mkString("\\t")}")
       }
     }
@@ -555,6 +557,7 @@ final class TableStore(spark: SparkSession, root: String) {
   private def renderDelta(d: SchemaDelta): String = d match {
     case AddCol(c, t, e, av) => s"ADD\t$av\t$c\t$t\t$e"
     case DropCol(c, av) => s"DROP\t$av\t$c"
+    case RenameCol(f, t, av) => s"RENAME\t$av\t$f\t$t"
   }
 
   /** Atomic sidecar write (tmp + rename): a crash mid-write must never
@@ -589,6 +592,9 @@ final class TableStore(spark: SparkSession, root: String) {
         else acc.withColumn(c, expr(e).cast(t))
       case (acc, DropCol(c, _)) =>
         if (acc.columns.exists(_.equalsIgnoreCase(c))) acc.drop(c) else acc
+      case (acc, RenameCol(f, t, _)) =>
+        if (acc.columns.exists(_.equalsIgnoreCase(f))) acc.withColumnRenamed(f, t)
+        else acc
     }
 
   /** ALTER TABLE … ADD COLUMN with a constant DEFAULT (SQL expression
@@ -676,6 +682,58 @@ final class TableStore(spark: SparkSession, root: String) {
     })
     writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
       Some(readAddCols(name, v0) :+ DropCol(colName, v0 + 1)))
+  }
+
+  /** ALTER TABLE … RENAME COLUMN — metadata-only like [[addColumn]]. Key
+    * constraints (PK/FK/Unique, own and inbound), DEFAULT, and NOT NULL
+    * registrations follow the rename; a CHECK predicate cannot be
+    * rewritten (Column is opaque), so a CHECK-dependent rename is
+    * refused. The partition column cannot be renamed (subdir names embed
+    * it). */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val v0 = currentVersion(name)
+    require(v0 >= 0, s"no such table: $name")
+    val cols = table(name).columns
+    require(cols.exists(_.equalsIgnoreCase(from)), s"$name has no column named $from")
+    require(!cols.exists(_.equalsIgnoreCase(to)),
+      s"$name already has a column named $to")
+    val (partCol, entries) = readManifest(name, v0) match {
+      case Some(m) => (m.partCol, m.entries)
+      case None => ("", Seq("." -> s"v$v0"))
+    }
+    require(!partCol.equalsIgnoreCase(from),
+      s"cannot rename partition column $from of $name")
+    val remaining = org.apache.spark.sql.types.StructType(
+      table(name).schema.filterNot(_.name.equalsIgnoreCase(from)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remaining)
+    constraintsOf(name).foreach {
+      case Check(label, pred) =>
+        val depends =
+          try { empty.filter(pred).queryExecution.analyzed; false }
+          catch { case _: Throwable => true }
+        require(!depends,
+          s"cannot rename $name.$from: CHECK $label references it " +
+            "(drop and re-create the constraint under the new name)")
+      case _ => ()
+    }
+    def sub(c: String) = if (c.equalsIgnoreCase(from)) to else c
+    // own constraints follow the rename; inbound FK refCols follow too
+    metas.keys.toSeq.foreach { t =>
+      val m = metas(t)
+      metas(t) = Meta(m.constraints.map {
+        case PrimaryKey(cs) if t == name => PrimaryKey(cs.map(sub))
+        case Unique(cs) if t == name => Unique(cs.map(sub))
+        case ForeignKey(cs, ref, rcs, od) =>
+          ForeignKey(if (t == name) cs.map(sub) else cs, ref,
+            if (ref == name) rcs.map(sub) else rcs, od)
+        case Default(c, v) if t == name => Default(sub(c), v)
+        case NotNullCol(c) if t == name => NotNullCol(sub(c))
+        case other => other
+      })
+    }
+    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
+      Some(readAddCols(name, v0) :+ RenameCol(from, to, v0 + 1)))
   }
 
   /** CREATE TABLE … CLUSTERED BY (cols): range-repartition into `files`

@@ -188,6 +188,51 @@ class SchemaEvolutionSpec extends SparkSpec {
     st.table("t").head.getString(1) shouldBe "z"
   }
 
+  test("rename column is metadata-only; values survive under the new name") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "v", "score"))
+    val before = parquetFiles(st.rootDir)
+    st.renameColumn("t", "score", "points")
+    parquetFiles(st.rootDir) shouldBe before
+    st.table("t").columns.toSeq shouldBe Seq("id", "v", "points")
+    st.table("t").orderBy("id").collect().map(_.getLong(2)).toSeq shouldBe Seq(10L, 20L)
+    // time travel: the old version still shows the old name
+    st.tableAt("t", 0).columns should contain("score")
+  }
+
+  test("rename follows the PK: upsert still merges on the renamed key") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      Seq(PrimaryKey(Seq("id"))))
+    st.renameColumn("t", "id", "doc_id")
+    st.upsert("t", Seq((2, "b2"), (3, "c")).toDF("doc_id", "v"))
+    st.table("t").orderBy("doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+      Seq((1, "a"), (2, "b2"), (3, "c"))
+  }
+
+  test("rename refuses collisions, partition columns, and CHECK dependents") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 5L)).toDF("id", "v", "score"),
+      Seq(Check("pos", col("score") > 0)))
+    an[IllegalArgumentException] should be thrownBy st.renameColumn("t", "v", "score")
+    an[IllegalArgumentException] should be thrownBy st.renameColumn("t", "score", "pts")
+    an[IllegalArgumentException] should be thrownBy st.renameColumn("t", "nope", "x")
+    st.createPartitioned("p", Seq((1, "us")).toDF("id", "region"), "region")
+    an[IllegalArgumentException] should be thrownBy st.renameColumn("p", "region", "r")
+  }
+
+  test("rename then physical rewrite; a later add may reuse the old name freshly") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 10L)).toDF("id", "v", "score"))
+    st.renameColumn("t", "score", "points")                  // v1
+    st.update("t", col("id") === 1, Map("points" -> lit(11L))) // v2 materializes
+    st.addColumn("t", "score", "STRING", "'fresh'")          // v3: old name, new column
+    val r = st.table("t").head
+    r.getAs[Long]("points") shouldBe 11L
+    r.getAs[String]("score") shouldBe "fresh" // physical old bytes not resurrected
+  }
+
   test("vacuum keeps the shared data alive while the current version needs it") {
     val st = freshStore()
     st.create("t", Seq((1, "a")).toDF("id", "v"))
