@@ -262,5 +262,30 @@ object Extras {
       .orderBy("lang", "metric")
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106)
+  /** q108: approximate percentile (KLL-style sketch) gated as an
+    * invariant — the 100 TB path for q68's exact percentiles (an exact
+    * percentile sorts each group; the sketch is a fixed-size mergeable
+    * summary with map-side partials). Like q100, a sketch value can't
+    * hash-match across engines, so the query emits the EXACT median plus
+    * a boolean asserting the sketch landed within 5% of it; the oracle
+    * recomputes the exact median and pins the boolean TRUE. At
+    * accuracy=10000 and these group sizes the sketch's rank error is
+    * ≤ ~1 rank, so the 5% value tolerance is far outside noise. */
+  val q108 = QueryDef(
+    "q108_approx_percentile",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  true AS approx_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"))
+      .select(col("o_orderstatus"), col("median_price"),
+        (abs(col("ap") - col("median_price")) <= col("median_price") * 0.05)
+          .as("approx_ok"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108)
 }
