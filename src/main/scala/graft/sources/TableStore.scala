@@ -602,12 +602,46 @@ final class TableStore(spark: SparkSession, root: String) {
     * file is read or written. Existing rows read the default until a later
     * physical rewrite materializes it; INSERT/UPSERT batches must carry
     * the column (a registered DEFAULT backfills NULLs in inserts). */
+  /** ALTER-introduced identifiers land verbatim in the tab-separated
+    * sidecar, so a tab or newline would commit a line readAddCols can
+    * never parse — validate BEFORE anything durable happens. */
+  private def requireIdentifier(what: String, s: String): Unit =
+    require(s.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"$what must be a plain identifier ([A-Za-z_][A-Za-z0-9_]*), got: '$s'")
+
+  /** The current version's manifest, or a whole-dir entry for a plain
+    * table — the new-version scaffold every metadata-only ALTER reuses. */
+  private def manifestOrWhole(name: String, v0: Int): (String, Seq[(String, String)]) =
+    readManifest(name, v0) match {
+      case Some(m) => (m.partCol, m.entries)
+      case None => ("", Seq("." -> s"v$v0"))
+    }
+
+  /** Does `pred` depend on `colName`? Analyzed against a FRESH empty
+    * relation carrying only the remaining columns — Column exposes no
+    * expression tree in the Spark 4 API, so resolution is the dependency
+    * test, and it must be a fresh relation: filtering
+    * `table(name).drop(col)` would false-negative because the analyzer's
+    * missing-references rule resolves filter columns through a Project. */
+  private def predDependsOn(name: String, colName: String, pred: Column): Boolean = {
+    val remaining = org.apache.spark.sql.types.StructType(
+      table(name).schema.filterNot(_.name.equalsIgnoreCase(colName)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remaining)
+    try { empty.filter(pred).queryExecution.analyzed; false }
+    catch { case _: Throwable => true }
+  }
+
   def addColumn(name: String, colName: String, typeDdl: String,
                 defaultExpr: String = "NULL"): Unit = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
+    requireIdentifier("ADD COLUMN name", colName)
     require(!table(name).columns.exists(_.equalsIgnoreCase(colName)),
       s"$name already has a column named $colName")
+    require(!typeDdl.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+      !defaultExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "ADD COLUMN type/default must not contain tab or newline characters")
     val d = expr(defaultExpr).cast(typeDdl)
     // eagerly prove the default is a DETERMINISTIC CONSTANT of the
     // declared type: a 1-row ZERO-column probe (range minus id) rejects
@@ -619,14 +653,13 @@ final class TableStore(spark: SparkSession, root: String) {
       s"ADD COLUMN default must be deterministic, got: $defaultExpr")
     probe.collect()
     val v = v0 + 1
-    val (partCol, entries) = readManifest(name, v0) match {
-      case Some(m) => (m.partCol, m.entries)
-      case None => ("", Seq("." -> s"v$v0"))
-    }
-    val prevCs = metas.get(name).map(_.constraints).getOrElse(Nil)
-    metas(name) = Meta(prevCs :+ Default(colName, d))
+    val (partCol, entries) = manifestOrWhole(name, v0)
     writeManifestAndFlip(name, v, Manifest(partCol, entries),
       Some(readAddCols(name, v0) :+ AddCol(colName, typeDdl, defaultExpr, v)))
+    // in-memory registration only after the durable flip succeeded: a
+    // failed ALTER must leave constraints describing the on-disk table
+    val prevCs = metas.get(name).map(_.constraints).getOrElse(Nil)
+    metas(name) = Meta(prevCs :+ Default(colName, d))
   }
 
   /** ALTER TABLE … DROP COLUMN — metadata-only like [[addColumn]]: the
@@ -640,31 +673,15 @@ final class TableStore(spark: SparkSession, root: String) {
     require(v0 >= 0, s"no such table: $name")
     require(table(name).columns.exists(_.equalsIgnoreCase(colName)),
       s"$name has no column named $colName")
-    val (partCol, entries) = readManifest(name, v0) match {
-      case Some(m) => (m.partCol, m.entries)
-      case None => ("", Seq("." -> s"v$v0"))
-    }
+    val (partCol, entries) = manifestOrWhole(name, v0)
     require(!partCol.equalsIgnoreCase(colName),
       s"cannot drop partition column $colName of $name")
     val cs = constraintsOf(name)
-    // a CHECK depends on the column iff its predicate fails to analyze
-    // against a FRESH relation carrying only the remaining columns.
-    // (Column exposes no expression tree in the Spark 4 API, so resolution
-    // is the dependency test — and it must be a fresh relation: filtering
-    // table(name).drop(col) would succeed anyway, because the analyzer's
-    // missing-references rule resolves filter columns through a Project.)
-    val remaining = org.apache.spark.sql.types.StructType(
-      table(name).schema.filterNot(_.name.equalsIgnoreCase(colName)))
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remaining)
-    def checkDependsOn(pred: Column): Boolean =
-      try { empty.filter(pred).queryExecution.analyzed; false }
-      catch { case _: Throwable => true }
     val keyed = cs.exists {
       case PrimaryKey(cols) => cols.exists(_.equalsIgnoreCase(colName))
       case ForeignKey(cols, _, _, _) => cols.exists(_.equalsIgnoreCase(colName))
       case Unique(cols) => cols.exists(_.equalsIgnoreCase(colName))
-      case Check(_, pred) => checkDependsOn(pred)
+      case Check(_, pred) => predDependsOn(name, colName, pred)
       case _ => false
     }
     require(!keyed, s"cannot drop $colName: a constraint on $name depends on it")
@@ -675,13 +692,14 @@ final class TableStore(spark: SparkSession, root: String) {
       case _ => false
     } }
     require(!inbound, s"cannot drop $name.$colName: a foreign key references it")
+    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
+      Some(readAddCols(name, v0) :+ DropCol(colName, v0 + 1)))
+    // registrations change only after the durable flip succeeded
     metas(name) = Meta(cs.filterNot {
       case Default(c, _) => c.equalsIgnoreCase(colName)
       case NotNullCol(c) => c.equalsIgnoreCase(colName)
       case _ => false
     })
-    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
-      Some(readAddCols(name, v0) :+ DropCol(colName, v0 + 1)))
   }
 
   /** ALTER TABLE … RENAME COLUMN — metadata-only like [[addColumn]]. Key
@@ -693,32 +711,29 @@ final class TableStore(spark: SparkSession, root: String) {
   def renameColumn(name: String, from: String, to: String): Unit = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
+    requireIdentifier("RENAME COLUMN target", to)
     val cols = table(name).columns
     require(cols.exists(_.equalsIgnoreCase(from)), s"$name has no column named $from")
-    require(!cols.exists(_.equalsIgnoreCase(to)),
+    // a case-only rename (score -> Score) is legitimate; only a collision
+    // with a DIFFERENT column is refused
+    require(!cols.exists(c => c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(from)),
       s"$name already has a column named $to")
-    val (partCol, entries) = readManifest(name, v0) match {
-      case Some(m) => (m.partCol, m.entries)
-      case None => ("", Seq("." -> s"v$v0"))
-    }
+    val (partCol, entries) = manifestOrWhole(name, v0)
     require(!partCol.equalsIgnoreCase(from),
       s"cannot rename partition column $from of $name")
-    val remaining = org.apache.spark.sql.types.StructType(
-      table(name).schema.filterNot(_.name.equalsIgnoreCase(from)))
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remaining)
     constraintsOf(name).foreach {
       case Check(label, pred) =>
-        val depends =
-          try { empty.filter(pred).queryExecution.analyzed; false }
-          catch { case _: Throwable => true }
-        require(!depends,
+        require(!predDependsOn(name, from, pred),
           s"cannot rename $name.$from: CHECK $label references it " +
             "(drop and re-create the constraint under the new name)")
       case _ => ()
     }
+    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
+      Some(readAddCols(name, v0) :+ RenameCol(from, to, v0 + 1)))
+    // registrations follow the rename only after the durable flip
+    // succeeded — a failed ALTER must leave every table's constraints
+    // describing its on-disk state (own keys AND inbound FK refCols)
     def sub(c: String) = if (c.equalsIgnoreCase(from)) to else c
-    // own constraints follow the rename; inbound FK refCols follow too
     metas.keys.toSeq.foreach { t =>
       val m = metas(t)
       metas(t) = Meta(m.constraints.map {
@@ -732,8 +747,6 @@ final class TableStore(spark: SparkSession, root: String) {
         case other => other
       })
     }
-    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
-      Some(readAddCols(name, v0) :+ RenameCol(from, to, v0 + 1)))
   }
 
   /** CREATE TABLE … CLUSTERED BY (cols): range-repartition into `files`

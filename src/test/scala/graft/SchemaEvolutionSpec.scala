@@ -233,6 +233,25 @@ class SchemaEvolutionSpec extends SparkSpec {
     r.getAs[String]("score") shouldBe "fresh" // physical old bytes not resurrected
   }
 
+  test("ALTER identifiers that would corrupt the sidecar are refused up front") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    an[IllegalArgumentException] should be thrownBy st.addColumn("t", "a\tb", "BIGINT", "0")
+    an[IllegalArgumentException] should be thrownBy st.addColumn("t", "a\nb", "BIGINT", "0")
+    an[IllegalArgumentException] should be thrownBy st.renameColumn("t", "v", "x\ty")
+    an[IllegalArgumentException] should be thrownBy
+      st.addColumn("t", "w", "BIGINT", "0\t-- smuggled")
+    st.table("t").columns.toSeq shouldBe Seq("id", "v") // nothing committed
+  }
+
+  test("case-only rename is a legitimate rename, not a collision") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a", 5L)).toDF("id", "v", "score"))
+    st.renameColumn("t", "score", "Score")
+    st.table("t").columns.toSeq shouldBe Seq("id", "v", "Score")
+    st.table("t").head.getAs[Long]("Score") shouldBe 5L
+  }
+
   test("vacuum keeps the shared data alive while the current version needs it") {
     val st = freshStore()
     st.create("t", Seq((1, "a")).toDF("id", "v"))
