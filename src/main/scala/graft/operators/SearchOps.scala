@@ -18,26 +18,47 @@ import graft.functions.TextFunctions._
   */
 object SearchOps {
 
+  /** Posting-list length ceiling: a stop-word token's posting list is
+    * corpus-sized, and `collect_set` grows its aggregation buffer with
+    * every element DURING the aggregate — a post-hoc filter can't undo
+    * that memory. The index therefore counts document frequency FIRST
+    * (a cheap count aggregate), drops tokens outside [minDf, maxDf], and
+    * only then collects postings — every surviving buffer is ≤ maxDf
+    * elements by construction. Far above any test corpus's df; binding
+    * exactly where it matters at 100 TB (stop words, boilerplate). */
+  val MaxPostings = 100000L
+
   /** q98: the inverted index itself — document frequency + the sorted
-    * posting list per token, for every token appearing in ≥20 documents.
-    * Postings serialize as a comma-joined string (long→decimal renders
-    * identically in Spark and DuckDB, so the gate hash-compares the
-    * lists bit-for-bit). */
+    * posting list per token, for every token appearing in ≥20 documents
+    * (and ≤ [[MaxPostings]] — see above). Postings serialize as a
+    * comma-joined string (long→decimal renders identically in Spark and
+    * DuckDB, so the gate hash-compares the lists bit-for-bit).
+    *
+    * One data shuffle: the df filter join and the postings aggregate both
+    * key on `w`, so the join's hash partitioning is reused by the final
+    * groupBy without a second exchange. */
   val q98 = QueryDef(
     "q98_inverted_index",
     """WITH tok AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
-      |  FROM documents)
-      |SELECT w, COUNT(*) AS doc_freq,
-      |  array_to_string(list_sort(list(doc_id)), ',') AS postings
-      |FROM tok GROUP BY 1 HAVING COUNT(*) >= 20 ORDER BY w""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+      |  FROM documents),
+      |df AS (
+      |  SELECT w FROM tok GROUP BY 1
+      |  HAVING COUNT(*) >= 20 AND COUNT(*) <= 100000)
+      |SELECT t.w, COUNT(*) AS doc_freq,
+      |  array_to_string(list_sort(list(t.doc_id)), ',') AS postings
+      |FROM tok t JOIN df ON df.w = t.w
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val pairs = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .distinct()
+    val keep = pairs.groupBy("w").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 20 && col("__df") <= MaxPostings)
+      .select("w")
+    pairs.join(keep, "w")
       .groupBy("w")
       .agg(count(lit(1)).as("doc_freq"),
         concat_ws(",", sort_array(collect_set(col("doc_id")))).as("postings"))
-      .filter(col("doc_freq") >= 20)
       .orderBy("w")
   }
 
