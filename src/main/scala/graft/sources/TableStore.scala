@@ -261,9 +261,76 @@ final class TableStore(spark: SparkSession, root: String) {
     (df.filter(pred), FileStats.ScanReport(files.size, kept.size))
   }
 
+  // ------------------------------------------------------------------
+  // Persistent constraint catalog: the DURABLE subset of each table's
+  // constraints (PK / FK / UNIQUE / NOT NULL — all pure names) lives in
+  // a per-table CONSTRAINTS sidecar, so a fresh TableStore opened on an
+  // existing root can still upsert by PK, cascade deletes through FKs,
+  // and audit keys. DEFAULT and CHECK hold opaque Column expressions the
+  // Spark 4 API cannot serialize — those remain session-scoped.
+  // ------------------------------------------------------------------
+
+  private def constraintsFile(name: String) = Paths.get(s"$root/$name/CONSTRAINTS")
+
+  private def persistConstraints(name: String): Unit = {
+    val cs = metas.get(name).map(_.constraints).getOrElse(Nil)
+    val lines = cs.flatMap {
+      case PrimaryKey(cols) => Some(s"PK\t${cols.mkString(",")}")
+      case ForeignKey(cols, ref, refCols, od) =>
+        val o = od match {
+          case Cascade => "CASCADE"; case SetNull => "SETNULL"; case Restrict => "RESTRICT"
+        }
+        Some(s"FK\t${cols.mkString(",")}\t$ref\t${refCols.mkString(",")}\t$o")
+      case Unique(cols) => Some(s"UNIQUE\t${cols.mkString(",")}")
+      case NotNullCol(c) => Some(s"NOTNULL\t$c")
+      case _ => None // Default / Check: opaque Columns, session-scoped
+    }
+    Files.createDirectories(Paths.get(s"$root/$name"))
+    val tmp = Paths.get(s"${constraintsFile(name)}.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes)
+    Files.move(tmp, constraintsFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadConstraints(name: String): Option[Seq[Constraint]] = {
+    val p = constraintsFile(name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p)).split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      l.split("\t", 5) match {
+        case Array("PK", cs) => PrimaryKey(cs.split(",").toSeq)
+        case Array("FK", cs, ref, rcs, o) =>
+          val od = o match {
+            case "CASCADE" => Cascade; case "SETNULL" => SetNull; case _ => Restrict
+          }
+          ForeignKey(cs.split(",").toSeq, ref, rcs.split(",").toSeq, od)
+        case Array("UNIQUE", cs) => Unique(cs.split(",").toSeq)
+        case Array("NOTNULL", c) => NotNullCol(c)
+        case other => sys.error(s"corrupt constraint line in $p: ${other.mkString("\\t")}")
+      }
+    })
+  }
+
+  private def setMeta(name: String, cs: Seq[Constraint]): Unit = {
+    metas(name) = Meta(cs)
+    persistConstraints(name)
+  }
+
+  /** Load constraints persisted by an earlier session for tables this one
+    * hasn't seen — cross-table operations (FK propagation, dependents,
+    * inbound-FK guards, catalog listing) need the full graph. */
+  private def hydrateCatalog(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val r = Paths.get(root)
+    if (!Files.exists(r)) return
+    Files.list(r).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filterNot(metas.contains).toSeq
+      .foreach(t => loadConstraints(t).foreach(cs => metas(t) = Meta(cs)))
+  }
+
   // §2.1 S3/S4 — CREATE TABLE [AS SELECT]
   def create(name: String, df: DataFrame, constraints: Seq[Constraint] = Nil): Unit = {
-    metas(name) = Meta(constraints)
+    setMeta(name, constraints)
     Files.createDirectories(Paths.get(s"$root/$name"))
     publish(name, df)
   }
@@ -280,7 +347,11 @@ final class TableStore(spark: SparkSession, root: String) {
   def exists(name: String): Boolean = Files.exists(versionFile(name))
 
   def constraintsOf(name: String): Seq[Constraint] =
-    metas.get(name).map(_.constraints).getOrElse(Nil)
+    metas.get(name).map(_.constraints).orElse {
+      val loaded = loadConstraints(name) // persisted by an earlier session
+      loaded.foreach(cs => metas(name) = Meta(cs))
+      loaded
+    }.getOrElse(Nil)
 
   /** §2.1 S8 — DROP TABLE [CASCADE]: CASCADE drops dependents too. */
   def drop(name: String, cascade: Boolean = false): Unit = {
@@ -293,10 +364,12 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  private def dependents(name: String): Seq[String] =
+  private def dependents(name: String): Seq[String] = {
+    hydrateCatalog()
     metas.collect { case (t, m)
       if m.constraints.exists { case ForeignKey(_, ref, _, _) => ref == name; case _ => false } => t
     }.toSeq
+  }
 
   /** §2.9 D5 / §2.1 S5-S7 — INSERT with optional ON CONFLICT (pk) DO
     * NOTHING: anti-join on the PK before union. Defaults are filled. */
@@ -413,6 +486,7 @@ final class TableStore(spark: SparkSession, root: String) {
       .getOrElse(Seq.empty)
     if (parentPk.isEmpty) return
     val doomedKeys = doomedParents.select(parentPk.map(col): _*)
+    hydrateCatalog() // children registered by an earlier session cascade too
     for ((child, m) <- metas.toSeq; c <- m.constraints) c match {
       case ForeignKey(cols, ref, refCols, action) if ref == parentName =>
         val childDf = table(child)
@@ -656,10 +730,9 @@ final class TableStore(spark: SparkSession, root: String) {
     val (partCol, entries) = manifestOrWhole(name, v0)
     writeManifestAndFlip(name, v, Manifest(partCol, entries),
       Some(readAddCols(name, v0) :+ AddCol(colName, typeDdl, defaultExpr, v)))
-    // in-memory registration only after the durable flip succeeded: a
-    // failed ALTER must leave constraints describing the on-disk table
-    val prevCs = metas.get(name).map(_.constraints).getOrElse(Nil)
-    metas(name) = Meta(prevCs :+ Default(colName, d))
+    // registration only after the durable flip succeeded: a failed ALTER
+    // must leave constraints describing the on-disk table
+    setMeta(name, constraintsOf(name) :+ Default(colName, d))
   }
 
   /** ALTER TABLE … DROP COLUMN — metadata-only like [[addColumn]]: the
@@ -686,6 +759,7 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     require(!keyed, s"cannot drop $colName: a constraint on $name depends on it")
     // inbound FKs: a child table pointing AT this column blocks the drop
+    hydrateCatalog()
     val inbound = metas.exists { case (_, m) => m.constraints.exists {
       case ForeignKey(_, ref, refCols, _) =>
         ref == name && refCols.exists(_.equalsIgnoreCase(colName))
@@ -695,7 +769,7 @@ final class TableStore(spark: SparkSession, root: String) {
     writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
       Some(readAddCols(name, v0) :+ DropCol(colName, v0 + 1)))
     // registrations change only after the durable flip succeeded
-    metas(name) = Meta(cs.filterNot {
+    setMeta(name, cs.filterNot {
       case Default(c, _) => c.equalsIgnoreCase(colName)
       case NotNullCol(c) => c.equalsIgnoreCase(colName)
       case _ => false
@@ -734,9 +808,10 @@ final class TableStore(spark: SparkSession, root: String) {
     // succeeded — a failed ALTER must leave every table's constraints
     // describing its on-disk state (own keys AND inbound FK refCols)
     def sub(c: String) = if (c.equalsIgnoreCase(from)) to else c
+    hydrateCatalog() // other sessions' children carry refCols to rewrite
     metas.keys.toSeq.foreach { t =>
       val m = metas(t)
-      metas(t) = Meta(m.constraints.map {
+      setMeta(t, m.constraints.map {
         case PrimaryKey(cs) if t == name => PrimaryKey(cs.map(sub))
         case Unique(cs) if t == name => Unique(cs.map(sub))
         case ForeignKey(cs, ref, rcs, od) =>
@@ -844,7 +919,7 @@ final class TableStore(spark: SparkSession, root: String) {
   /** CREATE TABLE … PARTITIONED BY (partCol). */
   def createPartitioned(name: String, df: DataFrame, partCol: String,
                         constraints: Seq[Constraint] = Nil): Unit = {
-    metas(name) = Meta(constraints)
+    setMeta(name, constraints)
     Files.createDirectories(Paths.get(s"$root/$name"))
     val v = currentVersion(name) + 1
     df.write.mode("overwrite").partitionBy(partCol).parquet(dataPath(name, v))
@@ -995,8 +1070,10 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** §2.1 S11 — catalog introspection (the reference reads pg_constraint,
     * All-Tasks-of-SQL.sql:33-36): list tables with their constraints. */
-  def describeCatalog(): Seq[(String, Seq[String])] =
+  def describeCatalog(): Seq[(String, Seq[String])] = {
+    hydrateCatalog()
     metas.toSeq.sortBy(_._1).map { case (t, m) => t -> m.constraints.map(_.name) }
+  }
 }
 
 object TableStore {

@@ -241,4 +241,30 @@ class TableStoreSpec extends SparkSpec {
     vs("fk(pid→parents)") shouldBe 1
     vs("check(age > 18)") shouldBe 2 // 17 and 10
   }
+
+  test("key constraints survive a store reopen: upsert by PK and FK cascade work") {
+    val root = Files.createTempDirectory("graft-reopen").toString
+    val st1 = new TableStore(spark, root)
+    st1.create("parents", Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq(PrimaryKey(Seq("id"))))
+    st1.create("kids", Seq((10L, 1L), (11L, 2L)).toDF("kid", "pid"),
+      Seq(PrimaryKey(Seq("kid")),
+        ForeignKey(Seq("pid"), "parents", Seq("id"), Cascade)))
+
+    val st2 = new TableStore(spark, root) // fresh session, same root
+    // PK survived: upsert merges instead of refusing for lack of a key
+    st2.upsert("parents", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"))
+    st2.table("parents").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+    // FK graph survived: deleting a parent cascades into kids
+    st2.delete("parents", col("id") === 1L)
+    st2.table("kids").collect().map(_.getLong(0)).toSeq shouldBe Seq(11L)
+    // catalog listing sees both tables with their key constraints
+    val cat = st2.describeCatalog().toMap
+    cat("parents") should contain("pk(id)")
+    cat("kids") should contain("fk(pid→parents)")
+    // and the inbound-FK drop guard holds across sessions
+    an[IllegalArgumentException] should be thrownBy st2.dropColumn("parents", "id")
+  }
 }
