@@ -53,5 +53,31 @@ object SqlEntry {
         |ORDER BY o_custkey""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q54, q55)
+  /** q109: correlated LATERAL subquery — top-2 customers by balance per
+    * nation, the "for each row, run this parameterized subquery" form.
+    * Catalyst decorrelates the LATERAL + LIMIT into a partitioned
+    * row_number window (scales per-nation, no per-row re-execution);
+    * DuckDB runs the same text natively. Same SQL string on both engines,
+    * full ORDER BY tiebreaks. */
+  val q109 = QueryDef(
+    "q109_sql_lateral",
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin) { (s, d) =>
+    Seq("nation", "customer").foreach { t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t)
+    }
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q54, q55, q109)
 }
