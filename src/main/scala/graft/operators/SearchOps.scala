@@ -39,12 +39,12 @@ object SearchOps {
     * groupBy without a second exchange. */
   val q98 = QueryDef(
     "q98_inverted_index",
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
       |  FROM documents),
       |df AS (
       |  SELECT w FROM tok GROUP BY 1
-      |  HAVING COUNT(*) >= 20 AND COUNT(*) <= 100000)
+      |  HAVING COUNT(*) >= 20 AND COUNT(*) <= $MaxPostings)
       |SELECT t.w, COUNT(*) AS doc_freq,
       |  array_to_string(list_sort(list(t.doc_id)), ',') AS postings
       |FROM tok t JOIN df ON df.w = t.w

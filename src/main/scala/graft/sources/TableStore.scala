@@ -48,6 +48,7 @@ final class TableStore(spark: SparkSession, root: String) {
     collectStats(name, v)
     carryBatchLedger(name, v)
     carryAddCols(name, v)
+    carryConstraintsFile(name, v)
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
@@ -270,11 +271,16 @@ final class TableStore(spark: SparkSession, root: String) {
   // Spark 4 API cannot serialize — those remain session-scoped.
   // ------------------------------------------------------------------
 
-  private def constraintsFile(name: String) = Paths.get(s"$root/$name/CONSTRAINTS")
+  /** Per-VERSION sidecar, exactly like the schema-delta file: written
+    * BEFORE the version flip (invisible until the flip commits), carried
+    * forward by every publish, vacuumed with its version. A crashed
+    * ALTER's pre-written file is clobbered by the next real publish's
+    * carry, and a half-created table (no VERSION) is never hydrated. */
+  private def constraintsFile(name: String, v: Int) =
+    Paths.get(s"$root/$name/v$v.constraints")
 
-  private def persistConstraints(name: String): Unit = {
-    val cs = metas.get(name).map(_.constraints).getOrElse(Nil)
-    val lines = cs.flatMap {
+  private def renderConstraints(cs: Seq[Constraint]): String =
+    cs.flatMap {
       case PrimaryKey(cols) => Some(s"PK\t${cols.mkString(",")}")
       case ForeignKey(cols, ref, refCols, od) =>
         val o = od match {
@@ -284,23 +290,36 @@ final class TableStore(spark: SparkSession, root: String) {
       case Unique(cols) => Some(s"UNIQUE\t${cols.mkString(",")}")
       case NotNullCol(c) => Some(s"NOTNULL\t$c")
       case _ => None // Default / Check: opaque Columns, session-scoped
-    }
+    }.mkString("\n")
+
+  private def writeConstraintsFile(name: String, v: Int, cs: Seq[Constraint]): Unit = {
     Files.createDirectories(Paths.get(s"$root/$name"))
-    val tmp = Paths.get(s"${constraintsFile(name)}.tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes)
-    Files.move(tmp, constraintsFile(name), StandardCopyOption.ATOMIC_MOVE,
+    val tmp = Paths.get(s"${constraintsFile(name, v)}.tmp")
+    Files.write(tmp, renderConstraints(cs).getBytes)
+    Files.move(tmp, constraintsFile(name, v), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def carryConstraintsFile(name: String, newV: Int): Unit = {
+    val prev = constraintsFile(name, newV - 1)
+    if (newV > 0 && Files.exists(prev))
+      Files.copy(prev, constraintsFile(name, newV), StandardCopyOption.REPLACE_EXISTING)
+    else Files.deleteIfExists(constraintsFile(name, newV))
+  }
+
   private def loadConstraints(name: String): Option[Seq[Constraint]] = {
-    val p = constraintsFile(name)
+    val v = currentVersion(name)
+    if (v < 0) return None // no committed table: never hydrate a phantom
+    val p = constraintsFile(name, v)
     if (!Files.exists(p)) None
     else Some(new String(Files.readAllBytes(p)).split("\n").toSeq.filter(_.nonEmpty).map { l =>
       l.split("\t", 5) match {
         case Array("PK", cs) => PrimaryKey(cs.split(",").toSeq)
         case Array("FK", cs, ref, rcs, o) =>
           val od = o match {
-            case "CASCADE" => Cascade; case "SETNULL" => SetNull; case _ => Restrict
+            case "CASCADE" => Cascade; case "SETNULL" => SetNull
+            case "RESTRICT" => Restrict
+            case bad => sys.error(s"corrupt FK action '$bad' in $p")
           }
           ForeignKey(cs.split(",").toSeq, ref, rcs.split(",").toSeq, od)
         case Array("UNIQUE", cs) => Unique(cs.split(",").toSeq)
@@ -310,29 +329,43 @@ final class TableStore(spark: SparkSession, root: String) {
     })
   }
 
+  /** Register in memory and persist to the CURRENT version's sidecar —
+    * for registration changes that do not ride a version flip (CREATE
+    * after its first publish; a renamed parent rewriting a child's FK
+    * refCols). ALTERs on the table itself instead pass their new list
+    * through [[writeManifestAndFlip]] so persistence commits WITH the
+    * flip. */
   private def setMeta(name: String, cs: Seq[Constraint]): Unit = {
     metas(name) = Meta(cs)
-    persistConstraints(name)
+    val v = currentVersion(name)
+    if (v >= 0) writeConstraintsFile(name, v, cs)
   }
 
   /** Load constraints persisted by an earlier session for tables this one
     * hasn't seen — cross-table operations (FK propagation, dependents,
-    * inbound-FK guards, catalog listing) need the full graph. */
+    * inbound-FK guards, catalog listing) need the full graph. Only
+    * committed tables (VERSION present) hydrate. */
   private def hydrateCatalog(): Unit = {
     import scala.jdk.CollectionConverters._
     val r = Paths.get(root)
     if (!Files.exists(r)) return
-    Files.list(r).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
-      .filterNot(metas.contains).toSeq
-      .foreach(t => loadConstraints(t).foreach(cs => metas(t) = Meta(cs)))
+    val stream = Files.list(r)
+    try {
+      stream.iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+        .filterNot(metas.contains).toSeq
+        .foreach(t => loadConstraints(t).foreach(cs => metas(t) = Meta(cs)))
+    } finally stream.close()
   }
 
   // §2.1 S3/S4 — CREATE TABLE [AS SELECT]
   def create(name: String, df: DataFrame, constraints: Seq[Constraint] = Nil): Unit = {
-    setMeta(name, constraints)
+    metas(name) = Meta(constraints)
     Files.createDirectories(Paths.get(s"$root/$name"))
     publish(name, df)
+    // persisted only once the table committed: a failed CREATE leaves no
+    // phantom durable catalog entry
+    writeConstraintsFile(name, currentVersion(name), constraints)
   }
 
   def table(name: String): DataFrame = {
@@ -547,7 +580,8 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   private def writeManifestAndFlip(name: String, v: Int, m: Manifest,
-                                   schemaDeltas: Option[Seq[SchemaDelta]] = None): Unit = {
+                                   schemaDeltas: Option[Seq[SchemaDelta]] = None,
+                                   newConstraints: Option[Seq[Constraint]] = None): Unit = {
     val body = (s"#partcol=${m.partCol}" +: m.entries.map { case (s, vd) => s"$s\t$vd" })
       .mkString("\n")
     Files.write(manifestFile(name, v), body.getBytes)
@@ -555,6 +589,12 @@ final class TableStore(spark: SparkSession, root: String) {
     schemaDeltas match {
       case Some(ds) => writeAddCols(name, v, ds)
       case None => carryAddCols(name, v)
+    }
+    // constraint changes ride the same commit point as the data: the
+    // new-version sidecar is invisible until the VERSION flip below
+    newConstraints match {
+      case Some(cs) => writeConstraintsFile(name, v, cs)
+      case None => carryConstraintsFile(name, v)
     }
     val tmp = Paths.get(s"$root/$name/VERSION.tmp")
     Files.write(tmp, v.toString.getBytes)
@@ -728,11 +768,13 @@ final class TableStore(spark: SparkSession, root: String) {
     probe.collect()
     val v = v0 + 1
     val (partCol, entries) = manifestOrWhole(name, v0)
+    val newCs = constraintsOf(name) :+ Default(colName, d)
     writeManifestAndFlip(name, v, Manifest(partCol, entries),
-      Some(readAddCols(name, v0) :+ AddCol(colName, typeDdl, defaultExpr, v)))
-    // registration only after the durable flip succeeded: a failed ALTER
-    // must leave constraints describing the on-disk table
-    setMeta(name, constraintsOf(name) :+ Default(colName, d))
+      Some(readAddCols(name, v0) :+ AddCol(colName, typeDdl, defaultExpr, v)),
+      Some(newCs))
+    // in-memory registration after the durable flip; the persisted
+    // sidecar committed atomically with the flip above
+    metas(name) = Meta(newCs)
   }
 
   /** ALTER TABLE … DROP COLUMN — metadata-only like [[addColumn]]: the
@@ -766,14 +808,14 @@ final class TableStore(spark: SparkSession, root: String) {
       case _ => false
     } }
     require(!inbound, s"cannot drop $name.$colName: a foreign key references it")
-    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
-      Some(readAddCols(name, v0) :+ DropCol(colName, v0 + 1)))
-    // registrations change only after the durable flip succeeded
-    setMeta(name, cs.filterNot {
+    val newCs = cs.filterNot {
       case Default(c, _) => c.equalsIgnoreCase(colName)
       case NotNullCol(c) => c.equalsIgnoreCase(colName)
       case _ => false
-    })
+    }
+    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
+      Some(readAddCols(name, v0) :+ DropCol(colName, v0 + 1)), Some(newCs))
+    metas(name) = Meta(newCs)
   }
 
   /** ALTER TABLE … RENAME COLUMN — metadata-only like [[addColumn]]. Key
@@ -802,25 +844,32 @@ final class TableStore(spark: SparkSession, root: String) {
             "(drop and re-create the constraint under the new name)")
       case _ => ()
     }
-    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
-      Some(readAddCols(name, v0) :+ RenameCol(from, to, v0 + 1)))
-    // registrations follow the rename only after the durable flip
-    // succeeded — a failed ALTER must leave every table's constraints
-    // describing its on-disk state (own keys AND inbound FK refCols)
     def sub(c: String) = if (c.equalsIgnoreCase(from)) to else c
+    def mapped(t: String, cs: Seq[Constraint]): Seq[Constraint] = cs.map {
+      case PrimaryKey(ks) if t == name => PrimaryKey(ks.map(sub))
+      case Unique(ks) if t == name => Unique(ks.map(sub))
+      case ForeignKey(ks, ref, rks, od) =>
+        ForeignKey(if (t == name) ks.map(sub) else ks, ref,
+          if (ref == name) rks.map(sub) else rks, od)
+      case Default(c, v) if t == name => Default(sub(c), v)
+      case NotNullCol(c) if t == name => NotNullCol(sub(c))
+      case other => other
+    }
+    // the table's OWN registrations commit atomically with the flip;
+    // children holding an FK AT this table are re-persisted afterwards —
+    // a separate file per table, so a crash between the flip and a child
+    // write can leave that child's refCols one rename behind (multi-table
+    // DDL has no single commit point on a filesystem; the stale refCol
+    // then fails loudly at use, never silently)
+    val ownNew = mapped(name, constraintsOf(name))
+    writeManifestAndFlip(name, v0 + 1, Manifest(partCol, entries),
+      Some(readAddCols(name, v0) :+ RenameCol(from, to, v0 + 1)), Some(ownNew))
+    metas(name) = Meta(ownNew)
     hydrateCatalog() // other sessions' children carry refCols to rewrite
-    metas.keys.toSeq.foreach { t =>
-      val m = metas(t)
-      setMeta(t, m.constraints.map {
-        case PrimaryKey(cs) if t == name => PrimaryKey(cs.map(sub))
-        case Unique(cs) if t == name => Unique(cs.map(sub))
-        case ForeignKey(cs, ref, rcs, od) =>
-          ForeignKey(if (t == name) cs.map(sub) else cs, ref,
-            if (ref == name) rcs.map(sub) else rcs, od)
-        case Default(c, v) if t == name => Default(sub(c), v)
-        case NotNullCol(c) if t == name => NotNullCol(sub(c))
-        case other => other
-      })
+    metas.keys.toSeq.filter(_ != name).foreach { t =>
+      val cs = metas(t).constraints
+      val ncs = mapped(t, cs)
+      if (ncs != cs) setMeta(t, ncs) // only children actually touched
     }
   }
 
@@ -919,7 +968,7 @@ final class TableStore(spark: SparkSession, root: String) {
   /** CREATE TABLE … PARTITIONED BY (partCol). */
   def createPartitioned(name: String, df: DataFrame, partCol: String,
                         constraints: Seq[Constraint] = Nil): Unit = {
-    setMeta(name, constraints)
+    metas(name) = Meta(constraints)
     Files.createDirectories(Paths.get(s"$root/$name"))
     val v = currentVersion(name) + 1
     df.write.mode("overwrite").partitionBy(partCol).parquet(dataPath(name, v))
@@ -931,7 +980,9 @@ final class TableStore(spark: SparkSession, root: String) {
         Seq("." -> s"v$v")
       }
     collectStats(name, v)
-    writeManifestAndFlip(name, v, Manifest(partCol, entries))
+    // constraints persist atomically with the table's first commit
+    writeManifestAndFlip(name, v, Manifest(partCol, entries),
+      newConstraints = Some(constraints))
   }
 
   /** UPDATE … WHERE on a partitioned table, rewriting ONLY partitions the
@@ -1045,6 +1096,7 @@ final class TableStore(spark: SparkSession, root: String) {
           Files.deleteIfExists(manifestFile(name, old))
           Files.deleteIfExists(batchesFile(name, old))
           Files.deleteIfExists(addColsFile(name, old))
+          Files.deleteIfExists(constraintsFile(name, old))
         }
         // live bytes: sum exactly the manifest's entries, not whole dirs
         val bytes = m.entries.map { case (sub, vd) =>
@@ -1063,6 +1115,7 @@ final class TableStore(spark: SparkSession, root: String) {
           Files.deleteIfExists(statsFile(name, old))
           Files.deleteIfExists(batchesFile(name, old))
           Files.deleteIfExists(addColsFile(name, old))
+          Files.deleteIfExists(constraintsFile(name, old))
         }
         TableStore.TableStats(table(name).count(), bytes, v)
     }

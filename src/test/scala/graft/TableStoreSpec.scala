@@ -267,4 +267,20 @@ class TableStoreSpec extends SparkSpec {
     // and the inbound-FK drop guard holds across sessions
     an[IllegalArgumentException] should be thrownBy st2.dropColumn("parents", "id")
   }
+
+  test("a failed CREATE leaves no phantom catalog entry") {
+    val root = Files.createTempDirectory("graft-phantom").toString
+    val st1 = new TableStore(spark, root)
+    st1.create("parents", Seq((1L, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
+    // this CREATE fails at write time (ANSI cast of a non-numeric string)
+    val bad = Seq("oops").toDF("s").select(col("s").cast("int").as("pid"))
+    an[Exception] should be thrownBy
+      st1.create("kids", bad, Seq(ForeignKey(Seq("pid"), "parents", Seq("id"), Cascade)))
+    // a fresh session must not hydrate the half-created table: the parent
+    // stays deletable and the catalog lists only committed tables
+    val st2 = new TableStore(spark, root)
+    st2.describeCatalog().map(_._1) should not contain "kids"
+    st2.delete("parents", col("id") === 1L) // would throw if the phantom FK loaded
+    st2.table("parents").count() shouldBe 0
+  }
 }
