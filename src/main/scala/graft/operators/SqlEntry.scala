@@ -79,5 +79,25 @@ object SqlEntry {
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q54, q55, q109)
+  /** q110: GROUPING() disambiguation — the one thing a ROLLUP output
+    * can't express with values alone: whether a NULL group key means "the
+    * subtotal row" or "rows whose key IS NULL". Same SQL text on both
+    * engines; flags cast to BIGINT for dtype parity. */
+  val q110 = QueryDef(
+    "q110_grouping_flag",
+    """SELECT COALESCE(lang, 'ALL') AS lang_grp,
+      |  CAST(GROUPING(lang) AS BIGINT) AS is_total,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY ROLLUP(lang)
+      |ORDER BY is_total, lang_grp""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT COALESCE(lang, 'ALL') AS lang_grp,
+        |  CAST(GROUPING(lang) AS BIGINT) AS is_total,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY ROLLUP(lang)
+        |ORDER BY is_total, lang_grp""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q54, q55, q109, q110)
 }

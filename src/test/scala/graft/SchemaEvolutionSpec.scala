@@ -252,6 +252,21 @@ class SchemaEvolutionSpec extends SparkSpec {
     st.table("t").head.getAs[Long]("Score") shouldBe 5L
   }
 
+  test("append chain across a schema change: old epochs default, new epochs carry values") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))
+    st.appendBatch("t", 1L, Seq((2L, "b")).toDF("id", "v"))
+    st.addColumn("t", "score", "BIGINT", "0")
+    // the post-evolution epoch carries the column physically
+    st.appendBatch("t", 2L, Seq((3L, "c", 9L)).toDF("id", "v", "score"))
+    val got = st.table("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("score")))
+    got.toSeq shouldBe Seq((1L, 0L), (2L, 0L), (3L, 9L))
+    // replaying an old epoch id stays a no-op across the schema change
+    st.appendBatch("t", 1L, Seq((99L, "x", 1L)).toDF("id", "v", "score")) shouldBe false
+    st.table("t").count() shouldBe 3
+  }
+
   test("vacuum keeps the shared data alive while the current version needs it") {
     val st = freshStore()
     st.create("t", Seq((1, "a")).toDF("id", "v"))
