@@ -91,9 +91,10 @@ object ScaleBench {
     * q47 is excluded by design — its guard (MaxGroundTruthDocs) correctly
     * refuses the 50k-doc replica. q97 is excluded for the same class of
     * reason: the replica copies every document's opening words 10×, so
-    * its prefix-blocking key degenerates into 10×-sized hot blocks
-    * (quadratic candidates) by construction — a replication artifact, not
-    * a property of prefix blocking on a real 10× corpus. */
+    * its prefix-blocking key degenerates into 10×-sized blocks — work is
+    * still bounded (Dedup.MaxEditBlock drops oversized blocks), but the
+    * replica would mostly measure which blocks crossed the cap, a
+    * replication artifact rather than a scaling property. */
   private val flagships = Seq(
     "q01_pricing_summary", "q10_revenue_by_nation", "q46_dedup_exact",
     "q48_minhash_lsh", "q71_neardup_components", "q75_curation_pipeline",

@@ -470,20 +470,38 @@ object Dedup {
     * the key extends compositionally (length band, more prefix chars,
     * source) when a corpus needs tighter blocks. Spark and DuckDB use the
     * same classic Levenshtein DP, so distances match exactly. */
+  /** Blocks bigger than this are dropped from the edit-distance candidate
+    * join (both engines, part of the pair definition): an oversized block
+    * means a boilerplate opening shared by thousands of documents, where
+    * an 8-char prefix stops being a discriminating key and the in-block
+    * quadratic verify would dominate. Worst-case pairs per block is
+    * bounded at MaxEditBlock²/2 by construction; boilerplate-heavy
+    * corpora route through the shingle-based LSH path (q48) instead. */
+  val MaxEditBlock = 64L
+
   val q97 = QueryDef(
     "q97_edit_distance_pairs",
-    """SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |  levenshtein(substr(a.text,1,64), substr(b.text,1,64)) AS dist
-      |FROM documents a JOIN documents b
-      |  ON substr(a.text,1,8) = substr(b.text,1,8)
-      | AND a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE levenshtein(substr(a.text,1,64), substr(b.text,1,64)) <= 4
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, substr(text,1,8) AS blk, substr(text,1,64) AS head
+      |  FROM documents),
+      |ok AS (
+      |  SELECT blk, lang FROM d GROUP BY 1, 2
+      |  HAVING COUNT(*) <= $MaxEditBlock)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  levenshtein(a.head, b.head) AS dist
+      |FROM d a
+      |JOIN ok ON ok.blk = a.blk AND ok.lang = a.lang
+      |JOIN d b ON a.blk = b.blk AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.head, b.head) <= 4
       |ORDER BY id1, id2""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 8).as("blk"),
         substring(col("text"), 1, 64).as("head"))
-    val a = docs.select(col("doc_id").as("id1"), col("lang"), col("blk"), col("head").as("h1"))
+    val ok = docs.groupBy("blk", "lang").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= MaxEditBlock).select("blk", "lang")
+    val a = docs.join(ok, Seq("blk", "lang"))
+      .select(col("doc_id").as("id1"), col("lang"), col("blk"), col("head").as("h1"))
     val b = docs.select(col("doc_id").as("id2"), col("lang"), col("blk"), col("head").as("h2"))
     a.join(b, Seq("blk", "lang"))
       .filter(col("id1") < col("id2"))
