@@ -306,5 +306,42 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93)
+  /** q111: token-budget selection — per source, admit the highest-quality
+    * documents until a token budget fills (the budgeted-curation step
+    * between scoring and training-mix assembly: q44 scores, q79 weights
+    * strata, THIS decides which documents actually make the cut). Quality
+    * is chars-per-token (an exact-integer ratio → identical IEEE double
+    * on both engines); admission is a running token sum over a window
+    * partitioned by source, ordered (quality DESC, doc_id) — unique
+    * ordering, exact BIGINT sums, so the cut landing is bit-deterministic.
+    * Scale: one partitioned window, no global sort, no driver state. */
+  val q111 = QueryDef(
+    "q111_budget_selection",
+    """WITH scored AS (
+      |  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS ntok,
+      |    CAST(n_chars AS DOUBLE) / len(string_split(trim(text), ' ')) AS q
+      |  FROM documents),
+      |sel AS (
+      |  SELECT doc_id, source, ntok,
+      |    CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM scored)
+      |SELECT doc_id, source, ntok, cum_tokens
+      |FROM sel WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("ntok"),
+        (col("n_chars").cast("double") / size(tokens(col("text")))).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("ntok")).over(w))
+      .filter(col("cum_tokens") <= 2000)
+      .select("doc_id", "source", "ntok", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111)
 }
