@@ -511,5 +511,66 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97)
+  /** q112: EXACT set-similarity join via prefix filtering (the AllPairs /
+    * PPJoin family) — the lossless sibling of MinHash-LSH (q48): same
+    * shingle-Jaccard ≥ 0.8 pairs as the quadratic ground truth (q47),
+    * found WITHOUT the quadratic join and WITHOUT approximation. Under a
+    * global rare-first shingle ordering, two sets with J ≥ t must share
+    * a token within their first n − ceil(t·n) + 1 tokens, so candidates
+    * come from an equi-join on PREFIX tokens only; an exact intersection
+    * count then verifies. The oracle is therefore q47's plain quadratic
+    * SQL verbatim — prefix filtering must lose nothing.
+    *
+    * Scale posture: prefix tokens are the RAREST by construction, so the
+    * candidate join's blocks are small exactly where a naive shingle join
+    * explodes (stop-shingles never enter a prefix at t = 0.8 unless a doc
+    * is tiny); verify work is Σ_candidates |doc|, not corpus². The prefix
+    * length uses integer arithmetic — ceil(n·0.8) through doubles rounds
+    * UP on exact multiples (5·0.8 → 4.0000000000000002), silently
+    * shortening prefixes and breaking losslessness. */
+  val q112 = QueryDef(
+    "q112_prefix_filter_join",
+    s"""WITH sh AS (
+       |    $shingleSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleDf(s, d)
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("__cnt"))
+    // per-doc shingles in global rare-first order; integer-exact prefix
+    // length p = n - ceil(4n/5) + 1 (t = 0.8 = 4/5)
+    val ranked = sh.join(freq, "s")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("__cnt"), col("s"))))
+    val prefix = ranked
+      .filter(col("__r") <= col("__n") - expr("(__n * 4 + 4) div 5") + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify restricted to candidates: Σ_cand |A| join work
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112)
 }

@@ -126,6 +126,12 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q112: prefix-filter similarity join plans equi-joins only") {
+    val plan = planOf(Dedup.q112.build(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q98: inverted-index build aggregates partially before its one shuffle") {
     val plan = planOf(SearchOps.q98.build(spark, sf))
     plan should not include "CartesianProduct"
