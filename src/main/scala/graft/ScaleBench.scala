@@ -102,7 +102,7 @@ object ScaleBench {
     "q58_salted_skew_agg", "q89_ivf_multiprobe_recall",
     "q90_incremental_dedup", "q91_video_frame_sample", "q92_sequence_packing",
     "q98_inverted_index", "q101_bm25_rank", "q102_incremental_mv",
-    "q103_winsorize_length")
+    "q103_winsorize_length", "q112_prefix_filter_join")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
