@@ -27,4 +27,23 @@ class GuardsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Windows.windowlessRankDesc(unreduced, "v", "r")
   }
+
+  test("q97 drops oversized prefix blocks instead of going quadratic on them") {
+    // synthesize a corpus: one hot block (MaxEditBlock+6 near-identical
+    // docs sharing an 8-char prefix) plus one small block with a true pair
+    val dir = java.nio.file.Files.createTempDirectory("graft-editblock").toString
+    val hot = (0 until (Dedup.MaxEditBlock + 6).toInt).map { i =>
+      (i.toLong, s"boilerpl common opening line variant $i", "en", "src0", 40L)
+    }
+    val small = Seq(
+      (900L, "distinct opening alpha beta gamma", "en", "src0", 33L),
+      (901L, "distinct opening alpha beta gamm", "en", "src0", 32L))
+    (hot ++ small).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q97.build(spark, dir).collect()
+    // every returned pair comes from the small block; the 70-doc hot block
+    // (whose members are all within edit distance 4 of each other) is gone
+    got.map(_.getLong(0)).toSet shouldBe Set(900L)
+    got.length shouldBe 1
+  }
 }
