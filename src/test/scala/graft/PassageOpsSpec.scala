@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Passage-level dedup on a hand-built corpus with a known shared window. */
+class PassageOpsSpec extends SparkSpec {
+
+  // W = 8: passages are 8-token windows. Build three docs where doc 0 and
+  // doc 1 share their FIRST 8 tokens exactly, and doc 2 is doc 0 verbatim
+  // (every passage a duplicate → reassembles to NULL).
+  private val shared = "a b c d e f g h"
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, s"$shared tail0 tail1 tail2"),
+      (1L, s"$shared other words here"),
+      (2L, s"$shared tail0 tail1 tail2")
+    ).toDF("doc_id", "text")
+  }
+
+  private def run = {
+    val dir = java.nio.file.Files.createTempDirectory("psg").toString
+    corpus.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", expr("length(text)"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    operators.PassageOps.q113.build(spark, dir).collect()
+  }
+
+  test("keep-first drops the shared window from later docs and rebuilds order") {
+    val rows = run.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0: 11 tokens → 2 passages (8 + 3), both kept, text intact
+    rows(0L) shouldBe ((2L, 2L, "a b c d e f g h tail0 tail1 tail2"))
+    // doc 1: loses the shared first window, keeps its 3-token tail
+    rows(1L) shouldBe ((2L, 1L, "other words here"))
+    // doc 2: identical to doc 0 → every passage already seen → NULL text
+    rows(2L)._1 shouldBe 2L
+    rows(2L)._2 shouldBe 0L
+    rows(2L)._3 shouldBe null
+  }
+}
