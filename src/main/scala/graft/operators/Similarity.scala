@@ -409,6 +409,52 @@ object Similarity {
     ProbeLevels.toDF("nprobe")
   }
 
+  private val SemTau = 0.3
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
+    * embedding space coarsely, then deduplicate EXHAUSTIVELY only within
+    * each cluster): for every same-`label` pair with cosine ≥ τ, greedily
+    * drop the higher vec_id. Emits every vector with its kept/dropped
+    * verdict so downstream curation can semi-join on `kept`.
+    *
+    * Scale posture: the all-pairs work is confined within clusters — the
+    * SemDeDup design point (pick K so N/K fits the quadratic budget; the
+    * cross-cluster N² never happens). The pair generator is a shuffle
+    * equi-join on (label, i): per-key fan-out is cluster size, the
+    * per-pair dot products are a codegen'd partial+final sum, and the
+    * greedy drop rule (∃ smaller same-cluster id with cos ≥ τ) is a
+    * distinct + left anti shape — no windows, no driver materialization.
+    * τ = 0.3 sits under this corpus's max off-diagonal cosine (≈ 0.51) so
+    * the gate exercises real drops (~20% of vectors at sf0.01). */
+  val q114 = QueryDef(
+    "q114_semantic_dedup",
+    s"""WITH n AS ($normedSql),
+       |p AS (
+       |  SELECT b.vec_id AS vb
+       |  FROM n a JOIN n b ON b.label = a.label AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql(dotSql("a.v", "b.v"), "a.nrm", "b.nrm")} >= $SemTau),
+       |d AS (SELECT DISTINCT vb FROM p)
+       |SELECT e.vec_id, e.label, (d.vb IS NULL) AS kept
+       |FROM embeddings e LEFT JOIN d ON d.vb = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    val el = elems(s, d) // (vec_id, label, i, xd)
+    val nrm = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
+    val dots = el.select(col("label"), col("i"), col("vec_id").as("va"), col("xd").as("xa"))
+      .join(el.select(col("label"), col("i"), col("vec_id").as("vb"), col("xd").as("xb")),
+        Seq("label", "i"))
+      .filter(col("va") < col("vb"))
+      .groupBy("va", "vb").agg(sum(col("xa") * col("xb")).as("dt"))
+    val dropped = dots
+      .join(nrm.toDF("va", "na"), Seq("va"))
+      .join(nrm.toDF("vb", "nb"), Seq("vb"))
+      .filter(cos(col("dt"), col("na"), col("nb")) >= SemTau)
+      .select(col("vb").as("vec_id")).distinct()
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      .join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("__drop").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   private val KClusters = 8
   private val KmIters = 2
 
@@ -470,5 +516,5 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89)
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114)
 }

@@ -35,4 +35,20 @@ class SimilaritySpec extends SparkSpec {
     // recall5 is always hits/5
     rows.foreach { case (_, _, h, r) => r shouldBe h.toDouble / 5 }
   }
+
+  test("q114: drops exact duplicates within a cluster only, keeps the min id") {
+    // 64-dim toy corpus: vecs 0,1,2 identical in label 0 (keep only 0);
+    // vec 3 identical to them but in label 1 (cross-cluster: kept);
+    // vec 4 orthogonal in label 0 (kept).
+    val a = Array.fill(64)(0.1f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
+    val rows = Seq((0L, a, 0), (1L, a, 0), (2L, a, 0), (3L, a, 1), (4L, b, 0))
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val kept = Similarity.q114.build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    kept shouldBe Map(0L -> true, 1L -> false, 2L -> false, 3L -> true, 4L -> true)
+  }
 }
