@@ -409,6 +409,133 @@ object Similarity {
     ProbeLevels.toDF("nprobe")
   }
 
+  private val PqM = 8      // subspaces (8 dims each)
+  private val PqK = 16     // codes per subspace
+  private val PqSeeds = PqK // codebook seeds: vec_id < PqK sub-vectors
+
+  /** Product quantization ANN with asymmetric-distance (ADC) scoring — the
+    * PQ half of FAISS IVFPQ (Jégou et al. 2011): each vector is compressed
+    * to M=8 sub-codes (per-subspace k-means codebooks, K=16), and query
+    * scoring runs entirely in the COMPRESSED domain: per query one
+    * (subspace, code) lookup table of exact partial L2², then a candidate's
+    * approximate distance is the sum of M=8 table rows — never the 64 raw
+    * components. Emits the top-5 per query with its ADC distance plus a
+    * `hit` flag against the exact-L2² top-5, so compression quality is
+    * measured, not assumed.
+    *
+    * Determinism/parity: the entire pipeline runs in int64 FIXED-POINT
+    * (components ×10⁷ — exact, since they are decimal(9,7)): centroid
+    * means use an explicit integer half-up division (positive operands
+    * only, so DuckDB's floor `//` and Spark's truncating `div` agree),
+    * distances are exact integer sums, argmins tie-break on (d², code).
+    * No double→decimal re-quantization anywhere — the one cross-engine
+    * rounding step that is NOT reproducible (Spark rounds the shortest
+    * decimal repr of the double, DuckDB the binary value; near-half means
+    * diverge by 1 ulp). Only the final reported adc_d2 becomes a double,
+    * by a single exact-integer / 10¹⁴ division.
+    *
+    * Scale posture: the codebook is K·Dim = 1,024 rows (broadcast); encode
+    * = one broadcast join + two aggregates per vector; the query LUT is
+    * |Q|·M·K = 1,280 rows (broadcast); ADC scoring touches M rows per
+    * (query, candidate) instead of Dim — the 8× bandwidth win that is the
+    * point of PQ. The exact baseline is the declared O(|Q|·N) shape. */
+  val q115 = {
+    val sub = s"""SELECT vec_id, CAST(i // $PqM AS INT) AS s, i,
+                 |  CAST(cast(cast(embedding[i+1] as double) as decimal(9,7)) * 10000000 AS BIGINT) AS xi
+                 |FROM embeddings, range(0, $Dim) r(i)""".stripMargin
+    def assignSql(cb: String): String =
+      s"""SELECT vec_id, s, k FROM (
+         |  SELECT d.vec_id, d.s, d.k,
+         |         ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s ORDER BY d.d2, d.k) AS rn
+         |  FROM (SELECT e.vec_id, e.s, c.k, SUM((e.xi - c.cd) * (e.xi - c.cd)) AS d2
+         |        FROM sub e JOIN $cb c ON c.s = e.s AND c.i = e.i
+         |        GROUP BY 1, 2, 3) d) WHERE rn = 1""".stripMargin
+    // integer half-up mean of Σxi over cnt: operands kept positive so
+    // DuckDB floor-division and Spark truncating `div` are the same op
+    val meanSql =
+      """CASE WHEN SUM(e.xi) >= 0
+        |     THEN (2 * SUM(e.xi) + COUNT(*)) // (2 * COUNT(*))
+        |     ELSE -((-2 * SUM(e.xi) + COUNT(*)) // (2 * COUNT(*))) END""".stripMargin
+    QueryDef(
+      "q115_pq_adc_ann",
+      s"""WITH sub AS ($sub),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS k, s, i, xi AS cd FROM sub WHERE vec_id < $PqSeeds),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (SELECT a.k, e.s, e.i, CAST($meanSql AS BIGINT) AS cd
+         |       FROM sub e JOIN a1 a ON a.vec_id = e.vec_id AND a.s = e.s
+         |       GROUP BY a.k, e.s, e.i),
+         |a2 AS (${assignSql("c1")}),
+         |lut AS (SELECT q.vec_id AS query_id, c.s, c.k,
+         |          SUM((q.xi - c.cd) * (q.xi - c.cd)) AS d2
+         |        FROM sub q JOIN c1 c ON c.s = q.s AND c.i = q.i
+         |        WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |adc AS (SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.d2) AS adc
+         |        FROM a2 a JOIN lut l ON l.s = a.s AND l.k = a.k
+         |        WHERE a.vec_id <> l.query_id GROUP BY 1, 2),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY adc, neighbor_id) AS rk FROM adc),
+         |ed AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         SUM((q.xi - e.xi) * (q.xi - e.xi)) AS d2
+         |       FROM sub q JOIN sub e ON e.s = q.s AND e.i = q.i
+         |       WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id GROUP BY 1, 2),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+         |  FROM ed) WHERE rk <= 5)
+         |SELECT r.query_id, r.neighbor_id, CAST(r.rk AS INT) AS rk,
+         |       CAST(r.adc AS DOUBLE) / 100000000000000.0 AS adc_d2,
+         |       CAST(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hit
+         |FROM ranked r LEFT JOIN exact x
+         |  ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+         |WHERE r.rk <= 5 ORDER BY r.query_id, r.rk""".stripMargin) { (s, d) =>
+      val nQ = 10
+      val el = elems(s, d)
+        .select(col("vec_id"), col("i"),
+          (col("xd") * 10000000).cast("long").as("xi"))
+        .withColumn("s", expr(s"cast(i div $PqM as int)"))
+      def assign(cb: DataFrame): DataFrame =
+        el.join(broadcast(cb), Seq("s", "i"))
+          .groupBy(col("vec_id"), col("s"), col("k"))
+          .agg(sum((col("xi") - col("cd")) * (col("xi") - col("cd"))).as("d2"))
+          .groupBy("vec_id", "s")
+          .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("k"))
+      val c0 = el.filter(col("vec_id") < PqSeeds)
+        .select(col("vec_id").cast("int").as("k"), col("s"), col("i"), col("xi").as("cd"))
+      val c1 = el.join(assign(c0), Seq("vec_id", "s"))
+        .groupBy("k", "s", "i")
+        .agg(expr("""cast(CASE WHEN sum(xi) >= 0
+                    |  THEN (2 * sum(xi) + count(*)) div (2 * count(*))
+                    |  ELSE -((-2 * sum(xi) + count(*)) div (2 * count(*))) END as bigint)""".stripMargin)
+          .as("cd"))
+      val codes = assign(c1) // (vec_id, s, k) — the 8-byte compressed corpus
+      val lut = el.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("s"), col("i"), col("xi").as("qi"))
+        .join(broadcast(c1), Seq("s", "i"))
+        .groupBy("query_id", "s", "k")
+        .agg(sum((col("qi") - col("cd")) * (col("qi") - col("cd"))).as("d2"))
+      val ranked = codes.join(broadcast(lut), Seq("s", "k"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("d2")).as("adc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))).cast("int"))
+        .filter(col("rk") <= 5)
+      val exact = el.join(broadcast(el.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("i"), col("xi").as("qi"))), Seq("i"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum((col("qi") - col("xi")) * (col("qi") - col("xi"))).as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))))
+        .filter(col("rk") <= 5).select("query_id", "neighbor_id")
+      ranked.join(exact.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          (col("adc").cast("double") / 100000000000000.0).as("adc_d2"),
+          coalesce(col("__hit"), lit(0)).cast("int").as("hit"))
+        .orderBy("query_id", "rk")
+    }
+  }
+
   private val SemTau = 0.3
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
@@ -516,5 +643,5 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114)
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114, q115)
 }

@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("q114/q115: semantic dedup and PQ ANN plan equi-joins only") {
+    Seq(graft.operators.Similarity.q114, graft.operators.Similarity.q115).foreach { qd =>
+      val plan = planOf(qd.build(spark, sf))
+      withClue(s"${qd.name}: ") {
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+        plan should include("BroadcastHashJoin")
+      }
+    }
+  }
+
   test("q89: candidate scoring is hash-joined; only the 3-row probe-level fan-out crosses") {
     val plan = planOf(graft.operators.Similarity.q89.build(spark, sf))
     plan should not include "CartesianProduct"
