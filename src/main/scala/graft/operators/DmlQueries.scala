@@ -180,6 +180,67 @@ object DmlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** §2.9 D5++ — the FULL 3-clause MERGE (q87 covers the 2-clause upsert):
+    * WHEN MATCHED AND src says KILL → DELETE; WHEN MATCHED → UPDATE from
+    * source; WHEN NOT MATCHED → INSERT. Drives the real
+    * [[graft.sources.TableStore.mergeInto]] engine path end to end — the
+    * oracle restates clause precedence relationally (a KILL row must be
+    * deleted, never updated). */
+  val q116 = QueryDef(
+    "q116_merge_full",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |batch AS (
+      |  SELECT o_orderkey, 'KILL' AS o_orderpriority, price
+      |  FROM base WHERE o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'MERGED', CAST(price + 50 AS DECIMAL(18,2))
+      |  FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 30000000, 'NEWROW', price
+      |  FROM base WHERE o_orderkey % 13 = 0),
+      |merged AS (
+      |  SELECT b.o_orderkey,
+      |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority
+      |              ELSE b.o_orderpriority END AS o_orderpriority,
+      |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.price ELSE b.price END AS price
+      |  FROM base b LEFT JOIN batch u ON b.o_orderkey = u.o_orderkey
+      |  WHERE u.o_orderpriority IS NULL OR u.o_orderpriority <> 'KILL'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, price FROM batch
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base))
+      |SELECT o_orderkey, o_orderpriority, CAST(price AS DOUBLE) AS o_totalprice
+      |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.sources.TableStore
+    val st = new TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-merge").toString)
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        d2(col("o_totalprice")).as("o_totalprice"))
+    st.create("orders_t", base,
+      Seq(graft.constraints.Constraints.PrimaryKey(Seq("o_orderkey"))))
+    val source = base.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit("KILL").as("o_orderpriority"), col("o_totalprice"))
+      .unionByName(base.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+          (col("o_totalprice") + 50).cast(Money).as("o_totalprice")))
+      .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          lit("NEWROW").as("o_orderpriority"), col("o_totalprice")))
+    st.mergeInto("orders_t", source, Seq("o_orderkey"),
+      matchedUpdate = Map(
+        "o_orderpriority" -> TableStore.src("o_orderpriority"),
+        "o_totalprice" -> TableStore.src("o_totalprice")),
+      matchedDelete = Some(TableStore.src("o_orderpriority") === "KILL"),
+      insertUnmatched = true)
+    st.table("orders_t")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** q102: incremental materialized-view maintenance — the upsert (q87)
     * put to its real 100 TB use. A per-lang (n_docs, n_tokens) aggregate
     * is built once from the base corpus slice and stored with `lang` as
@@ -239,5 +300,5 @@ object DmlQueries {
     st.table("docs").select("doc_id", "tier").orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87, q102, q104)
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87, q102, q104, q116)
 }

@@ -467,6 +467,69 @@ final class TableStore(spark: SparkSession, root: String) {
     } finally batch.unpersist() // also on require/publish failure
   }
 
+  /** Full MERGE (the 3-clause Delta/SQL:2003 form, generalizing [[upsert]]):
+    *
+    *   WHEN MATCHED AND <matchedDelete> THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET <matchedUpdate>
+    *   WHEN NOT MATCHED THEN INSERT   (if insertUnmatched)
+    *
+    * Clause order is SQL's: a matched row satisfying the delete condition
+    * is deleted, never updated. Update RHS and the delete condition are
+    * evaluated over the joined row — target columns under their own names,
+    * source columns via [[TableStore.src]] (`src("c")`); all SET clauses
+    * run in one projection, so every RHS observes the pre-update row.
+    *
+    * A source batch carrying the same key twice is refused before any
+    * write (same per-statement atomicity as [[upsert]]). Deletes here are
+    * plain row removal — FK cascade is [[delete]]'s contract, not MERGE's.
+    *
+    * Scale: the source is broadcast for both the matched rewrite and the
+    * not-matched anti-join; the target is scanned once per leg and never
+    * shuffled. Returns (nUpdated, nDeleted, nInserted). */
+  def mergeInto(name: String, source: DataFrame, on: Seq[String],
+                matchedUpdate: Map[String, Column],
+                matchedDelete: Option[Column] = None,
+                insertUnmatched: Boolean = true): (Long, Long, Long) = {
+    val cur = table(name)
+    require(on.nonEmpty, "mergeInto requires join keys")
+    val srcFull = source.select(cur.columns.map(col).toSeq: _*).cache()
+    try {
+      val nSrc = srcFull.count()
+      val nDistinct = srcFull.select(on.map(col): _*).distinct().count()
+      require(nDistinct == nSrc,
+        s"merge source carries ${nSrc - nDistinct} duplicate key rows; " +
+          "MERGE cannot touch the same target row twice")
+      val nonKey = cur.columns.filterNot(c => on.exists(_.equalsIgnoreCase(c)))
+      val marked = srcFull
+        .select(on.map(col) ++ nonKey.map(c => col(c).as(s"__src_$c")): _*)
+        .withColumn("__matched", lit(true))
+      val joined = cur.join(broadcast(marked), on, "left")
+      val matched = coalesce(col("__matched"), lit(false))
+      val delCond = matchedDelete.map(c => matched && coalesce(c, lit(false)))
+        .getOrElse(lit(false))
+      val out = joined
+        .filter(!delCond)
+        .select(cur.columns.map { c =>
+          matchedUpdate.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, rhs)) => when(matched, rhs).otherwise(col(c)).as(c)
+            case None => col(c).as(c)
+          }
+        }.toSeq: _*)
+      val inserted =
+        if (insertUnmatched) srcFull.join(cur.select(on.map(col): _*), on, "left_anti")
+        else cur.limit(0)
+      // stats from the source perspective: matched rows split by delete
+      // condition evaluated on the (target ⋈ source) row
+      val matchedRows = cur.join(broadcast(marked), on, "inner")
+      val nDeleted = matchedDelete.map(c =>
+        matchedRows.filter(coalesce(c, lit(false))).count()).getOrElse(0L)
+      val nMatched = matchedRows.count()
+      val nInserted = if (insertUnmatched) nSrc - nMatched else 0L
+      publish(name, out.unionByName(inserted))
+      (nMatched - nDeleted, nDeleted, nInserted)
+    } finally srcFull.unpersist()
+  }
+
   /** Apply all SET clauses in ONE projection so every RHS observes the
     * pre-update row — SQL UPDATE semantics (SET a = b, b = a swaps; a
     * sequential withColumn fold would see the already-updated value).
@@ -1131,6 +1194,10 @@ final class TableStore(spark: SparkSession, root: String) {
 
 object TableStore {
   final case class TableStats(rows: Long, bytes: Long, version: Int)
+
+  /** Reference a SOURCE column inside [[TableStore.mergeInto]]'s update
+    * RHS / delete condition (target columns go by their own names). */
+  def src(c: String): Column = col(s"__src_$c")
 
   /** Ceiling on distinct partition values one pruned mutation may touch.
     * Partition counts are catalog-sized by design (dates, categories); a

@@ -283,4 +283,44 @@ class TableStoreSpec extends SparkSpec {
     st2.delete("parents", col("id") === 1L) // would throw if the phantom FK loaded
     st2.table("parents").count() shouldBe 0
   }
+
+  test("mergeInto: delete clause wins over update; inserts honor the flag; stats exact") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "x"),
+      Seq(PrimaryKey(Seq("id"))))
+    // source: id=1 marked KILL (delete), id=2 updated, id=9 new
+    val src = Seq((1L, "KILL", 0), (2L, "B", 99), (9L, "n", 90)).toDF("id", "v", "x")
+    val (nUpd, nDel, nIns) = st.mergeInto("t", src, Seq("id"),
+      matchedUpdate = Map("v" -> TableStore.src("v"), "x" -> TableStore.src("x")),
+      matchedDelete = Some(TableStore.src("v") === "KILL"))
+    (nUpd, nDel, nIns) shouldBe ((1L, 1L, 1L))
+    st.table("t").orderBy("id").as[(Long, String, Int)].collect() shouldBe
+      Seq((2L, "B", 99), (3L, "c", 30), (9L, "n", 90))
+  }
+
+  test("mergeInto: insertUnmatched=false drops unmatched source; delete cond can read target") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "x"),
+      Seq(PrimaryKey(Seq("id"))))
+    val src = Seq((1L, "A", 1), (2L, "B", 2), (7L, "g", 7)).toDF("id", "v", "x")
+    // delete condition on the TARGET row: x >= 20 dies, smaller x updates
+    val (nUpd, nDel, nIns) = st.mergeInto("t", src, Seq("id"),
+      matchedUpdate = Map("v" -> TableStore.src("v")),
+      matchedDelete = Some(col("x") >= 20), insertUnmatched = false)
+    (nUpd, nDel, nIns) shouldBe ((1L, 1L, 0L))
+    st.table("t").orderBy("id").as[(Long, String, Int)].collect() shouldBe
+      Seq((1L, "A", 10))
+  }
+
+  test("mergeInto: duplicate-key source is refused before any write") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
+    val v0 = st.liveVersions("t").max
+    an[IllegalArgumentException] should be thrownBy {
+      st.mergeInto("t", Seq((1L, "x"), (1L, "y")).toDF("id", "v"), Seq("id"),
+        matchedUpdate = Map("v" -> TableStore.src("v")))
+    }
+    st.liveVersions("t").max shouldBe v0 // version pointer untouched
+    st.table("t").as[(Long, String)].collect() shouldBe Seq((1L, "a"))
+  }
 }
