@@ -222,5 +222,30 @@ object Windows {
       .orderBy("lang", "dr", "doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q81, q105)
+  /** §2.5 W+ — distribution window functions: NTILE(4), PERCENT_RANK,
+    * CUME_DIST over a partitioned, fully-tiebroken ordering (NTILE is
+    * row-order-dependent, so the ORDER BY must be a total order — price
+    * then key — or the quartile assignment is nondeterministic).
+    * Partitioned window: scales horizontally like q21. */
+  val q117 = QueryDef(
+    "q117_window_distribution",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(4) OVER w AS INT) AS tile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders WHERE o_orderkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(d2(col("o_totalprice")), col("o_orderkey"))
+    Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("int").as("tile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q81, q105, q117)
 }
