@@ -237,5 +237,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103)
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005),
+    * gated against exact counts: a D×W = 4×256 counter sketch of token
+    * OCCURRENCES (hashes derived from md5 so both engines build the
+    * identical sketch), then the exact top-20 tokens are estimated back
+    * out of the sketch. The CMS one-sided guarantee — estimate ≥ truth,
+    * overshoot ≤ collisions' mass — is emitted as gated columns, not
+    * assumed.
+    *
+    * Scale posture: the sketch build aggregates the ALREADY-AGGREGATED
+    * token counts (one groupBy("tok") with map-side combine — the same
+    * shuffle any token count pays), then folds them into at most D·W =
+    * 1,024 counter rows: the second shuffle's key space is the sketch
+    * size, not the vocabulary. The estimate side touches only the 20
+    * ranked tokens × D rows. This is the mergeable-summary shape: at
+    * 100 TB the 1,024-cell sketch is the only thing crossing executors
+    * after per-partition pre-aggregation. */
+  val q118 = QueryDef(
+    "q118_countmin_topk",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       |tc AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+       |cells AS (
+       |  SELECT j,
+       |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % $CmsWidth AS b,
+       |    CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM tc, range($CmsDepth) r(j) GROUP BY 1, 2),
+       |top AS (SELECT tok, n FROM tc ORDER BY n DESC, tok LIMIT 20),
+       |est AS (
+       |  SELECT t.tok, t.n, MIN(c.cnt) AS est
+       |  FROM top t
+       |  JOIN (SELECT t2.tok, j,
+       |          ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t2.tok), 1, 15))::BIGINT % $CmsWidth AS b
+       |        FROM top t2, range($CmsDepth) r(j)) h ON h.tok = t.tok
+       |  JOIN cells c ON c.j = h.j AND c.b = h.b
+       |  GROUP BY 1, 2)
+       |SELECT tok, CAST(n AS BIGINT) AS n, est,
+       |       (est >= n) AS never_under
+       |FROM est ORDER BY n DESC, tok""".stripMargin) { (s, d) =>
+    val tc = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    def bucket(tokC: org.apache.spark.sql.Column, jC: org.apache.spark.sql.Column) =
+      graft.functions.TextFunctions.hash60(concat(jC.cast("string"), lit(":"), tokC)) % CmsWidth
+    val cells = tc
+      .select(col("tok"), col("n"), explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("j"))
+      .groupBy(col("j"), bucket(col("tok"), col("j")).as("b"))
+      .agg(sum(col("n")).cast("long").as("cnt"))
+    val top = tc.orderBy(col("n").desc, col("tok")).limit(20)
+    top
+      .select(col("tok"), col("n"), explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("j"))
+      .withColumn("b", bucket(col("tok"), col("j")))
+      .join(cells, Seq("j", "b"))
+      .groupBy("tok", "n").agg(min(col("cnt")).as("est"))
+      .select(col("tok"), col("n").cast("long").as("n"), col("est"),
+        (col("est") >= col("n")).as("never_under"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118)
 }
