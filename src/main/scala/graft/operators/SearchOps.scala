@@ -156,5 +156,83 @@ object SearchOps {
     bm25(s, d, Seq("dup", "window"), 20)
   }
 
-  val all: Seq[QueryDef] = Seq(q98, q99, q101)
+  /** Sparse tf-idf cosine similarity through the inverted index — the
+    * sparse-vector sibling of the dense ANN family (q50/q115): documents
+    * become tf-idf weight vectors over the vocabulary, and the dot
+    * product of two documents is computed by joining their POSTINGS on
+    * the token — only docs sharing a token ever pair, which is what makes
+    * sparse similarity tractable when dense all-pairs is not. Top-3 most
+    * similar docs for each of 20 query docs.
+    *
+    * Parity: idf is (N+1)/(df+1) with NO logarithm (libm log differs in
+    * the last ulp across engines — same reason q101's BM25 is log-free);
+    * each weight is ONE double multiply-divide chain floored into int64
+    * milli-units, and every dot product/norm is then an exact decimal
+    * integer sum — distributed aggregation order cannot perturb bits.
+    *
+    * Scale posture: df and the 1-row N frame broadcast onto the tf table;
+    * the postings self-join is query-side-broadcast on the token; per-pair
+    * accumulation is a codegen'd partial+final sum. A web-scale corpus
+    * additionally caps df (drop stop-shaped tokens) — the lossless
+    * version of that bound is q112's prefix filter; here the full join
+    * stays exact. */
+  val q119 = QueryDef(
+    "q119_tfidf_cosine_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+      |w AS (SELECT doc_id, tok,
+      |        CAST(floor(1000.0 * tf * (n.n + 1) / (df.df + 1)) AS BIGINT) AS wi
+      |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+      |nrm AS (SELECT doc_id,
+      |          SUM(CAST(wi AS DECIMAL(18,0)) * CAST(wi AS DECIMAL(18,0))) AS nr
+      |        FROM w GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+      |           SUM(CAST(a.wi AS DECIMAL(18,0)) * CAST(b.wi AS DECIMAL(18,0))) AS dt
+      |         FROM w a JOIN w b ON b.tok = a.tok AND b.doc_id <> a.doc_id
+      |         WHERE a.doc_id < 20 GROUP BY 1, 2),
+      |cosp AS (SELECT dots.query_id AS query_id, dots.doc_id AS doc_id,
+      |           CAST(dt AS DOUBLE) /
+      |             (sqrt(CAST(x.nr AS DOUBLE)) * sqrt(CAST(y.nr AS DOUBLE))) AS cosine
+      |         FROM dots JOIN nrm x ON x.doc_id = dots.query_id
+      |                   JOIN nrm y ON y.doc_id = dots.doc_id)
+      |SELECT query_id, doc_id, cosine, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC, doc_id) AS rk FROM cosp)
+      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n1 = tf.agg(countDistinct(col("doc_id")).as("n"))
+    // weight: ONE double chain — (1000.0 * tf * (n+1)) / (df+1), floored
+    // into int64 milli-units; association mirrors the oracle exactly
+    val w = tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("tok"),
+        floor(lit(1000.0) * col("tf") * (col("n") + 1) / (col("df") + 1))
+          .cast("long").as("wi"))
+    val wd = w.select(col("doc_id"), col("tok"), col("wi").cast("decimal(18,0)").as("wi"))
+    val nrm = wd.groupBy("doc_id").agg(sum(col("wi") * col("wi")).as("nr"))
+    val qw = wd.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("tok"), col("wi").as("qi"))
+    val dots = wd.join(broadcast(qw), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wi") * col("qi")).as("dt"))
+    dots
+      .join(broadcast(nrm.select(col("doc_id").as("query_id"), col("nr").as("qn"))), Seq("query_id"))
+      .join(nrm, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("dt").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nr").cast("double")))).as("cosine"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
+      .filter(col("rk") <= 3)
+      .orderBy("query_id", "rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119)
 }

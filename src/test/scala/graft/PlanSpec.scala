@@ -101,12 +101,18 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
-  test("q114/q115: semantic dedup and PQ ANN plan equi-joins only") {
-    Seq(graft.operators.Similarity.q114, graft.operators.Similarity.q115).foreach { qd =>
+  test("q114/q115/q119: semantic dedup, PQ ANN, sparse cosine plan equi-joins only") {
+    Seq(graft.operators.Similarity.q114, graft.operators.Similarity.q115,
+        SearchOps.q119).foreach { qd =>
       val plan = planOf(qd.build(spark, sf))
       withClue(s"${qd.name}: ") {
         plan should not include "CartesianProduct"
-        plan should not include "BroadcastNestedLoopJoin"
+        // the only tolerated nested loops are deliberate crossJoins against
+        // 1-row scalar frames (q119's corpus-size N); conditioned nested
+        // loops would mean a candidate join fell off the hash path
+        "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).foreach { line =>
+          line should include("Cross")
+        }
         plan should include("BroadcastHashJoin")
       }
     }
