@@ -110,5 +110,62 @@ object EventsOps {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107)
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * earliest 'view', the earliest 'click' strictly AFTER it, the
+    * earliest 'purchase' strictly after that — the product-analytics
+    * staple that is deceptively order-sensitive (a purchase before the
+    * first view must NOT count). Emits per-user stage reached plus the
+    * stage timestamps (as epoch micros — ns→µs truncation is identical
+    * on both engines).
+    *
+    * Scale posture: each stage is one conditional scan aggregated
+    * per-user (map-side combine) with the previous stage's tiny per-user
+    * frame broadcast back — 3 linear passes, no windows over raw events,
+    * no per-user sorting. A streaming sibling would fold the same logic
+    * into mapGroupsWithState. */
+  val q120 = QueryDef(
+    "q120_funnel_stages",
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN t1 ON t1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN t2 ON t2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+      |            WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached,
+      |  CAST(epoch_us(t1.t1) AS BIGINT) AS view_us,
+      |  CAST(epoch_us(t2.t2) AS BIGINT) AS click_us,
+      |  CAST(epoch_us(t3.t3) AS BIGINT) AS purchase_us
+      |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |       LEFT JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(t1), Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(t2), Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    ev.select("user_id").distinct()
+      .join(broadcast(t1), Seq("user_id"), "left")
+      .join(broadcast(t2), Seq("user_id"), "left")
+      .join(broadcast(t3), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).cast("int").as("reached"),
+        unix_micros(col("t1")).as("view_us"),
+        unix_micros(col("t2")).as("click_us"),
+        unix_micros(col("t3")).as("purchase_us"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120)
 }
