@@ -102,7 +102,14 @@ object ScaleBench {
     "q58_salted_skew_agg", "q89_ivf_multiprobe_recall",
     "q90_incremental_dedup", "q91_video_frame_sample", "q92_sequence_packing",
     "q98_inverted_index", "q101_bm25_rank", "q102_incremental_mv",
-    "q103_winsorize_length", "q112_prefix_filter_join")
+    "q103_winsorize_length", "q112_prefix_filter_join",
+    // round-4 additions. q114 (SemDeDup) is excluded BY DESIGN: its
+    // documented contract is K clusters ∝ corpus size (within-cluster
+    // work quadratic in N/K); the replica keeps the corpus's fixed label
+    // set, so a 10× run would only measure the deliberately-quadratic
+    // cluster blowup the contract says to re-partition away.
+    "q113_passage_dedup", "q115_pq_adc_ann", "q116_merge_full",
+    "q118_countmin_topk", "q119_tfidf_cosine_topk", "q120_funnel_stages")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
