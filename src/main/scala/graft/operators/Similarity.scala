@@ -489,10 +489,14 @@ object Similarity {
          |  ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
          |WHERE r.rk <= 5 ORDER BY r.query_id, r.rk""".stripMargin) { (s, d) =>
       val nQ = 10
+      // cached: the exploded fixed-point frame feeds codebook seeding, two
+      // assignment rounds, the LUT, and the exact baseline — five scans of
+      // a ~N·Dim row frame (same lifecycle as q52/q76's cached explode)
       val el = elems(s, d)
         .select(col("vec_id"), col("i"),
           (col("xd") * 10000000).cast("long").as("xi"))
         .withColumn("s", expr(s"cast(i div $PqM as int)"))
+        .cache()
       def assign(cb: DataFrame): DataFrame =
         el.join(broadcast(cb), Seq("s", "i"))
           .groupBy(col("vec_id"), col("s"), col("k"))

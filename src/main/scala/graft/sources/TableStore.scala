@@ -1002,7 +1002,10 @@ final class TableStore(spark: SparkSession, root: String) {
     * uniform value spread; heavy skew degrades balance, not correctness
     * (skipping stays conservative either way). */
   def createZOrdered(name: String, df: DataFrame, clusterCols: Seq[String],
-                     files: Int, constraints: Seq[Constraint] = Nil): Unit = {
+                     files: Int, constraints: Seq[Constraint] = Nil): Unit =
+    create(name, zClustered(df, clusterCols, files), constraints)
+
+  private def zClustered(df: DataFrame, clusterCols: Seq[String], files: Int): DataFrame = {
     require(clusterCols.nonEmpty && files > 0)
     val BitsPerCol = 8
     val bins = 1 << BitsPerCol
@@ -1020,12 +1023,27 @@ final class TableStore(spark: SparkSession, root: String) {
     val z = (for (i <- 0 until BitsPerCol; ci <- 0 until nCols) yield
       shiftleft(shiftright(buckets(ci), i).bitwiseAND(lit(1)),
         i * nCols + ci)).reduce(_.bitwiseOR(_))
-    create(name,
-      df.withColumn("__z", z)
-        .repartitionByRange(files, col("__z"))
-        .sortWithinPartitions(col("__z"))
-        .drop("__z"),
-      constraints)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** OPTIMIZE … ZORDER BY: re-cluster the CURRENT snapshot of an existing
+    * table onto the Z-curve in one atomic version flip — the maintenance
+    * form of [[createZOrdered]], run after enough appends/updates have
+    * degraded the layout. Rows are untouched (same multiset; new file
+    * boundaries + per-file stats), so skipping effectiveness is restored
+    * without any semantic change. Follows [[compact]]'s conventions:
+    * unpartitioned tables only, superseded versions vacuumed. */
+  def optimizeZOrder(name: String, clusterCols: Seq[String],
+                     files: Int): TableStore.TableStats = {
+    readManifest(name, currentVersion(name)).foreach { m =>
+      require(m.partCol.isEmpty,
+        s"optimizeZOrder supports unpartitioned tables; $name is partitioned on ${m.partCol}")
+    }
+    publish(name, zClustered(table(name), clusterCols, files))
+    analyze(name)
   }
 
   /** CREATE TABLE … PARTITIONED BY (partCol). */

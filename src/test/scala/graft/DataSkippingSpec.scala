@@ -128,6 +128,33 @@ class DataSkippingSpec extends SparkSpec {
     zb.count() shouldBe 2000
   }
 
+  test("optimizeZOrder re-clusters an existing messy table: skipping restored, rows identical") {
+    val st = freshStore()
+    val df = spark.range(0, 16000).toDF("seq")
+      .withColumn("a", (col("seq") * 2654435761L) % 4000)
+      .withColumn("b", (col("seq") * 40503L) % 4000)
+      .drop("seq")
+    st.create("t", df.repartition(16)) // interleaved: stats overlap everywhere
+    val onA = Seq(ColumnRange("a", Some(0L), Some(499L)))
+    val onB = Seq(ColumnRange("b", Some(0L), Some(499L)))
+    val (_, before) = st.scanSkipping("t", onA)
+    before.filesRead shouldBe before.filesTotal
+
+    val sum0 = st.table("t").agg(org.apache.spark.sql.functions.sum(col("a") + col("b")))
+      .head().getLong(0)
+    st.optimizeZOrder("t", Seq("a", "b"), files = 16)
+
+    val (sa, afterA) = st.scanSkipping("t", onA)
+    val (sb, afterB) = st.scanSkipping("t", onB)
+    afterA.filesRead should be < afterA.filesTotal
+    afterB.filesRead should be < afterB.filesTotal
+    sa.count() shouldBe 2000
+    sb.count() shouldBe 2000
+    st.table("t").count() shouldBe 16000 // same multiset, new layout
+    st.table("t").agg(org.apache.spark.sql.functions.sum(col("a") + col("b")))
+      .head().getLong(0) shouldBe sum0
+  }
+
   test("unnormalizable bounds keep files that HAVE stats on the column") {
     val st = freshStore()
     st.create("t", Seq((1L, java.sql.Date.valueOf("2021-06-01")),
