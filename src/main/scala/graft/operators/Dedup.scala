@@ -586,5 +586,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112)
+  /** Corpus novelty score: per document, the fraction of its distinct
+    * 3-shingles whose FIRST occurrence (minimum doc_id — "earlier" in
+    * corpus order) is this document. The per-doc diagnostic behind
+    * train-on-fresh-data curation: near-1 = novel content, near-0 =
+    * boilerplate already seen upstream.
+    *
+    * Scale posture: one groupBy(shingle) min-aggregate (map-side combine
+    * absorbs hot boilerplate shingles exactly like q113's digest
+    * aggregate) + one join back on the shingle + a per-doc rollup.
+    * No pairwise anything — novelty is linear where Jaccard (q47) is
+    * quadratic. */
+  val q121 = QueryDef(
+    "q121_shingle_novelty",
+    s"""WITH sh AS (
+       |    $shingleSql),
+       |first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+       |per AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       |          SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+       |        FROM sh JOIN first f ON f.s = sh.s GROUP BY 1)
+       |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       |       CAST(n_novel AS BIGINT) AS n_novel,
+       |       CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+       |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = shingleDf(s, d)
+    val first = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112, q121)
 }

@@ -167,5 +167,39 @@ object EventsOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120)
+  /** Event-transition bigrams: the top-10 (event_type → next event_type)
+    * transitions across all users — path analysis / Markov-transition
+    * mining in its simplest exact form. LEAD over a per-user window
+    * (partitioned — scales horizontally), then a global count rollup of
+    * the 25-cell transition matrix. */
+  val q122 = QueryDef(
+    "q122_event_bigrams",
+    """WITH seq AS (
+      |  SELECT event_type AS prev_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |cnt AS (SELECT prev_type, next_type, COUNT(*) AS n FROM seq
+      |        WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, prev_type, next_type) AS rk
+      |  FROM cnt) WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val seq0 = Tables.events(s, d)
+      .select(col("event_type").as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+    // 25-cell rollup: global rank over a frame of at most |types|² rows,
+    // ranked windowless-safe via a tiny orderBy+limit
+    seq0.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev_type"), col("next_type"))
+      .limit(10)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("prev_type"), col("next_type"))).cast("int"))
+      .orderBy("rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122)
 }
