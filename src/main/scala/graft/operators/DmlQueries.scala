@@ -241,6 +241,64 @@ object DmlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** §2.9 D6+ / CDC — snapshot diff through TIME TRAVEL: load orders,
+    * run one 3-clause MERGE (deletes every 13th key, updates every
+    * remaining 7th, inserts a shifted row per 11th), then ask the store
+    * what changed between the two versions via
+    * [[graft.sources.TableStore.snapshotDiff]]. The oracle restates the
+    * expected change feed relationally — added/removed/changed rows with
+    * old/new values, nothing for untouched keys. */
+  val q124 = QueryDef(
+    "q124_version_diff",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders)
+      |SELECT o_orderkey, 'removed' AS change,
+      |       o_orderpriority AS old_priority, CAST(NULL AS VARCHAR) AS new_priority,
+      |       CAST(p AS DOUBLE) AS old_price, CAST(NULL AS DOUBLE) AS new_price
+      |FROM base WHERE o_orderkey % 13 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'changed',
+      |       o_orderpriority, 'CHANGED',
+      |       CAST(p AS DOUBLE), CAST(p + 100 AS DOUBLE)
+      |FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 30000000, 'added',
+      |       CAST(NULL AS VARCHAR), 'NEW',
+      |       CAST(NULL AS DOUBLE), CAST(p AS DOUBLE)
+      |FROM base WHERE o_orderkey % 11 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.sources.TableStore
+    val st = new TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-diff").toString)
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        d2(col("o_totalprice")).as("o_totalprice"))
+    st.create("t", base,
+      Seq(graft.constraints.Constraints.PrimaryKey(Seq("o_orderkey"))))
+    val v0 = st.liveVersions("t").max
+    val source = base.filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("CHANGED").as("o_orderpriority"),
+        (col("o_totalprice") + 100).cast(Money).as("o_totalprice"))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          lit("NEW").as("o_orderpriority"), col("o_totalprice")))
+    st.mergeInto("t", source, Seq("o_orderkey"),
+      matchedUpdate = Map(
+        "o_orderpriority" -> TableStore.src("o_orderpriority"),
+        "o_totalprice" -> TableStore.src("o_totalprice")),
+      matchedDelete = Some(col("o_orderkey") % 13 === 0))
+    val v1 = st.liveVersions("t").max
+    st.snapshotDiff("t", v0, v1)
+      .select(col("o_orderkey"), col("change"),
+        col("old_o_orderpriority").as("old_priority"),
+        col("new_o_orderpriority").as("new_priority"),
+        col("old_o_totalprice").cast("double").as("old_price"),
+        col("new_o_totalprice").cast("double").as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   /** q102: incremental materialized-view maintenance — the upsert (q87)
     * put to its real 100 TB use. A per-lang (n_docs, n_tokens) aggregate
     * is built once from the base corpus slice and stored with `lang` as
@@ -300,5 +358,5 @@ object DmlQueries {
     st.table("docs").select("doc_id", "tier").orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87, q102, q104, q116)
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q35, q36, q87, q102, q104, q116, q124)
 }

@@ -287,5 +287,51 @@ object Extras {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108)
+  /** §2.3 J+ — FULL OUTER JOIN as a first-class gate: snapshot
+    * reconciliation of two derived order sets (simulated deletions on
+    * each side + price drift), classified added / removed / changed /
+    * same — the "diff two feeds" report every data platform runs.
+    * One PK-keyed full-outer join; counts and exact decimal deltas. */
+  val q123 = QueryDef(
+    "q123_full_outer_reconcile",
+    """WITH old AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |new AS (
+      |  SELECT o_orderkey,
+      |         CAST(CASE WHEN o_orderkey % 7 = 0
+      |              THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+      |              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 89 <> 0),
+      |d AS (
+      |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |              WHEN n.o_orderkey IS NULL THEN 'removed'
+      |              WHEN o.p <> n.p THEN 'changed' ELSE 'same' END AS change,
+      |         COALESCE(n.p, 0) - COALESCE(o.p, 0) AS delta
+      |  FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey)
+      |SELECT change, COUNT(*) AS n, CAST(SUM(delta) AS DOUBLE) AS delta_sum
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), d2(col("o_totalprice")).as("p"))
+    val oldS = base.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("p").as("old_p"))
+    val newS = base.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("p") + 10).otherwise(col("p"))
+          .cast(Money).as("new_p"))
+    oldS.join(newS, Seq("o_orderkey"), "full_outer")
+      .select(
+        when(col("old_p").isNull, "added")
+          .when(col("new_p").isNull, "removed")
+          .when(col("old_p") =!= col("new_p"), "changed")
+          .otherwise("same").as("change"),
+        (coalesce(col("new_p"), lit(BigDecimal(0)).cast(Money)) -
+          coalesce(col("old_p"), lit(BigDecimal(0)).cast(Money))).as("delta"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n"), out(sum(col("delta"))).as("delta_sum"))
+      .orderBy("change")
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108, q123)
 }

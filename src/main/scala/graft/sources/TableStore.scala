@@ -467,6 +467,38 @@ final class TableStore(spark: SparkSession, root: String) {
     } finally batch.unpersist() // also on require/publish failure
   }
 
+  /** CDC-style snapshot diff between two live versions (the consumer side
+    * of time travel): full-outer join on the PRIMARY KEY, one row per key
+    * whose content changed — `change` ∈ added | removed | changed — with
+    * every non-key column emitted as `old_<c>` / `new_<c>`. Unchanged keys
+    * are dropped. Null-safe comparison, so NULL→value and value→NULL both
+    * count as changed.
+    *
+    * Scale: one PK-keyed full-outer join of the two snapshots — the same
+    * shuffle a CDC reader pays anywhere; no window, no driver state. */
+  def snapshotDiff(name: String, vFrom: Int, vTo: Int): DataFrame = {
+    val pk = constraintsOf(name).collectFirst { case PrimaryKey(cols) => cols }
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshotDiff requires a PRIMARY KEY on $name"))
+    val oldS = tableAt(name, vFrom)
+    val newS = tableAt(name, vTo)
+    val nonKey = oldS.columns.filterNot(c => pk.exists(_.equalsIgnoreCase(c)))
+    val o = oldS.select(pk.map(col) ++ nonKey.map(c => col(c).as(s"old_$c"))
+      :+ lit(true).as("__in_old"): _*)
+    val n = newS.select(pk.map(col) ++ nonKey.map(c => col(c).as(s"new_$c"))
+      :+ lit(true).as("__in_new"): _*)
+    val changedCond = nonKey.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, pk.toSeq, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(changedCond, "changed").otherwise("same"))
+      .filter(col("change") =!= "same")
+      .select(pk.map(col) ++ Seq(col("change")) ++
+        nonKey.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Full MERGE (the 3-clause Delta/SQL:2003 form, generalizing [[upsert]]):
     *
     *   WHEN MATCHED AND <matchedDelete> THEN DELETE

@@ -312,6 +312,25 @@ class TableStoreSpec extends SparkSpec {
       Seq((1L, "A", 10))
   }
 
+  test("snapshotDiff classifies added/removed/changed across versions; requires a PK") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq(PrimaryKey(Seq("id"))))
+    val v0 = st.liveVersions("t").max
+    st.delete("t", col("id") === 3L)
+    st.upsert("t", Seq((2L, "B"), (9L, "n")).toDF("id", "v"))
+    val v1 = st.liveVersions("t").max
+    val diff = st.snapshotDiff("t", v0, v1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    diff shouldBe Map(
+      2L -> (("changed", "b", "B")),
+      3L -> (("removed", "c", null)),
+      9L -> (("added", null, "n"))) // key 1 unchanged → absent
+
+    st.create("nopk", Seq((1, "x")).toDF("id", "v"))
+    an[IllegalArgumentException] should be thrownBy st.snapshotDiff("nopk", 0, 0)
+  }
+
   test("mergeInto: duplicate-key source is refused before any write") {
     val st = freshStore()
     st.create("t", Seq((1L, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
