@@ -127,6 +127,42 @@ object EventStream {
     * per micro-batch; events split across batches fold in batch order,
     * which event-time ordering across batches would need watermarked
     * session state to fix. */
+  final case class TypedEvent(user_id: Long, tsMillis: Long, event_type: String)
+  final case class FunnelState(view: Long, click: Long, purchase: Long) // -1 = not reached
+  final case class FunnelAdvance(user_id: Long, reached: Int, at_ts: Long)
+
+  /** Streaming sibling of the batch funnel gate (q120): per user, the
+    * earliest 'view', the earliest 'click' strictly after it, the
+    * earliest 'purchase' strictly after that — folded incrementally with
+    * `flatMapGroupsWithState`, emitting one record each time a user
+    * ADVANCES a stage (0→1→2→3, monotone, at most 3 emissions per user
+    * ever). The batch iterator is sorted by (tsMillis, event_type) before
+    * folding, same determinism contract (and the same honesty about
+    * cross-batch event-time order) as [[thresholdAlerts]]. */
+  def funnelStream(events: Dataset[TypedEvent]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelAdvance]
+          batch.toSeq.sortBy(e => (e.tsMillis, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if s.view < 0 =>
+                s = s.copy(view = e.tsMillis); out += FunnelAdvance(uid, 1, e.tsMillis)
+              case "click" if s.view >= 0 && s.click < 0 && e.tsMillis > s.view =>
+                s = s.copy(click = e.tsMillis); out += FunnelAdvance(uid, 2, e.tsMillis)
+              case "purchase" if s.click >= 0 && s.purchase < 0 && e.tsMillis > s.click =>
+                s = s.copy(purchase = e.tsMillis); out += FunnelAdvance(uid, 3, e.tsMillis)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   def thresholdAlerts(events: Dataset[UserEvent], step: Double): Dataset[Threshold] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

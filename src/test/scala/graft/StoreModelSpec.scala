@@ -32,7 +32,7 @@ class StoreModelSpec extends SparkSpec {
     }
 
     (1 to 25).foreach { i =>
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => // INSERT … ON CONFLICT DO NOTHING (keep-first)
           val batch = rows(3).groupBy(_._1).map(_._2.head).toSeq
           st.insert("t", batch.toDF("id", "s", "x"), onConflictDoNothing = true)
@@ -52,11 +52,22 @@ class StoreModelSpec extends SparkSpec {
           model.keys.filter(id => id >= lo && id < lo + 5)
             .foreach(id => model(id) = (model(id)._1, nx))
           check(s"$i update")
-        case _ => // DELETE … WHERE
+        case 3 => // DELETE … WHERE
           val victim = rnd.nextInt(40).toLong
           st.delete("t", col("id") === victim)
           model.remove(victim)
           check(s"$i delete")
+        case _ => // 3-clause MERGE: delete s0-marked matches, update rest, insert new
+          val batch = rows(4).groupBy(_._1).map(_._2.head).toSeq
+          st.mergeInto("t", batch.toDF("id", "s", "x"), Seq("id"),
+            matchedUpdate = Map("s" -> TableStore.src("s"), "x" -> TableStore.src("x")),
+            matchedDelete = Some(TableStore.src("s") === "s0"))
+          batch.foreach { case (id, s, x) =>
+            if (model.contains(id)) {
+              if (s == "s0") model.remove(id) else model(id) = (s, x)
+            } else model(id) = (s, x)
+          }
+          check(s"$i merge")
       }
     }
     st.analyze("t") // vacuum must not change contents

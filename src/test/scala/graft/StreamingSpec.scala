@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream advances view→click→purchase across batches, strict order, once per stage") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{FunnelAdvance, TypedEvent}
+    val input = MemoryStream[TypedEvent]
+    val q = EventStream.funnelStream(input.toDS()).writeStream
+      .format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // purchase BEFORE any view must not count; click after view does
+      input.addData(
+        TypedEvent(1L, 500L, "purchase"), TypedEvent(1L, 1000L, "view"),
+        TypedEvent(1L, 2000L, "click"),
+        TypedEvent(2L, 1000L, "click")) // no view yet: stays stage 0
+      q.processAllAvailable()
+      // state carries across batches: purchase now lands for user 1;
+      // a second click must NOT re-emit stage 2
+      input.addData(
+        TypedEvent(1L, 2500L, "click"), TypedEvent(1L, 3000L, "purchase"),
+        TypedEvent(2L, 4000L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel").as[FunnelAdvance].collect()
+      rows.filter(_.user_id == 1L).map(a => (a.reached, a.at_ts)).sorted shouldBe
+        Seq((1, 1000L), (2, 2000L), (3, 3000L))
+      rows.filter(_.user_id == 2L).map(a => (a.reached, a.at_ts)).sorted shouldBe
+        Seq((1, 4000L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event_ids on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
