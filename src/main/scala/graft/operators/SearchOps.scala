@@ -176,6 +176,42 @@ object SearchOps {
     * additionally caps df (drop stop-shaped tokens) — the lossless
     * version of that bound is q112's prefix filter; here the full join
     * stays exact. */
+  /** Fixed-point tf-idf weights (doc_id, tok, wi decimal(18,0)) — shared
+    * by q119 and the RRF fusion (q125). See q119's parity notes. */
+  private def tfidfWeights(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n1 = tf.agg(countDistinct(col("doc_id")).as("n"))
+    tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("tok"),
+        floor(lit(1000.0) * col("tf") * (col("n") + 1) / (col("df") + 1))
+          .cast("long").cast("decimal(18,0)").as("wi"))
+  }
+
+  /** Cosine of tf-idf vectors between query docs (`queryPred` on doc_id)
+    * and every other doc, via the postings join. */
+  private def sparseCosine(s: org.apache.spark.sql.SparkSession, d: String,
+                           queryPred: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val wd = tfidfWeights(s, d)
+    val nrm = wd.groupBy("doc_id").agg(sum(col("wi") * col("wi")).as("nr"))
+    val qw = wd.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("tok"), col("wi").as("qi"))
+    wd.join(broadcast(qw), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wi") * col("qi")).as("dt"))
+      .join(broadcast(nrm.select(col("doc_id").as("query_id"), col("nr").as("qn"))),
+        Seq("query_id"))
+      .join(nrm, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("dt").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nr").cast("double")))).as("cosine"))
+  }
+
   val q119 = QueryDef(
     "q119_tfidf_cosine_topk",
     """WITH toks AS (
@@ -202,31 +238,7 @@ object SearchOps {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |            ORDER BY cosine DESC, doc_id) AS rk FROM cosp)
       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val n1 = tf.agg(countDistinct(col("doc_id")).as("n"))
-    // weight: ONE double chain — (1000.0 * tf * (n+1)) / (df+1), floored
-    // into int64 milli-units; association mirrors the oracle exactly
-    val w = tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n1))
-      .select(col("doc_id"), col("tok"),
-        floor(lit(1000.0) * col("tf") * (col("n") + 1) / (col("df") + 1))
-          .cast("long").as("wi"))
-    val wd = w.select(col("doc_id"), col("tok"), col("wi").cast("decimal(18,0)").as("wi"))
-    val nrm = wd.groupBy("doc_id").agg(sum(col("wi") * col("wi")).as("nr"))
-    val qw = wd.filter(col("doc_id") < 20)
-      .select(col("doc_id").as("query_id"), col("tok"), col("wi").as("qi"))
-    val dots = wd.join(broadcast(qw), Seq("tok"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("wi") * col("qi")).as("dt"))
-    dots
-      .join(broadcast(nrm.select(col("doc_id").as("query_id"), col("nr").as("qn"))), Seq("query_id"))
-      .join(nrm, Seq("doc_id"))
-      .select(col("query_id"), col("doc_id"),
-        (col("dt").cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("nr").cast("double")))).as("cosine"))
+    sparseCosine(s, d, col("doc_id") < 20)
       .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
@@ -234,5 +246,92 @@ object SearchOps {
       .orderBy("query_id", "rk")
   }
 
-  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119)
+  /** Reciprocal-rank fusion of a sparse (BM25) and a dense-style (tf-idf
+    * cosine) ranking — the hybrid-search combiner (Cormack et al. 2009)
+    * every retrieval stack runs when it has both a lexical index and an
+    * embedding index: fused(d) = Σᵢ 1/(60 + rankᵢ(d)) over the rankings
+    * that contain d, top-10 by fused score. Neither score is compared
+    * across systems — only RANKS are, which is the point of RRF.
+    *
+    * Parity: both input rankings are already bit-exact cross-engine (q101,
+    * q119); ranks are ints, and the fused score is the same two-term
+    * reciprocal sum on both engines. Scale: two top-50 rankings (tiny)
+    * full-outer joined on doc_id — the fusion itself is free; the cost is
+    * the two retrievals, each already scale-shaped. */
+  val q125 = QueryDef(
+    "q125_rrf_hybrid",
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |         CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |tfq AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |  WHERE w IN ('dup', 'window') GROUP BY 1, 2),
+       |dfq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY 1),
+       |bm AS (
+       |  SELECT tfq.doc_id,
+       |    SUM(((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |        ((tfq.tf * 2.2) /
+       |         (tfq.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))) AS score
+       |  FROM tfq CROSS JOIN stats
+       |  JOIN dfq ON dfq.w = tfq.w JOIN dl ON dl.doc_id = tfq.doc_id
+       |  GROUP BY 1),
+       |bmr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm)
+       |  WHERE rk <= 50),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+       |w AS (SELECT doc_id, tok,
+       |        CAST(floor(1000.0 * tf * (nn.n + 1) / (df.df + 1)) AS BIGINT) AS wi
+       |      FROM tf JOIN df USING (tok) CROSS JOIN nn),
+       |nrm AS (SELECT doc_id,
+       |          SUM(CAST(wi AS DECIMAL(18,0)) * CAST(wi AS DECIMAL(18,0))) AS nr
+       |        FROM w GROUP BY 1),
+       |dots AS (SELECT b.doc_id,
+       |           SUM(CAST(a.wi AS DECIMAL(18,0)) * CAST(b.wi AS DECIMAL(18,0))) AS dt
+       |         FROM w a JOIN w b ON b.tok = a.tok AND b.doc_id <> a.doc_id
+       |         WHERE a.doc_id = 0 GROUP BY 1),
+       |dense AS (SELECT dots.doc_id AS doc_id,
+       |           CAST(dt AS DOUBLE) /
+       |             (sqrt(CAST(x.nr AS DOUBLE)) * sqrt(CAST(y.nr AS DOUBLE))) AS cosine
+       |         FROM dots JOIN nrm x ON x.doc_id = 0
+       |                   JOIN nrm y ON y.doc_id = dots.doc_id),
+       |dnr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rk FROM dense)
+       |  WHERE rk <= 50),
+       |fused AS (
+       |  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |         CAST(b.rk AS INT) AS bm25_rk, CAST(v.rk AS INT) AS dense_rk,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + v.rk), 0.0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN dnr v ON v.doc_id = b.doc_id)
+       |SELECT doc_id, bm25_rk, dense_rk, rrf, CAST(frk AS INT) AS frk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frk FROM fused)
+       |WHERE frk <= 10 ORDER BY frk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bmr = bm25(s, d, Seq("dup", "window"), 50)
+      .withColumn("bm25_rk", org.apache.spark.sql.functions.row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "bm25_rk")
+    val dnr = sparseCosine(s, d, col("doc_id") === 0)
+      .withColumn("dense_rk", org.apache.spark.sql.functions.row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
+      .filter(col("dense_rk") <= 50)
+      .select("doc_id", "dense_rk")
+    bmr.join(dnr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("bm25_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rk")), lit(0.0)))
+      .withColumn("frk", org.apache.spark.sql.functions.row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .filter(col("frk") <= 10)
+      .select("doc_id", "bm25_rk", "dense_rk", "rrf", "frk")
+      .orderBy("frk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119, q125)
 }
