@@ -298,5 +298,84 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok"))
   }
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118)
+  private val BpeMerges = 3
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016), three merge rounds:
+    * words become spaced character-symbol strings, each round counts
+    * adjacent symbol pairs weighted by word frequency, adopts the most
+    * frequent pair (ties broken lexicographically) as a new symbol, and
+    * rewrites the corpus via single-pass leftmost `replace` (disjoint
+    * occurrences — the fast-BPE application form; both engines' replace
+    * scans left-to-right and continues after each replacement, so the
+    * rewrite is identical). Emits one row per learned merge with its
+    * weighted frequency and the corpus symbol count after adoption —
+    * the monotone shrinking that makes BPE training observable.
+    *
+    * Scale posture: each round is one explode-and-aggregate over
+    * (distinct-word, position) — map-side combine on the (l, r) pair key
+    * — plus a 1-row broadcast of the winning pair into a codegen'd
+    * string rewrite. Work is per DISTINCT word (weighted by counts),
+    * not per token occurrence; rounds are a fixed small constant, the
+    * same iterative-fixpoint shape as q76's Lloyd rounds. */
+  val q126 = {
+    def pairsSql(s: String) =
+      s"""select l, r, sum(cnt) freq from (
+         |    select cnt, arr[i] l, arr[i+1] r from (
+         |      select cnt, unnest(range(1, len(arr))) i, arr from (
+         |        select cnt, string_split(trim(s),' ') arr from $s)))
+         |  group by 1,2""".stripMargin
+    val iters = (1 to BpeMerges).map { k =>
+      s"""p$k as (${pairsSql(s"s${k - 1}")}),
+         |t$k as (select l, r, freq from p$k order by freq desc, l, r limit 1),
+         |s$k as (select w, cnt, replace(s, ' '||t.l||' '||t.r||' ', ' '||t.l||t.r||' ') s
+         |        from s${k - 1} cross join t$k t)""".stripMargin
+    }.mkString(",\n")
+    val outRows = (1 to BpeMerges).map { k =>
+      s"""select $k step, t.l lsym, t.r rsym, cast(t.freq as bigint) freq,
+         |  (select cast(sum(cnt*len(string_split(trim(s),' '))) as bigint) from s$k) symbols_after
+         |from t$k t""".stripMargin
+    }.mkString("\nunion all\n")
+    QueryDef(
+      "q126_bpe_train",
+      s"""with toks as (select unnest(string_split(trim(text),' ')) w from documents),
+         |words as (select w, count(*) cnt from toks group by 1),
+         |s0 as (select w, cnt,
+         |         ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' ' s
+         |       from words),
+         |$iters
+         |select cast(step as int) step, lsym, rsym, freq, symbols_after
+         |from ($outRows) order by step""".stripMargin) { (s, d) =>
+      var cur = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"),
+          concat(lit(" "),
+            array_join(expr("filter(split(w, ''), x -> x <> '')"), " "),
+            lit(" ")).as("s"))
+      val steps = (1 to BpeMerges).map { k =>
+        val pairs = cur
+          .select(col("cnt"), split(trim(col("s")), " ").as("arr"))
+          // sequence(1, 0) DESCENDS in Spark (it is not empty): guard the
+          // single-symbol words that have no adjacent pair
+          .select(col("cnt"), col("arr"),
+            explode(expr(
+              "if(size(arr) >= 2, sequence(1, size(arr) - 1), cast(array() as array<int>))")).as("i"))
+          .select(col("cnt"), expr("element_at(arr, i)").as("l"),
+            expr("element_at(arr, i + 1)").as("r"))
+          .groupBy("l", "r").agg(sum(col("cnt")).as("freq"))
+        val top1 = pairs.orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+        cur = cur.crossJoin(broadcast(top1))
+          .select(col("w"), col("cnt"),
+            expr("replace(s, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))").as("s"))
+        val symbolsAfter = cur
+          .agg(sum(col("cnt") * size(split(trim(col("s")), " "))).as("symbols_after"))
+        top1.crossJoin(broadcast(symbolsAfter))
+          .select(lit(k).cast("int").as("step"), col("l").as("lsym"),
+            col("r").as("rsym"), col("freq"), col("symbols_after"))
+      }
+      steps.reduce(_ unionByName _).orderBy("step")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126)
 }
