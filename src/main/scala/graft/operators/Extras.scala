@@ -333,5 +333,95 @@ object Extras {
       .orderBy("change")
   }
 
-  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108, q123)
+  /** File-level data skipping on the ORACLE path (DataSkippingSpec proves
+    * effectiveness; this gate proves EXACTNESS on real data): events land
+    * in a store clustered on user_id, a selective range scan goes through
+    * `scanSkipping` (file pruning by footer min/max stats), and the
+    * result must equal the oracle's plain filtered aggregate. The builder
+    * hard-fails if no file was actually skipped — so a silent stats
+    * regression cannot pass as correct. */
+  val q127 = QueryDef(
+    "q127_skipping_scan",
+    """SELECT user_id, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM events WHERE user_id BETWEEN 40 AND 60
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.{FileStats, TableStore}
+    val st = new TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-skip").toString)
+    st.createClustered("ev",
+      Tables.events(s, d).select("event_id", "user_id", "value"),
+      Seq("user_id"), files = 16)
+    val (scan, rep) = st.scanSkipping("ev",
+      Seq(FileStats.ColumnRange("user_id", Some(40L), Some(60L))))
+    require(rep.filesRead < rep.filesTotal,
+      s"skipping ineffective: read ${rep.filesRead}/${rep.filesTotal} files")
+    scan.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("value_sum"))
+      .orderBy("user_id")
+  }
+
+  /** Integer-exact equi-width histogram: order totals in cents, 10 equal
+    * buckets over the observed [min, max] — bucket index is one integer
+    * multiply-divide with non-negative operands, so DuckDB's floor `//`
+    * and Spark's truncating `div` agree by construction. The 1-row
+    * min/max frame is a broadcast cross join (same shape as the q16/q61
+    * dashboards). */
+  val q128 = QueryDef(
+    "q128_histogram",
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |           FROM orders),
+      |mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c)
+      |SELECT CAST(((cents - mn) * 10) // (mx - mn + 1) AS INT) AS bucket,
+      |       COUNT(*) AS n
+      |FROM c CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    val c = Tables.orders(s, d)
+      .select((d2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val mm = c.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    c.crossJoin(broadcast(mm))
+      .select(expr("cast(((cents - mn) * 10) div (mx - mn + 1) as int)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** IQR robust-outlier bands per order status (the box-plot rule):
+    * p25/p75 via the exact interpolated percentile (q68's proven
+    * cross-engine convention), Tukey fences at 1.5·IQR, counts of rows
+    * outside each fence. Percentiles are per-group sorted-scan work
+    * exactly like q68; the fence comparison is a broadcast band join
+    * (same shape as q103's winsorize clamp). */
+  val q129 = QueryDef(
+    "q129_iqr_outliers",
+    """WITH b AS (
+      |  SELECT o_orderstatus,
+      |         quantile_cont(o_totalprice, 0.25) AS p25,
+      |         quantile_cont(o_totalprice, 0.75) AS p75
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderstatus, b.p25, b.p75,
+      |  CAST(SUM(CASE WHEN o.o_totalprice < b.p25 - 1.5 * (b.p75 - b.p25)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN o.o_totalprice > b.p75 + 1.5 * (b.p75 - b.p25)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  COUNT(*) AS n
+      |FROM orders o JOIN b ON b.o_orderstatus = o.o_orderstatus
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, d) =>
+    val b = Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+    Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
+      .join(broadcast(b), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus", "p25", "p75")
+      .agg(
+        sum(when(col("o_totalprice") < col("p25") - lit(1.5) * (col("p75") - col("p25")), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("o_totalprice") > col("p75") + lit(1.5) * (col("p75") - col("p25")), 1L)
+          .otherwise(0L)).as("n_high"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
+    q123, q127, q128, q129)
 }
