@@ -99,8 +99,9 @@ object CorpusOps {
   /** Benchmark decontamination: flag corpus docs sharing any 8-gram with a
     * held-out benchmark set (here: doc_id < 50), the standard n-gram
     * contamination check run before training. */
-  val q63 = QueryDef(
-    "q63_contamination",
+  /** Shared by q63 (exact) and q130 (bloom-pruned — result must be
+    * IDENTICAL, so both gates use the same oracle). */
+  private val contaminationOracle =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, unnest(${shinglesNSql("t", 8)}) AS g
        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)),
@@ -108,7 +109,11 @@ object CorpusOps {
        |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id >= 50)
        |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_grams
        |FROM corpus c JOIN bench b ON c.g = b.g
-       |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+       |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin
+
+  val q63 = QueryDef(
+    "q63_contamination",
+    contaminationOracle) { (s, d) =>
     val sh = Tables.documents(s, d)
       .withColumn("t", tokens(col("text")))
       .withColumn("g", explode(shinglesN("t", 8)))
@@ -343,5 +348,34 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111)
+  /** Bloom-pruned decontamination — q63's semantics at the 100 TB shape:
+    * at scale the corpus side is petabytes of shingles and even a
+    * broadcast-hash join visits every corpus row; a bloom sketch over the
+    * BENCHMARK grams (tiny by construction) is a few hundred KB, ships as
+    * a scan-level `bloom_might_contain` literal, and drops the ~99% of
+    * corpus shingles that cannot match before any join work. False
+    * positives only waste probe work — the exact join behind the prune
+    * keeps the output bit-identical, which is why this gate reuses q63's
+    * oracle verbatim. Same mechanism as q96, crossing from relational
+    * into corpus curation. */
+  val q130 = QueryDef(
+    "q130_bloom_decontaminate",
+    contaminationOracle) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    val sh = Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("g", explode(shinglesN("t", 8)))
+      .select("doc_id", "g").distinct()
+      .cache()
+    val bench = sh.filter(col("doc_id") < 50).toDF("bench_id", "g")
+    val corpus = sh.filter(col("doc_id") >= 50)
+    val pruned = BloomJoin.prunePredicate(bench.select("g"), col("g"), estItems = 4096L)
+      .map(corpus.filter).getOrElse(corpus)
+    pruned.join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111, q130)
 }
