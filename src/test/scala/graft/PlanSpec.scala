@@ -118,6 +118,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q130: bloom prune reaches the corpus scan before the exact join") {
+    val plan = planOf(CorpusOps.q130.build(spark, sf))
+    plan should include("might_contain") // scan-level prune present
+    plan should include("BroadcastHashJoin")   // exact join behind it
+    plan should not include "CartesianProduct"
+  }
+
+  test("q121: novelty is aggregate + join-back, no pairwise work") {
+    val plan = planOf(Dedup.q121.build(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan.split("HashAggregate").length should be >= 3 // partial+final on the shingle key
+  }
+
   test("q89: candidate scoring is hash-joined; only the 3-row probe-level fan-out crosses") {
     val plan = planOf(graft.operators.Similarity.q89.build(spark, sf))
     plan should not include "CartesianProduct"
