@@ -45,6 +45,20 @@ object DedupClusters {
        |  CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
        |  c.doc_id = c.component AS is_keeper
        |FROM comp c ORDER BY component, doc_id""".stripMargin) { (s, d) =>
+    val labels = components(s, d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    labels
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("is_keeper", col("doc_id") === col("component"))
+      .select("doc_id", "component", "n_members", "is_keeper")
+      .orderBy("component", "doc_id")
+  }
+
+  /** Connected components over the LSH-verified near-dup graph:
+    * (doc_id, component = min reachable doc_id), for docs that appear in
+    * at least one pair. Shared by q71 and the dedup-aware split (q131). */
+  private[operators] def components(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
     // edges from the scalable LSH pair detector (q48), both directions
     val pairs = Dedup.lshVerifiedPairs(s, d).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -80,14 +94,96 @@ object DedupClusters {
       throw new IllegalStateException(
         s"connected-components label propagation did not converge after $MaxRounds rounds " +
           s"($changed labels still changing) — graph diameter exceeds the round budget")
-
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
     labels
-      .withColumn("n_members", count(lit(1)).over(w))
-      .withColumn("is_keeper", col("doc_id") === col("component"))
-      .select("doc_id", "component", "n_members", "is_keeper")
-      .orderBy("component", "doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q71)
+  /** Dedup-AWARE train/val/test split (the leakage problem Lee et al.
+    * 2022 measure: near-duplicates straddling the train/test boundary
+    * inflate eval): a naive per-doc hash split scatters the members of a
+    * near-dup cluster across splits, so the same (near-)text trains AND
+    * evaluates; hashing the COMPONENT id instead sends whole clusters to
+    * one split. Emits both schemes' split sizes plus the hard number —
+    * verified near-dup pairs whose endpoints landed in different splits:
+    * nonzero for naive, ZERO by construction for aware.
+    *
+    * Scale posture: components are the q71 fixpoint (already bounded);
+    * split assignment is one hash expression; leakage counting joins the
+    * pair list against the tiny (doc_id, split) assignment twice — all
+    * broadcast-sized, no new shuffles beyond what q71 already does. */
+  val q131 = QueryDef(
+    "q131_dedup_aware_split",
+    s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
+       |pairs AS (SELECT doc_a, doc_b FROM verified),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |closure(a, b) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT c.a, e.t FROM closure c JOIN edges e ON e.s = c.b),
+       |comp AS (
+       |  SELECT a AS doc_id, least(min(b), a) AS component
+       |  FROM closure GROUP BY a),
+       |lbl AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h_doc < 8 THEN 'train' WHEN h_doc = 8 THEN 'val' ELSE 'test' END AS naive_split,
+       |    CASE WHEN h_cmp < 8 THEN 'train' WHEN h_cmp = 8 THEN 'val' ELSE 'test' END AS aware_split
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS h_doc,
+       |          ('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15))::BIGINT % 10 AS h_cmp
+       |        FROM lbl)),
+       |leak AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leak,
+       |    CAST(COALESCE(SUM(CASE WHEN a.aware_split <> b.aware_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS aware_leak
+       |  FROM pairs p JOIN sp a ON a.doc_id = p.doc_a JOIN sp b ON b.doc_id = p.doc_b)
+       |SELECT 'aware' AS scheme,
+       |  CAST(SUM(CASE WHEN aware_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN aware_split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |  CAST(SUM(CASE WHEN aware_split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |  (SELECT aware_leak FROM leak) AS leaked_pairs
+       |FROM sp
+       |UNION ALL
+       |SELECT 'naive',
+       |  CAST(SUM(CASE WHEN naive_split = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(SUM(CASE WHEN naive_split = 'val' THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(SUM(CASE WHEN naive_split = 'test' THEN 1 ELSE 0 END) AS BIGINT),
+       |  (SELECT naive_leak FROM leak)
+       |FROM sp ORDER BY scheme""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.hash60
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val h = hash60(concat(lit("split:"), c.cast("string"))) % 10
+      when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    }
+    val lbl = Tables.documents(s, d).select("doc_id")
+      .join(components(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("naive_split"),
+        splitOf(col("component")).as("aware_split"))
+      .cache()
+    val pairs = Dedup.lshVerifiedPairs(s, d).select("doc_a", "doc_b")
+    val leak = pairs
+      .join(broadcast(lbl.select(col("doc_id").as("doc_a"),
+        col("naive_split").as("na"), col("aware_split").as("aa"))), Seq("doc_a"))
+      .join(broadcast(lbl.select(col("doc_id").as("doc_b"),
+        col("naive_split").as("nb"), col("aware_split").as("ab"))), Seq("doc_b"))
+      .agg(
+        coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L)).as("naive_leak"),
+        coalesce(sum(when(col("aa") =!= col("ab"), 1L).otherwise(0L)), lit(0L)).as("aware_leak"))
+    def scheme(name: String, splitCol: String, leakCol: String) =
+      lbl.agg(
+        sum(when(col(splitCol) === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col(splitCol) === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col(splitCol) === "test", 1L).otherwise(0L)).as("n_test"))
+        .crossJoin(broadcast(leak.select(col(leakCol).as("leaked_pairs"))))
+        .select(lit(name).as("scheme"), col("n_train"), col("n_val"),
+          col("n_test"), col("leaked_pairs"))
+    scheme("aware", "aware_split", "aware_leak")
+      .unionByName(scheme("naive", "naive_split", "naive_leak"))
+      .orderBy("scheme")
+  }
+
+  val all: Seq[QueryDef] = Seq(q71, q131)
 }

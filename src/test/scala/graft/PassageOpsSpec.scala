@@ -26,6 +26,31 @@ class PassageOpsSpec extends SparkSpec {
     operators.PassageOps.q113.build(spark, dir).collect()
   }
 
+  test("property: a corpus with globally-unique tokens round-trips unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // every token globally unique → no passage can repeat → dedup must be
+    // the identity on text, for any doc length (incl. non-multiples of W)
+    val docs = (0L until 40L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, (0 until n).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("psg-prop").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", expr("length(text)"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.PassageOps.q113.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val (nPsg, nKept, rebuilt) = out(id)
+      withClue(s"doc $id: ") {
+        nKept shouldBe nPsg
+        rebuilt shouldBe text
+      }
+    }
+  }
+
   test("keep-first drops the shared window from later docs and rebuilds order") {
     val rows = run.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     // doc 0: 11 tokens → 2 passages (8 + 3), both kept, text intact
