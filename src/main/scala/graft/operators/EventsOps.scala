@@ -201,5 +201,63 @@ object EventsOps {
       .orderBy("rk")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122)
+  /** STREAMING on the oracle gate (every other streaming capability is
+    * spec-checked; this one is hash-compared to DuckDB): the incremental
+    * funnel ([[graft.streaming.EventStream.funnelStream]]) runs over the
+    * real events table as a bounded file-source stream (AvailableNow),
+    * its appended stage-advance records land in a memory sink, and the
+    * per-user maximum stage must equal the batch SQL's funnel — the
+    * stream-equals-batch contract, gated end to end.
+    *
+    * Determinism: one input file → one micro-batch; within it the group
+    * fold sorts by (ts, event_type), which reproduces the batch MIN/
+    * strictly-after semantics exactly (ties excluded by strict > on both
+    * sides). Emissions are monotone, so max(reached) is the final stage. */
+  val q132 = QueryDef(
+    "q132_streaming_funnel_gate",
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN t1 ON t1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN t2 ON t2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+      |SELECT t1.user_id,
+      |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+      |            ELSE 1 END AS INT) AS reached
+      |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.EventStream
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    // the streaming file source monitors a DIRECTORY; the test tables are
+    // single files, so stage a copy into a temp dir (exactly how a real
+    // ingest would land files into a watched prefix)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
+    val tsMicros = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000") // nanos → micros
+      case _ => expr("unix_micros(ts)")
+    }
+    val typed = stream
+      .select(col("user_id"), tsMicros.as("tsMillis"), col("event_type"))
+      .as[EventStream.TypedEvent]
+    val sinkName = "q132_funnel_sink"
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val q = EventStream.funnelStream(typed).writeStream
+      .format("memory").queryName(sinkName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .groupBy("user_id").agg(max(col("reached")).cast("int").as("reached"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132)
 }
