@@ -155,6 +155,15 @@ class DataSkippingSpec extends SparkSpec {
       .head().getLong(0) shouldBe sum0
   }
 
+  test("optimizeZOrder refuses partitioned tables rather than destroying their layout") {
+    val st = freshStore()
+    st.createPartitioned("p",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "par"), "par")
+    an[IllegalArgumentException] should be thrownBy
+      st.optimizeZOrder("p", Seq("id"), files = 2)
+    st.table("p").count() shouldBe 2 // untouched
+  }
+
   test("unnormalizable bounds keep files that HAVE stats on the column") {
     val st = freshStore()
     st.create("t", Seq((1L, java.sql.Date.valueOf("2021-06-01")),
