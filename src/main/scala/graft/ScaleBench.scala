@@ -111,7 +111,8 @@ object ScaleBench {
     "q113_passage_dedup", "q115_pq_adc_ann", "q116_merge_full",
     "q118_countmin_topk", "q119_tfidf_cosine_topk", "q120_funnel_stages",
     "q121_shingle_novelty", "q125_rrf_hybrid", "q126_bpe_train",
-    "q130_bloom_decontaminate")
+    "q130_bloom_decontaminate", "q131_dedup_aware_split",
+    "q132_streaming_funnel_gate")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

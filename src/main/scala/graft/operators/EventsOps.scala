@@ -231,14 +231,21 @@ object EventsOps {
     import graft.streaming.EventStream
     import s.implicits._
     val raw = s.read.parquet(s"$d/events.parquet")
-    // the streaming file source monitors a DIRECTORY; the test tables are
-    // single files, so stage a copy into a temp dir (exactly how a real
-    // ingest would land files into a watched prefix)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      stageDir.resolve("events.parquet"))
-    val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
+    // the streaming file source monitors a DIRECTORY. A Spark-written
+    // table is already one (stream it in place); the driver's test tables
+    // are single FILES, which get staged into a temp dir — naive
+    // Files.copy of a directory path would copy only the empty dir and
+    // the stream would silently fold zero rows (caught by the 10×
+    // replica, whose events table IS a directory).
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
+        stageDir.toString
+      }
+    val stream = s.readStream.schema(raw.schema).parquet(streamPath)
     val tsMicros = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000") // nanos → micros
       case _ => expr("unix_micros(ts)")
