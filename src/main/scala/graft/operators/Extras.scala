@@ -422,6 +422,70 @@ object Extras {
       .orderBy("o_orderstatus")
   }
 
+  /** Per-group MODE (most frequent value) with an EXPLICIT deterministic
+    * tie-break — engines' built-in mode() leaves ties unspecified, so
+    * both sides rank (count DESC, value ASC) and take row 1. Two
+    * aggregations, both map-side combinable; the rank runs on the tiny
+    * (group × distinct-value) frame. */
+  val q133 = QueryDef(
+    "q133_mode_per_group",
+    """WITH c AS (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_mode FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |            ORDER BY n DESC, o_orderstatus) AS rn FROM c)
+      |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus").agg(count(lit(1)).as("n"))
+    c.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+          .orderBy(col("n").desc, col("o_orderstatus"))))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+        col("n").as("n_mode"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Ratio-to-report: each nation's share of its REGION's revenue — the
+    * percent-of-total window every BI layer ships. Revenue sums are exact
+    * decimals aggregated per nation first (the window then runs over 25
+    * rows, not the fact table); the share is one double division at the
+    * end. */
+  val q134 = QueryDef(
+    "q134_ratio_to_report",
+    """WITH rev AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT region, nation, CAST(revenue AS DOUBLE) AS revenue,
+      |       CAST(revenue AS DOUBLE) /
+      |         CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE) AS share
+      |FROM rev ORDER BY region, nation""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), d2(col("l_extendedprice")).as("p"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("p")).as("revenue"))
+    rev.select(col("region"), col("nation"),
+        col("revenue").cast("double").as("revenue"),
+        (col("revenue").cast("double") /
+          sum(col("revenue")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("region"))
+            .cast("double")).as("share"))
+      .orderBy("region", "nation")
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
-    q123, q127, q128, q129)
+    q123, q127, q128, q129, q133, q134)
 }

@@ -540,6 +540,69 @@ object Similarity {
     }
   }
 
+  /** Incremental ANN index maintenance — the q90-for-embeddings shape: a
+    * PQ codebook is trained ONCE on the base corpus (vec_id % 5 ≠ 0),
+    * then a new batch (vec_id % 5 = 0) is encoded against the STORED
+    * codebook — training never reruns and base vectors are never
+    * re-encoded, so nightly ingest cost is O(batch), the property that
+    * makes a 100 TB embedding index maintainable. Same int64 fixed-point
+    * parity discipline as q115. Emits the batch's codes. */
+  val q135 = {
+    val sub = s"""SELECT vec_id, CAST(i // $PqM AS INT) AS s, i,
+                 |  CAST(cast(cast(embedding[i+1] as double) as decimal(9,7)) * 10000000 AS BIGINT) AS xi
+                 |FROM embeddings, range(0, $Dim) r(i)""".stripMargin
+    val meanSql =
+      """CASE WHEN SUM(e.xi) >= 0
+        |     THEN (2 * SUM(e.xi) + COUNT(*)) // (2 * COUNT(*))
+        |     ELSE -((-2 * SUM(e.xi) + COUNT(*)) // (2 * COUNT(*))) END""".stripMargin
+    def assignSql(cb: String, in: String): String =
+      s"""SELECT vec_id, s, k FROM (
+         |  SELECT d.vec_id, d.s, d.k,
+         |         ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s ORDER BY d.d2, d.k) AS rn
+         |  FROM (SELECT e.vec_id, e.s, c.k, SUM((e.xi - c.cd) * (e.xi - c.cd)) AS d2
+         |        FROM $in e JOIN $cb c ON c.s = e.s AND c.i = e.i
+         |        GROUP BY 1, 2, 3) d) WHERE rn = 1""".stripMargin
+    QueryDef(
+      "q135_incremental_ann_encode",
+      s"""WITH sub AS ($sub),
+         |base AS (SELECT * FROM sub WHERE vec_id % 5 <> 0),
+         |batch AS (SELECT * FROM sub WHERE vec_id % 5 = 0),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS k, s, i, xi AS cd FROM base WHERE vec_id < 20),
+         |a1 AS (${assignSql("c0", "base")}),
+         |c1 AS (SELECT a.k, e.s, e.i, CAST($meanSql AS BIGINT) AS cd
+         |       FROM base e JOIN a1 a ON a.vec_id = e.vec_id AND a.s = e.s
+         |       GROUP BY a.k, e.s, e.i),
+         |bc AS (${assignSql("c1", "batch")})
+         |SELECT vec_id, s, CAST(k AS INT) AS code FROM bc
+         |ORDER BY vec_id, s""".stripMargin) { (s, d) =>
+      val el = elems(s, d)
+        .select(col("vec_id"), col("i"),
+          (col("xd") * 10000000).cast("long").as("xi"))
+        .withColumn("s", expr(s"cast(i div $PqM as int)"))
+      val base = el.filter(col("vec_id") % 5 =!= 0).cache()
+      val batch = el.filter(col("vec_id") % 5 === 0)
+      def assign(cb: DataFrame, in: DataFrame): DataFrame =
+        in.join(broadcast(cb), Seq("s", "i"))
+          .groupBy(col("vec_id"), col("s"), col("k"))
+          .agg(sum((col("xi") - col("cd")) * (col("xi") - col("cd"))).as("d2"))
+          .groupBy("vec_id", "s")
+          .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("k"))
+      val c0 = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").cast("int").as("k"), col("s"), col("i"), col("xi").as("cd"))
+      val c1 = base.join(assign(c0, base), Seq("vec_id", "s"))
+        .groupBy("k", "s", "i")
+        .agg(expr("""cast(CASE WHEN sum(xi) >= 0
+                    |  THEN (2 * sum(xi) + count(*)) div (2 * count(*))
+                    |  ELSE -((-2 * sum(xi) + count(*)) div (2 * count(*))) END as bigint)""".stripMargin)
+          .as("cd"))
+      // the stored codebook (c1) is all training ever produces; from here
+      // on, ONLY the batch is touched
+      assign(c1, batch)
+        .select(col("vec_id"), col("s"), col("k").cast("int").as("code"))
+        .orderBy("vec_id", "s")
+    }
+  }
+
   private val SemTau = 0.3
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
@@ -647,5 +710,5 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114, q115)
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135)
 }
