@@ -27,5 +27,28 @@ object SetOps {
       .crossJoin(building.except(rich).agg(count(lit(1)).as("except_n")))
   }
 
-  val all: Seq[QueryDef] = Seq(q64)
+  /** Bag-semantics set ops (q64 covers the DISTINCT forms): INTERSECT ALL
+    * keeps min(multiplicity), EXCEPT ALL subtracts multiplicities — the
+    * forms that matter when the key legitimately repeats (a customer with
+    * k orders appears k times). Spark's intersectAll/exceptAll are
+    * hash-aggregate + join plans, no sorts. */
+  val q136 = QueryDef(
+    "q136_set_ops_all",
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+      |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t) AS intersect_all_n,
+      |  (SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t) AS except_all_n,
+      |  (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT)
+      |     FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t) AS except_all_key_sum""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey").as("k"))
+    val b = o.filter(col("o_orderkey") % 3 === 0).select(col("o_custkey").as("k"))
+    a.intersectAll(b).agg(count(lit(1)).as("intersect_all_n"))
+      .crossJoin(a.exceptAll(b).agg(count(lit(1)).as("except_all_n")))
+      .crossJoin(a.exceptAll(b).agg(
+        coalesce(sum(col("k")), lit(0L)).as("except_all_key_sum")))
+  }
+
+  val all: Seq[QueryDef] = Seq(q64, q136)
 }
