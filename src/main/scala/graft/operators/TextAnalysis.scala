@@ -377,5 +377,37 @@ object TextAnalysis {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126)
+  /** Median-absolute-deviation robust length stats per language — the
+    * robust sibling of q129's IQR fences (MAD tolerates up to 50%
+    * contamination where quartiles break at 25%): median token count,
+    * median of |x − median|, and the count outside the 3·MAD band. Two
+    * exact interpolated percentile passes (q68's proven cross-engine
+    * convention) with a broadcast band join between them. */
+  val q137 = QueryDef(
+    "q137_mad_outliers",
+    """WITH t AS (
+      |  SELECT lang, len(string_split(trim(text), ' ')) AS ntok FROM documents),
+      |med AS (SELECT lang, quantile_cont(ntok, 0.5) AS med FROM t GROUP BY 1),
+      |dev AS (SELECT t.lang, t.ntok, ABS(t.ntok - m.med) AS dev
+      |        FROM t JOIN med m ON m.lang = t.lang),
+      |mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT d.lang, m2.med, m3.mad,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * m3.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  COUNT(*) AS n
+      |FROM dev d JOIN med m2 ON m2.lang = d.lang JOIN mad m3 ON m3.lang = d.lang
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).as("ntok"))
+    val med = t.groupBy("lang").agg(expr("percentile(ntok, 0.5)").as("med"))
+    val dev = t.join(broadcast(med), Seq("lang"))
+      .select(col("lang"), col("ntok"), abs(col("ntok") - col("med")).as("dev"))
+    val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(med), Seq("lang")).join(broadcast(mad), Seq("lang"))
+      .groupBy("lang", "med", "mad")
+      .agg(sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126, q137)
 }
