@@ -266,5 +266,69 @@ object EventsOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132)
+  /** Weekly retention cohorts — the product-analytics matrix: users are
+    * cohorted by the week of their FIRST event, and each (cohort week,
+    * activity week) cell counts distinct cohort members active that week,
+    * with the retention ratio against cohort size. Two aggregations
+    * (first-event per user; distinct user-weeks) and a broadcast cohort
+    * join — no windows over raw events. */
+  val q138 = QueryDef(
+    "q138_retention_cohorts",
+    """WITH first_ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |weekly AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cs AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM first_ev GROUP BY 1)
+      |SELECT f.cohort_week, w.week,
+      |       COUNT(DISTINCT w.user_id) AS n_active,
+      |       CAST(COUNT(DISTINCT w.user_id) AS DOUBLE) / cs.cohort_size AS retention
+      |FROM weekly w JOIN first_ev f ON f.user_id = w.user_id
+      |JOIN cs ON cs.cohort_week = f.cohort_week
+      |GROUP BY 1, 2, cs.cohort_size ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val firstEv = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val weekly = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val cs = firstEv.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    weekly.join(broadcast(firstEv), Seq("user_id"))
+      .join(broadcast(cs), Seq("cohort_week"))
+      .groupBy("cohort_week", "week", "cohort_size")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort_week"), col("week"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week")
+  }
+
+  /** Time-decayed engagement score with a 1-day half-life — EXACTLY, with
+    * no libm pow: weight 2^-age becomes the integer factor 2^(29-age)
+    * (the corpus spans 30 days), contributions are exact BIGINT
+    * cents×factor sums (max ≈ 5·10¹⁷, inside int64), and the single
+    * double division by 2^29·100 happens once at the end. Distributed
+    * summation order cannot perturb an integer sum — the same
+    * fixed-point discipline as q115. */
+  val q139 = QueryDef(
+    "q139_decayed_engagement",
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         date_diff('day', CAST(ts AS DATE), DATE '2024-01-30') AS age
+      |  FROM events)
+      |SELECT event_type,
+      |       CAST(SUM(cents * (CAST(1 AS BIGINT) << CAST((29 - age) AS INT))) AS DOUBLE)
+      |         / 53687091200.0 AS decayed_value
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        datediff(lit("2024-01-30").cast("date"), col("ts").cast("date")).as("age"))
+      .groupBy("event_type")
+      .agg((sum(col("cents") * expr("shiftleft(cast(1 as bigint), cast(29 - age as int))"))
+        .cast("double") / 53687091200.0).as("decayed_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139)
 }

@@ -486,6 +486,43 @@ object Extras {
       .orderBy("region", "nation")
   }
 
+  /** Exact Gini coefficient of revenue concentration across customers —
+    * the inequality/concentration diagnostic (same formula measures
+    * source concentration in a training corpus):
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted totals.
+    * Per-customer totals are exact decimals; the rank window runs over
+    * the 1,000-row customer rollup (never the fact table); Σ i·xᵢ is an
+    * exact decimal sum, and the formula's two divisions happen once, on
+    * the 1-row aggregate. Ties in totals are broken by customer key so
+    * the ranking — and therefore the bit pattern — is identical on both
+    * engines (Gini's VALUE is tie-order-invariant; the gate pins the
+    * bits too). */
+  val q140 = QueryDef(
+    "q140_gini_concentration",
+    """WITH rev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM rev)
+      |SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS DOUBLE) AS total,
+      |  2.0 * CAST(SUM(i * x) AS DOUBLE) / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+      |    - (COUNT(*) + 1.0) / COUNT(*) AS gini
+      |FROM ranked""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(sum(d2(col("o_totalprice"))).as("x"))
+    val ranked = rev.withColumn("i", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("o_custkey"))))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n"),
+        col("sx").cast("double").as("total"),
+        (lit(2.0) * col("six").cast("double") / (col("n") * col("sx").cast("double"))
+          - (col("n") + lit(1.0)) / col("n")).as("gini"))
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
-    q123, q127, q128, q129, q133, q134)
+    q123, q127, q128, q129, q133, q134, q140)
 }
