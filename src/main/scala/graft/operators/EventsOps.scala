@@ -330,5 +330,52 @@ object EventsOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139)
+  /** Markov argmax evaluation — the eval loop of the q122 transition
+    * model run in-engine: per previous event type, predict the most
+    * frequent next type (deterministic tie-break), then score the
+    * prediction against every actual transition. Train and eval are the
+    * same corpus by design (this gates the mechanics, not generalization
+    * — a held-out variant just changes the filter). The 25-cell model is
+    * a broadcast join against the transition stream. */
+  val q142 = QueryDef(
+    "q142_markov_eval",
+    """WITH seq AS (
+      |  SELECT event_type AS prev_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tr AS (SELECT prev_type, next_type FROM seq WHERE next_type IS NOT NULL),
+      |cnt AS (SELECT prev_type, next_type, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+      |model AS (SELECT prev_type, next_type AS predicted FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+      |            ORDER BY n DESC, next_type) AS rn FROM cnt) WHERE rn = 1)
+      |SELECT t.prev_type, m.predicted,
+      |  CAST(SUM(CASE WHEN t.next_type = m.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN t.next_type = m.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS accuracy
+      |FROM tr t JOIN model m ON m.prev_type = t.prev_type
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Tables.events(s, d)
+      .select(col("event_type").as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+    val model = tr.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+          .orderBy(col("n").desc, col("next_type"))))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"))
+    tr.join(broadcast(model), Seq("prev_type"))
+      .groupBy("prev_type", "predicted")
+      .agg(sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n_total"))
+      .select(col("prev_type"), col("predicted"), col("n_correct"), col("n_total"),
+        (col("n_correct").cast("double") / col("n_total")).as("accuracy"))
+      .orderBy("prev_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139, q142)
 }

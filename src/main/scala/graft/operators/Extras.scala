@@ -523,6 +523,35 @@ object Extras {
           - (col("n") + lit(1.0)) / col("n")).as("gini"))
   }
 
+  /** Market-basket co-purchase affinity: the top part PAIRS appearing in
+    * the same order — association mining's support count in its exact
+    * form. The pair generator is a self-join WITHIN the order key (never
+    * across orders), so per-order fan-out is C(basket, 2) — bounded by
+    * basket size, the market-basket contract; the global rollup is one
+    * map-side-combinable aggregate on the pair key. */
+  val q141 = QueryDef(
+    "q141_copurchase_affinity",
+    """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      |      FROM d a JOIN d b ON b.l_orderkey = a.l_orderkey
+      |                       AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2)
+      |SELECT part_a, part_b, support, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b) AS rk
+      |  FROM p) WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    items.toDF("l_orderkey", "part_a")
+      .join(items.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(10)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("support").desc, col("part_a"), col("part_b"))).cast("int"))
+      .orderBy("rk")
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
-    q123, q127, q128, q129, q133, q134, q140)
+    q123, q127, q128, q129, q133, q134, q140, q141)
 }
