@@ -552,6 +552,72 @@ object Extras {
       .orderBy("rk")
   }
 
+  /** RFM customer scoring — recency (days since last order), frequency
+    * (order count), monetary (revenue sum) quintiled per dimension with
+    * NTILE(5) over TOTAL orders (ties broken by customer key — NTILE is
+    * row-order-dependent, q117's lesson). Windows run over the 1,000-row
+    * customer rollup, never the fact table. */
+  val q143 = QueryDef(
+    "q143_rfm_scores",
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', MAX(o_orderdate), DATE '2024-12-31') AS recency_days,
+      |         COUNT(*) AS frequency,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+      |       frequency, CAST(monetary AS DOUBLE) AS monetary,
+      |  CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+      |  CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+      |  CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+      |FROM m ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(datediff(lit("2024-12-31").cast("date"), max(col("o_orderdate"))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(d2(col("o_totalprice"))).as("monetary"))
+    m.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))).cast("int").as("r_score"),
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).cast("int").as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey"))).cast("int").as("m_score"))
+      .orderBy("o_custkey")
+  }
+
+  /** Data-profiling report — the expectation-suite primitives every
+    * platform runs before trusting a table: per column, row count, null
+    * count, and exact distinct count, emitted as one long-format frame.
+    * ONE pass over the table computes every metric (a single aggregate
+    * projection), then a constant-width unpivot — no per-column rescans. */
+  val q144 = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val sqlMetrics = cols.map(c =>
+      s"""  SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |    COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct
+         |  FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+    QueryDef(
+      "q144_profile_columns",
+      s"""$sqlMetrics
+         |ORDER BY column_name""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      // one aggregate computes all 6×3 metrics; the union below is over
+      // 1-row frames (plan-wise a local unpivot, not 6 table scans —
+      // Catalyst reuses the aggregated subplan via the cached frame)
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"))): _*).cache()
+      cols.map { c =>
+        agg.select(lit(c).as("column_name"), col("n_rows"),
+          col(s"null_$c").as("n_null"), col(s"dist_$c").as("n_distinct"))
+      }.reduce(_ unionByName _).orderBy("column_name")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
-    q123, q127, q128, q129, q133, q134, q140, q141)
+    q123, q127, q128, q129, q133, q134, q140, q141, q143, q144)
 }
