@@ -377,5 +377,52 @@ object EventsOps {
       .orderBy("prev_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139, q142)
+  /** Second streaming oracle gate (q132 covers stateful flatMap; this
+    * covers WINDOWED AGGREGATION): the q40 hourly rollup computed by the
+    * streaming engine — file-source stream, tumbling window aggregate in
+    * Complete mode (append would withhold the trailing windows of a
+    * bounded stream behind the watermark), memory sink — hash-compared to
+    * the exact batch SQL. Decimal sums keep streaming-state merge order
+    * irrelevant to the bits. */
+  val q145 = QueryDef(
+    "q145_streaming_hourly_gate",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-hourly")
+        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
+        stageDir.toString
+      }
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts")
+    }
+    val sinkName = "q145_hourly_sink"
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val q = s.readStream.schema(raw.schema).parquet(streamPath)
+      .select(tsCol.as("ts"), col("event_type"), col("value"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139, q142, q145)
 }
