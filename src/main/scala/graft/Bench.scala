@@ -38,14 +38,15 @@ object Bench {
       }
       name -> times.min
     }
-    // 3-decimal (1 ms) per-query values: full float repr once pushed this
-    // line past the driver's log-tail capture window (~4 KB) and its JSON
-    // parse silently failed ("parsed": null in BENCH_r03) — millisecond
-    // resolution keeps the whole line comfortably inside it
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // 2-decimal (10 ms) per-query values: full float repr once pushed this
+    // line past the driver's log-tail capture window (~3.9 KB) and its
+    // JSON parse silently failed ("parsed": null in BENCH_r03); at 145
+    // queries even 1 ms resolution crossed it. The full-precision record
+    // lives in the committed bench_r04_local.json artifact.
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

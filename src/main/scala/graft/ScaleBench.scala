@@ -112,7 +112,8 @@ object ScaleBench {
     "q118_countmin_topk", "q119_tfidf_cosine_topk", "q120_funnel_stages",
     "q121_shingle_novelty", "q125_rrf_hybrid", "q126_bpe_train",
     "q130_bloom_decontaminate", "q131_dedup_aware_split",
-    "q132_streaming_funnel_gate")
+    "q132_streaming_funnel_gate", "q139_decayed_engagement",
+    "q141_copurchase_affinity", "q145_streaming_hourly_gate")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
