@@ -618,6 +618,41 @@ object Extras {
     }
   }
 
+  /** Shipping-SLA report per order priority: days from order date to the
+    * FIRST lineitem ship date, average latency (exact integer day sums,
+    * one double division) and the fraction meeting a 7-day SLA. The
+    * per-order min-ship aggregation combines map-side; the orders join
+    * runs on the (orderkey, first_ship) rollup. */
+  val q146 = QueryDef(
+    "q146_shipping_sla",
+    """WITH fs AS (
+      |  SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+      |lat AS (
+      |  SELECT o.o_orderpriority,
+      |         date_diff('day', o.o_orderdate, fs.first_ship) AS days
+      |  FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey)
+      |SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(days) AS BIGINT) AS total_days,
+      |  CAST(SUM(days) AS DOUBLE) / COUNT(*) AS avg_days,
+      |  CAST(SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS sla_7d_rate
+      |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val fs = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .join(fs, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("o_orderdate")).cast("long").as("days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("days")).as("total_days"),
+        (sum(col("days")).cast("double") / count(lit(1))).as("avg_days"),
+        (sum(when(col("days") <= 7, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("sla_7d_rate"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
-    q123, q127, q128, q129, q133, q134, q140, q141, q143, q144)
+    q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146)
 }
