@@ -196,7 +196,19 @@ object Dedup {
       sig.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
     }.reduce(_ unionByName _)
 
-  private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    // Materialize the verified pair list eagerly: q71's fixpoint loop and
+    // q131's leak join each consume this frame, and without a checkpoint
+    // every consumer re-executes the candidate+verify join tree from the
+    // cached shingles. The pair list is candidate-bounded (tiny relative
+    // to the corpus), so storing it is cheap and every downstream plan
+    // starts from stored blocks instead of a re-running join.
+    lshPairsPlan(s, d).localCheckpoint(true)
+
+  /** The un-materialized LSH pair plan — what [[buildLshVerifiedPairs]]
+    * checkpoints. Exposed so plan tests can assert the candidate join is
+    * banded (the checkpoint truncates lineage to a LogicalRDD). */
+  private[graft] def lshPairsPlan(s: SparkSession, d: String): DataFrame = {
     val sh = shingleDf(s, d).cache()
     val th = sh.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("s")).as("h"))
     // ONE groupBy computes the 16 signature mins AND the set size — no

@@ -108,8 +108,10 @@ object DedupClusters {
     *
     * Scale posture: components are the q71 fixpoint (already bounded);
     * split assignment is one hash expression; leakage counting joins the
-    * pair list against the tiny (doc_id, split) assignment twice — all
-    * broadcast-sized, no new shuffles beyond what q71 already does. */
+    * pair list against the (doc_id, split) assignment twice. The pair
+    * list is candidate-bounded and broadcasts; the split assignment is
+    * one row PER DOCUMENT — corpus-cardinality, so it must never carry a
+    * broadcast hint (the same contract as Dedup's `sizes` frame). */
   val q131 = QueryDef(
     "q131_dedup_aware_split",
     s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
@@ -164,11 +166,14 @@ object DedupClusters {
         splitOf(col("component")).as("aware_split"))
       .cache()
     val pairs = Dedup.lshVerifiedPairs(s, d).select("doc_a", "doc_b")
-    val leak = pairs
-      .join(broadcast(lbl.select(col("doc_id").as("doc_a"),
-        col("naive_split").as("na"), col("aware_split").as("aa"))), Seq("doc_a"))
-      .join(broadcast(lbl.select(col("doc_id").as("doc_b"),
-        col("naive_split").as("nb"), col("aware_split").as("ab"))), Seq("doc_b"))
+    // broadcast the candidate-bounded PAIR side; `lbl` is one row per
+    // corpus document and must join by shuffle (a broadcast hint on it
+    // would ship the whole corpus's split assignment to every executor)
+    val leak = broadcast(pairs)
+      .join(lbl.select(col("doc_id").as("doc_a"),
+        col("naive_split").as("na"), col("aware_split").as("aa")), Seq("doc_a"))
+      .join(lbl.select(col("doc_id").as("doc_b"),
+        col("naive_split").as("nb"), col("aware_split").as("ab")), Seq("doc_b"))
       .agg(
         coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L)).as("naive_leak"),
         coalesce(sum(when(col("aa") =!= col("ab"), 1L).otherwise(0L)), lit(0L)).as("aware_leak"))

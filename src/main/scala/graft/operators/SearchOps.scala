@@ -170,8 +170,11 @@ object SearchOps {
     * milli-units, and every dot product/norm is then an exact decimal
     * integer sum — distributed aggregation order cannot perturb bits.
     *
-    * Scale posture: df and the 1-row N frame broadcast onto the tf table;
-    * the postings self-join is query-side-broadcast on the token; per-pair
+    * Scale posture: the df join is a plain shuffle equi-join on the token
+    * — df has one row per DISTINCT TOKEN in the corpus (billions on web
+    * text), so it must NEVER carry a broadcast hint (AQE still broadcasts
+    * it when genuinely small); only the 1-row N frame broadcasts. The
+    * postings self-join is query-side-broadcast on the token; per-pair
     * accumulation is a codegen'd partial+final sum. A web-scale corpus
     * additionally caps df (drop stop-shaped tokens) — the lossless
     * version of that bound is q112's prefix filter; here the full join
@@ -185,7 +188,9 @@ object SearchOps {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n1 = tf.agg(countDistinct(col("doc_id")).as("n"))
-    tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n1))
+    // no broadcast hint on dfreq: one row per distinct corpus token —
+    // corpus-cardinality, same no-broadcast contract as Dedup's `sizes`
+    tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n1))
       .select(col("doc_id"), col("tok"),
         floor(lit(1000.0) * col("tf") * (col("n") + 1) / (col("df") + 1))
           .cast("long").cast("decimal(18,0)").as("wi"))
@@ -200,11 +205,16 @@ object SearchOps {
     val nrm = wd.groupBy("doc_id").agg(sum(col("wi") * col("wi")).as("nr"))
     val qw = wd.filter(queryPred)
       .select(col("doc_id").as("query_id"), col("tok"), col("wi").as("qi"))
+    // broadcast ONLY query-side frames (bounded by construction via
+    // queryPred); the full per-document nrm table is corpus-cardinality
+    // and joins by shuffle — a hint there would ship every doc's norm to
+    // every executor
     wd.join(broadcast(qw), Seq("tok"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("wi") * col("qi")).as("dt"))
-      .join(broadcast(nrm.select(col("doc_id").as("query_id"), col("nr").as("qn"))),
+      .join(broadcast(nrm.filter(queryPred)
+        .select(col("doc_id").as("query_id"), col("nr").as("qn"))),
         Seq("query_id"))
       .join(nrm, Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),

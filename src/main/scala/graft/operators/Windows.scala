@@ -16,36 +16,48 @@ import graft.functions.Dec._
 object Windows {
 
   /** RANK (= 1 + #rows strictly greater, ties share) over `valueCol`
-    * computed WITHOUT a Window operator: histogram of distinct values →
-    * broadcast non-equi self-join on strictly-greater values → prefix
-    * count. Safe at any input cardinality the caller has already reduced
+    * computed WITHOUT a Window operator: histogram of distinct values
+    * (distributed aggregate), collected to the driver, locally sorted
+    * descending, ranks assigned by a running prefix sum of the counts —
+    * O(d log d) in distinct values, not the O(d²) a self-join would cost.
+    * Safe at any input cardinality the caller has already reduced
     * (post-aggregation / post-threshold); returns valueCol → rank. */
-  /** Ceiling on the distinct-value histogram [[windowlessRankDesc]] may
-    * self-join: the join is a deliberate broadcast nested loop, O(d²) in
-    * distinct values, so the caller contract (rank only already-reduced
-    * frames) is enforced, not assumed. */
-  private[graft] val MaxRankDistinct = 10000L
+  /** Ceiling on the distinct-value histogram [[windowlessRankDesc]] will
+    * collect: driver memory is the only cost (two fields per distinct
+    * value — ~tens of MB at the limit), so the caller contract (rank only
+    * already-reduced frames) is enforced, not assumed. */
+  private[graft] val MaxRankDistinct = 1000000L
 
   private[graft] def windowlessRankDesc(df: org.apache.spark.sql.DataFrame,
                                  valueCol: String, rankName: String): org.apache.spark.sql.DataFrame = {
     // Run the upstream aggregation EXACTLY ONCE: limit(max+1).collect()
     // bounds driver memory (the guard trips before anything larger lands),
-    // and the collected histogram becomes a local relation reused by both
-    // self-join sides — no cache entry to leak, no upstream recompute.
+    // and the collected histogram becomes a local (value, rank) relation —
+    // no cache entry to leak, no upstream recompute.
     val agg = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
     val rows = agg.limit(MaxRankDistinct.toInt + 1).collect()
     require(rows.length <= MaxRankDistinct,
       s"windowlessRankDesc: over $MaxRankDistinct distinct values of " +
         s"$valueCol; rank inputs must be pre-aggregated or " +
-        "pre-thresholded (the histogram self-join is O(d^2))")
-    val spark = df.sparkSession
-    val cnts = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), agg.schema)
-    cnts.select(col(valueCol), col("__cnt"))
-      .join(broadcast(cnts.select(col(valueCol).as("__v_g"), col("__cnt").as("__cnt_g"))),
-        col("__v_g") > col(valueCol), "left")
-      .groupBy(col(valueCol))
-      .agg((coalesce(sum(col("__cnt_g")), lit(0L)) + 1L).as(rankName))
+        "pre-thresholded (the histogram is collected to the driver)")
+    // every orderable Spark value type (numeric, string, date/timestamp,
+    // decimal) surfaces as Comparable; sort descending, then rank(v) =
+    // 1 + Σ counts of strictly greater values = the running prefix sum
+    val sorted = rows.sortWith { (a, b) =>
+      a.get(0).asInstanceOf[Comparable[Any]].compareTo(b.get(0)) > 0
+    }
+    var seen = 0L
+    val ranked: Array[org.apache.spark.sql.Row] = sorted.map { r =>
+      val rank = seen + 1L
+      seen += r.getLong(1)
+      org.apache.spark.sql.Row(r.get(0), rank)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      agg.schema.head,
+      org.apache.spark.sql.types.StructField(
+        rankName, org.apache.spark.sql.types.LongType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(ranked: _*), schema)
   }
 
   /** §2.5 W1 — ROW_NUMBER dedupe, keep rn=1 (reference All-Tasks-of-SQL

@@ -73,15 +73,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q71 edge source: banded LSH candidates, never an all-pairs shingle join") {
-    // q71's label propagation consumes lshVerifiedPairs directly (the
-    // loop's localCheckpoint truncates lineage, so assert on the edge
-    // generator itself)
-    val pairs = Dedup.lshVerifiedPairs(spark, sf)
+    // assert on the UN-materialized pair plan: the memoized
+    // lshVerifiedPairs is localCheckpoint'ed (lineage = one LogicalRDD),
+    // so the candidate-generation shape is only visible pre-checkpoint
+    val pairs = Dedup.lshPairsPlan(spark, sf)
     val plan = planOf(pairs)
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
     // the band-bucket join key must be what generates candidates
     pairs.queryExecution.analyzed.toString should include("band")
+    // and the frame consumers actually get is the materialized checkpoint
+    Dedup.lshVerifiedPairs(spark, sf).queryExecution.analyzed.toString should
+      include("LogicalRDD")
   }
 
   test("q74/q76: quantized ANN and k-means training plan no nested loops") {
@@ -200,6 +203,44 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(graft.operators.IngestGate.q72.build(spark, sf))
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
+  }
+
+  test("q119/q125/q131: no corpus-cardinality frame is ever hint-broadcast") {
+    // With auto-broadcast disabled, every BroadcastExchange left in the
+    // plan can only come from an explicit broadcast() hint — so each one
+    // must be a bounded frame: a query-side doc_id filter, a scalar
+    // keys=[] aggregate, a query-term IN filter, or the checkpointed pair
+    // list (Scan ExistingRDD). A per-document or per-token frame showing
+    // up here is the 100 TB broadcast-OOM the `sizes` no-broadcast
+    // contract in Dedup forbids.
+    val boundedMarkers = Seq("< 20", "= 0", "keys=[]", "ExistingRDD", " IN (")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(SearchOps.q119, SearchOps.q125,
+          graft.operators.DedupClusters.q131).foreach { qd =>
+        val planned = qd.build(spark, sf).queryExecution.executedPlan
+        val inner = planned match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val exchanges = inner.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        withClue(s"${qd.name}: ") {
+          // the hints for genuinely bounded frames must still be present —
+          // an empty list would mean the query-side broadcasts were lost too
+          exchanges should not be empty
+          exchanges.foreach { b =>
+            val sub = b.child.toString
+            withClue(s"unbounded broadcast subtree:\n$sub\n") {
+              boundedMarkers.exists(sub.contains) shouldBe true
+            }
+          }
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("whole-stage codegen covers the q01 pipeline") {
