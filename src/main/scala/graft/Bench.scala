@@ -44,15 +44,20 @@ object Bench {
     // Split the record: the COMPLETE per-query JSON goes to a repo
     // artifact, and stdout carries a parsable headline with the 25
     // slowest queries — the ones any perf read actually looks at.
+    // Locale.ROOT-pinned decimal formatting: the f"" interpolator uses the
+    // default locale, and a comma-decimal locale would emit "1,234" —
+    // unparsable JSON on both the stdout headline and the full artifact
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullQs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val fullQs = results.map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_local_full.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
         .getBytes)
     val slow = results.sortBy(-_._2).take(25).sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"full":"bench_local_full.json"}""")
+      .map { case (k, v) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"full":"bench_local_full.json"}""")
     spark.stop()
   }
 }

@@ -18,11 +18,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Local-iteration filter: SPARK_GRAFT_ONLY=q01,q02 restricts the dump
-    // (and the oracle manifest) to the named queries. Unset = full run —
-    // the driver path is unchanged.
+    // Local-iteration filter: SPARK_GRAFT_ONLY takes FULL query names
+    // (e.g. q63_contamination,q22_window_rank_agg) and restricts the dump
+    // (and the oracle manifest) to them. Unset = full run — the driver
+    // path is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(name: String) = only.forall(_.contains(name))
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_ONLY names match no query: " +
+            s"${unknown.mkString(", ")} (full names required, e.g. q63_contamination)")
+      if (!SparkEntry.queries.keys.exists(names.contains))
+        System.err.println(
+          "[verify] WARNING: SPARK_GRAFT_ONLY selected ZERO queries — " +
+            "this run verifies nothing")
+    }
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

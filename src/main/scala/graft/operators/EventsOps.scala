@@ -251,7 +251,7 @@ object EventsOps {
       case _ => expr("unix_micros(ts)")
     }
     val typed = stream
-      .select(col("user_id"), tsMicros.as("tsMillis"), col("event_type"))
+      .select(col("user_id"), tsMicros.as("ts"), col("event_type"))
       .as[EventStream.TypedEvent]
     val sinkName = "q132_funnel_sink"
     s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
@@ -320,12 +320,21 @@ object EventsOps {
       |       CAST(SUM(cents * (CAST(1 AS BIGINT) << CAST((29 - age) AS INT))) AS DOUBLE)
       |         / 53687091200.0 AS decayed_value
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    // The 2^(29-age) factor is only defined for the 30-day window ending
+    // 2024-01-30. Out-of-range ages must fail LOUDLY: Spark's shiftleft
+    // wraps the shift amount (& 63 — a silently wrong answer) where the
+    // DuckDB oracle's << errors, so an unguarded data-contract violation
+    // would surface as a cross-engine hash mismatch instead of an error.
     Tables.events(s, d)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"),
         datediff(lit("2024-01-30").cast("date"), col("ts").cast("date")).as("age"))
       .groupBy("event_type")
-      .agg((sum(col("cents") * expr("shiftleft(cast(1 as bigint), cast(29 - age as int))"))
+      .agg((sum(col("cents") * expr(
+        "CASE WHEN age BETWEEN 0 AND 29 " +
+          "THEN shiftleft(cast(1 as bigint), cast(29 - age as int)) " +
+          "ELSE raise_error('q139: event ts outside the 30-day window ending " +
+          "2024-01-30 — the 2^(29-age) decay factor is undefined') END"))
         .cast("double") / 53687091200.0).as("decayed_value"))
       .orderBy("event_type")
   }

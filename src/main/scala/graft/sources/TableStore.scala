@@ -517,7 +517,10 @@ final class TableStore(spark: SparkSession, root: String) {
     *
     * Scale: the source is broadcast for both the matched rewrite and the
     * not-matched anti-join; the target is scanned once per leg and never
-    * shuffled. Returns (nUpdated, nDeleted, nInserted). */
+    * shuffled. Returns (nUpdated, nDeleted, nInserted): update/delete
+    * counts are TARGET rows touched (a target whose join key is not
+    * unique has every matching row updated, per SQL MERGE), insert counts
+    * source rows. */
   def mergeInto(name: String, source: DataFrame, on: Seq[String],
                 matchedUpdate: Map[String, Column],
                 matchedDelete: Option[Column] = None,
@@ -556,7 +559,10 @@ final class TableStore(spark: SparkSession, root: String) {
       val nDeleted = matchedDelete.map(c =>
         matchedRows.filter(coalesce(c, lit(false))).count()).getOrElse(0L)
       val nMatched = matchedRows.count()
-      val nInserted = if (insertUnmatched) nSrc - nMatched else 0L
+      // count the INSERT leg directly: nSrc - nMatched would mix units
+      // when the TARGET carries duplicate join keys (nMatched counts
+      // target rows, nSrc counts source rows) and can go negative
+      val nInserted = if (insertUnmatched) inserted.count() else 0L
       publish(name, out.unionByName(inserted))
       (nMatched - nDeleted, nDeleted, nInserted)
     } finally srcFull.unpersist()

@@ -39,7 +39,10 @@ object EventStream {
   // ---- custom state machine via KeyValueGroupedDataset (SURVEY.md build
   // brief: mapGroupsWithState/flatMapGroupsWithState for custom state) ----
 
-  final case class UserEvent(user_id: Long, tsMillis: Long, value: Double)
+  // `ts` is an opaque monotone event-time key — the production feed
+  // (q132) supplies MICROseconds — and the state logic only orders and
+  // compares it, never converts units (hence no unit in the name).
+  final case class UserEvent(user_id: Long, ts: Long, value: Double)
   final case class UserAgg(user_id: Long, n_events: Long, value_sum: Double,
                            last_ts: Long)
 
@@ -55,7 +58,7 @@ object EventStream {
           val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, Long.MinValue))
           val next = batch.foldLeft(prev) { (acc, e) =>
             UserAgg(uid, acc.n_events + 1, acc.value_sum + e.value,
-              math.max(acc.last_ts, e.tsMillis))
+              math.max(acc.last_ts, e.ts))
           }
           state.update(next)
           next
@@ -116,7 +119,7 @@ object EventStream {
     * data-dependent, which is exactly what flatMap (vs map) buys.
     *
     * The batch iterator carries NO ordering guarantee (it reflects shuffle
-    * order, not event time), so the group is sorted by (tsMillis, value)
+    * order, not event time), so the group is sorted by (ts, value)
     * before folding — without this, alert attribution and, with negative
     * values, the crossed-threshold set itself would vary run to run.
     * `floor` (not truncation) keeps crossings symmetric below zero.
@@ -127,7 +130,7 @@ object EventStream {
     * per micro-batch; events split across batches fold in batch order,
     * which event-time ordering across batches would need watermarked
     * session state to fix. */
-  final case class TypedEvent(user_id: Long, tsMillis: Long, event_type: String)
+  final case class TypedEvent(user_id: Long, ts: Long, event_type: String)
   final case class FunnelState(view: Long, click: Long, purchase: Long) // -1 = not reached
   final case class FunnelAdvance(user_id: Long, reached: Int, at_ts: Long)
 
@@ -136,7 +139,7 @@ object EventStream {
     * earliest 'purchase' strictly after that — folded incrementally with
     * `flatMapGroupsWithState`, emitting one record each time a user
     * ADVANCES a stage (0→1→2→3, monotone, at most 3 emissions per user
-    * ever). The batch iterator is sorted by (tsMillis, event_type) before
+    * ever). The batch iterator is sorted by (ts, event_type) before
     * folding, same determinism contract (and the same honesty about
     * cross-batch event-time order) as [[thresholdAlerts]]. */
   def funnelStream(events: Dataset[TypedEvent]): Dataset[FunnelAdvance] = {
@@ -147,14 +150,14 @@ object EventStream {
         (uid: Long, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = Seq.newBuilder[FunnelAdvance]
-          batch.toSeq.sortBy(e => (e.tsMillis, e.event_type)).foreach { e =>
+          batch.toSeq.sortBy(e => (e.ts, e.event_type)).foreach { e =>
             e.event_type match {
               case "view" if s.view < 0 =>
-                s = s.copy(view = e.tsMillis); out += FunnelAdvance(uid, 1, e.tsMillis)
-              case "click" if s.view >= 0 && s.click < 0 && e.tsMillis > s.view =>
-                s = s.copy(click = e.tsMillis); out += FunnelAdvance(uid, 2, e.tsMillis)
-              case "purchase" if s.click >= 0 && s.purchase < 0 && e.tsMillis > s.click =>
-                s = s.copy(purchase = e.tsMillis); out += FunnelAdvance(uid, 3, e.tsMillis)
+                s = s.copy(view = e.ts); out += FunnelAdvance(uid, 1, e.ts)
+              case "click" if s.view >= 0 && s.click < 0 && e.ts > s.view =>
+                s = s.copy(click = e.ts); out += FunnelAdvance(uid, 2, e.ts)
+              case "purchase" if s.click >= 0 && s.purchase < 0 && e.ts > s.click =>
+                s = s.copy(purchase = e.ts); out += FunnelAdvance(uid, 3, e.ts)
               case _ => ()
             }
           }
@@ -171,12 +174,12 @@ object EventStream {
         (uid: Long, batch: Iterator[UserEvent], state: GroupState[Double]) =>
           var total = state.getOption.getOrElse(0.0)
           val alerts = Seq.newBuilder[Threshold]
-          batch.toSeq.sortBy(e => (e.tsMillis, e.value)).foreach { e =>
+          batch.toSeq.sortBy(e => (e.ts, e.value)).foreach { e =>
             val before = math.floor(total / step).toLong
             total += e.value
             val after = math.floor(total / step).toLong
             ((before + 1) to after).foreach { m =>
-              alerts += Threshold(uid, m * step, e.tsMillis)
+              alerts += Threshold(uid, m * step, e.ts)
             }
           }
           state.update(total)
