@@ -85,40 +85,37 @@ object ScaleBench {
     ()
   }
 
-  /** Flagships: scan/agg, broadcast join chain, the dedup→components→
-    * curation chain, exact + trained ANN, bounded top-k, skew agg, the
-    * inverted-index/BM25 search side, MV refresh, and percentile bands.
-    * q47 is excluded by design — its guard (MaxGroundTruthDocs) correctly
-    * refuses the 50k-doc replica. q97 is excluded for the same class of
-    * reason: the replica copies every document's opening words 10×, so
-    * its prefix-blocking key degenerates into 10×-sized blocks — work is
-    * still bounded (Dedup.MaxEditBlock drops oversized blocks), but the
-    * replica would mostly measure which blocks crossed the cap, a
-    * replication artifact rather than a scaling property. */
-  private val flagships = Seq(
-    "q01_pricing_summary", "q10_revenue_by_nation", "q46_dedup_exact",
-    "q48_minhash_lsh", "q71_neardup_components", "q75_curation_pipeline",
-    "q50_cosine_topk", "q69_topk_aggregator", "q76_kmeans_ivf_train",
-    "q58_salted_skew_agg", "q89_ivf_multiprobe_recall",
-    "q90_incremental_dedup", "q91_video_frame_sample", "q92_sequence_packing",
-    "q98_inverted_index", "q101_bm25_rank", "q102_incremental_mv",
-    "q103_winsorize_length", "q112_prefix_filter_join",
-    // round-4 additions. q114 (SemDeDup) is excluded BY DESIGN: its
-    // documented contract is K clusters ∝ corpus size (within-cluster
-    // work quadratic in N/K); the replica keeps the corpus's fixed label
-    // set, so a 10× run would only measure the deliberately-quadratic
-    // cluster blowup the contract says to re-partition away.
-    "q113_passage_dedup", "q115_pq_adc_ann", "q116_merge_full",
-    "q118_countmin_topk", "q119_tfidf_cosine_topk", "q120_funnel_stages",
-    "q121_shingle_novelty", "q125_rrf_hybrid", "q126_bpe_train",
-    "q130_bloom_decontaminate", "q131_dedup_aware_split",
-    "q132_streaming_funnel_gate", "q139_decayed_engagement",
-    "q141_copurchase_affinity", "q145_streaming_hourly_gate")
+  /** Scale surface = EVERY gated query, minus the three whose documented
+    * contracts make a 10× replica measurement meaningless:
+    *  - q47 (quadratic ground truth): its guard (MaxGroundTruthDocs)
+    *    correctly refuses the 50k-doc replica — the refusal IS the
+    *    contract (LSH/q112 are the scale paths).
+    *  - q97 (edit-distance blocks): the replica copies every document's
+    *    opening words 10×, so its prefix-blocking key degenerates into
+    *    10×-sized blocks — work is still bounded (Dedup.MaxEditBlock
+    *    drops oversized blocks), but the replica would mostly measure
+    *    which blocks crossed the cap, a replication artifact rather than
+    *    a scaling property.
+    *  - q114 (SemDeDup): its documented contract is K clusters ∝ corpus
+    *    size (within-cluster work quadratic in N/K); the replica keeps
+    *    the corpus's fixed label set, so a 10× run would only measure
+    *    the deliberately-quadratic cluster blowup the contract says to
+    *    re-partition away. */
+  private val excluded = Set(
+    "q47_ngram_jaccard", "q97_edit_distance_pairs", "q114_semantic_dedup")
+
+  private def flagships: Seq[String] = {
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(excluded)
+      .filter(q => only.forall(_.contains(q)))
+  }
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
-    val artifact = if (args.length > 2) args(2) else "scale_r04.json"
+    val artifact = if (args.length > 2) args(2) else "scale_r05.json"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -138,20 +135,27 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    // Locale.ROOT-pinned formatting — comma-decimal locales would emit
+    // unparsable JSON (same contract as Bench)
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val rows = flagships.map { q =>
       val tBase = time(q, base)
       val t10 = time(q, out)
+      println(s"[scale] $q ${num(tBase, 2)}s -> ${num(t10, 2)}s (${num(t10 / tBase, 2)}x)")
       (q, tBase, t10, t10 / tBase)
     }
     val body = rows.map { case (q, a, b, r) =>
-      f"""  "$q": {"sf0_1_sec": $a%.3f, "x10_sec": $b%.3f, "growth": $r%.2f}"""
+      s"""  "$q": {"sf0_1_sec": ${num(a, 3)}, "x10_sec": ${num(b, 3)}, "growth": ${num(r, 2)}}"""
     }.mkString("{\n", ",\n", "\n}")
     val doc =
       s"""{"replicas": $Replicas, "base": "$base", "replica_dir": "$out",
          | "note": "growth = x10_sec / sf0_1_sec for 10x rows; near-linear target <= ~12",
          | "queries": $body}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact), doc.getBytes)
-    println(doc)
+    val worst = rows.sortBy(-_._4).take(5)
+      .map { case (q, _, _, r) => s"$q=${num(r, 2)}x" }.mkString(", ")
+    println(s"[scale] ${rows.size} queries; worst growth: $worst; artifact: $artifact")
     spark.stop()
   }
 }

@@ -575,22 +575,40 @@ object Dedup {
       col("__r").as("ra"), col("__n").as("na"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("s"),
       col("__r").as("rb"), col("__n").as("nb"))
+    // Per-row survivors are a PREFIX of each pair's shared tokens (the
+    // positional bound is monotone decreasing in position), which makes
+    // the aggregated filter below lossless: with c = count of surviving
+    // shared prefix tokens and (ra*, rb*) the positions of the LAST one,
+    // every shared token below it is counted by c (global order is
+    // consistent across docs) and every one above it lies past both
+    // positions, so overlap ≤ c + min(na − ra*, nb − rb*). This is the
+    // filter that kills same-length low-Jaccard candidate floods (e.g.
+    // boilerplate-sharing corpora) that per-token filters cannot see.
+    val minOverlap = expr("(4 * (na + nb) + 8) div 9")
     val cand = a.join(b, "s")
       .filter(col("doc_a") < col("doc_b"))
       .filter(lit(5L) * least(col("na"), col("nb")) >=
         lit(4L) * greatest(col("na"), col("nb")))
       .filter(lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
-        expr("(4 * (na + nb) + 8) div 9"))
-      .select("doc_a", "doc_b").distinct()
-    // exact verify restricted to candidates: Σ_cand |A| join work
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        minOverlap)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"), max(col("ra")).as("ram"),
+        max(col("rb")).as("rbm"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(col("c") + least(col("na") - col("ram"), col("nb") - col("rbm")) >=
+        minOverlap)
+      .select("doc_a", "doc_b", "na", "nb")
+    // Exact verify as a per-pair array intersection: each doc's shingle
+    // set is collected ONCE into a sorted array (bounded by document
+    // length), candidates fetch the two arrays by equi-join, and the
+    // intersection runs inside codegen — no candidate × shingle row
+    // explosion and no post-join aggregation shuffle, which is what made
+    // verification the scale tail when candidate volume spiked.
+    val arrs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= 0.8)
