@@ -1240,6 +1240,36 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Feed this table's statistics to Catalyst's cost-based optimizer:
+    * registers an EXTERNAL parquet catalog table over the current
+    * version's data directory and runs `ANALYZE … FOR ALL COLUMNS`, so
+    * row counts and per-column NDVs drive filter-selectivity estimates
+    * and join-strategy choice once `spark.sql.cbo.enabled` is on —
+    * [[analyze]] computes stats for the store's own planning; this is
+    * the bridge that hands them to Spark's planner. Returns the catalog
+    * table name to query via `spark.table`.
+    *
+    * Requires the single-directory steady state (fresh CREATE, or after
+    * [[compact]] + [[analyze]]) with no pending ADD COLUMN defaults: a
+    * version-chained or partitioned table must be compacted first —
+    * refusing beats registering a LOCATION that silently misses
+    * manifest-stitched rows. */
+  def registerCbo(name: String): String = {
+    val v = currentVersion(name)
+    require(v >= 0, s"no such table: $name")
+    require(readManifest(name, v).isEmpty,
+      s"registerCbo($name): version-chained/partitioned table — compact() first " +
+        "(a single LOCATION cannot express a manifest-stitched file set)")
+    require(readAddCols(name, v).isEmpty,
+      s"registerCbo($name): pending ADD COLUMN defaults are applied at read " +
+        "time and would be missing from a raw catalog scan — compact() first")
+    val cat = s"graft_cbo_$name"
+    spark.sql(s"DROP TABLE IF EXISTS `$cat`")
+    spark.sql(s"CREATE TABLE `$cat` USING parquet LOCATION '${dataPath(name, v)}'")
+    spark.sql(s"ANALYZE TABLE `$cat` COMPUTE STATISTICS FOR ALL COLUMNS")
+    cat
+  }
+
   /** §2.1 S11 — catalog introspection (the reference reads pg_constraint,
     * All-Tasks-of-SQL.sql:33-36): list tables with their constraints. */
   def describeCatalog(): Seq[(String, Seq[String])] = {
