@@ -44,7 +44,8 @@ object ScaleBench {
     // the marker records WHICH base built the replica: reusing a replica
     // derived from a different base would silently produce bogus ratios
     val ready = java.nio.file.Paths.get(s"$out/_READY")
-    val stamp = s"base=$base replicas=$Replicas"
+    // fmt bump forces a rebuild when the replication scheme changes
+    val stamp = s"base=$base replicas=$Replicas fmt=2"
     if (java.nio.file.Files.exists(ready) &&
         new String(java.nio.file.Files.readAllBytes(ready)) == stamp) return
     def reps(f: Int => DataFrame): DataFrame =
@@ -60,8 +61,23 @@ object ScaleBench {
         .withColumn("n_chars", length(col("text")))
     })
 
+    // each replica's vectors go through their OWN orthogonal remix
+    // (circular dimension rotation + periodic sign flips): within-replica
+    // geometry is exactly isometric (all cosines/distances preserved — the
+    // ANN workload shape is untouched), while cross-replica similarity of
+    // the "same" vector collapses to chance. A verbatim copy would instead
+    // hand every vector 9 exact clones (cosine 1.0) and inflate pair
+    // queries 45× — the embedding analog of the text salt above.
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    write("embeddings", reps(k => emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))))
+    write("embeddings", reps { k =>
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+      if (k == 0) e
+      else e.withColumn("embedding", expr(
+        s"""transform(sequence(0, size(embedding) - 1),
+           |  j -> cast(embedding[(j + $k) % size(embedding)] *
+           |            CASE WHEN (j + $k) % 3 = 0 THEN -1.0 ELSE 1.0 END
+           |       as float))""".stripMargin))
+    })
 
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     write("lineitem", reps(k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))))

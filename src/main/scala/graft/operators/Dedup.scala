@@ -616,6 +616,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q147: exact-substring repetition across documents — the signal
+    * behind exact-substring dedup (Lee et al. 2022 dedup at 50-token
+    * granularity; here CHARACTER windows of 40 at stride 10, which makes
+    * the contract explicit: stride-ALIGNED windows, not every offset).
+    * Per document: total windows, windows whose exact 40-char text occurs
+    * in at least one OTHER document, and the repeated fraction — the
+    * per-doc cut score for cross-document boilerplate (licenses, nav
+    * chrome, quote chains) that shingle-Jaccard misses when the rest of
+    * the doc differs.
+    *
+    * Scale posture: windows ≈ chars/10 rows; ONE groupBy(substring) with
+    * map-side combine absorbs hot boilerplate windows (same shape as
+    * q121's first-occurrence aggregate); the repeated-substring set joins
+    * back on the window text with no hint (it is output-bounded, AQE
+    * broadcasts it when small). No pairwise work anywhere — cost is
+    * linear in corpus chars at any scale. Exact integers end to end;
+    * the only double is the final ratio of two exact counts. */
+  val q147 = QueryDef(
+    "q147_substring_repeats",
+    """WITH w AS (
+      |  SELECT doc_id, substr(text, CAST(i * 10 + 1 AS BIGINT), 40) AS sub
+      |  FROM documents, range(0, 1000) t(i)
+      |  WHERE length(text) >= 40 AND i <= (length(text) - 40) // 10),
+      |rep AS (SELECT sub FROM w GROUP BY sub HAVING COUNT(DISTINCT doc_id) > 1)
+      |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN r.sub IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+      |  CAST(SUM(CASE WHEN r.sub IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS repeat_frac
+      |FROM w LEFT JOIN rep r ON r.sub = w.sub
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d)
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          expr("cast((length(text) - 40) div 10 as bigint)"))).as("i"))
+      .select(col("doc_id"),
+        expr("substr(text, cast(i * 10 + 1 as int), 40)").as("sub"))
+    val rep = w.groupBy("sub").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("sub"), lit(1).as("__rep"))
+    w.join(rep, Seq("sub"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__rep").isNotNull, 1L).otherwise(0L)).as("n_repeated"))
+      .select(col("doc_id"), col("n_windows"), col("n_repeated"),
+        (col("n_repeated").cast("double") / col("n_windows")).as("repeat_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus novelty score: per document, the fraction of its distinct
     * 3-shingles whose FIRST occurrence (minimum doc_id — "earlier" in
     * corpus order) is this document. The per-doc diagnostic behind
@@ -650,5 +698,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112, q121)
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147)
 }

@@ -433,5 +433,116 @@ object EventsOps {
       .orderBy("hour_start", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139, q142, q145)
+  /** Third streaming oracle gate (q132: stateful flatMap; q145: windowed
+    * aggregation; this: STATEFUL DEDUP — the streaming front door of
+    * every ingestion pipeline): the same events file feeds TWO file-source
+    * streams unioned together, so every event arrives (at least) twice;
+    * `dropDuplicates(event_id)` must reduce the doubled stream back to
+    * exactly the batch table, checked by hashing the per-type rollup
+    * against the batch SQL over the ORIGINAL events.
+    *
+    * Determinism: the duplicate rows are byte-identical, so whichever
+    * arrival wins, the kept row is the same. Decimal sums make the
+    * aggregation order irrelevant to the bits (same discipline as q145).
+    * Scale posture: dedup state is keyed by event_id and distributed
+    * across the state store; production ingestion bounds it with
+    * `dropDuplicatesWithinWatermark` (spec-covered in DedupIngestSpec) —
+    * the unwatermarked form here is the bounded-replay gate shape. */
+  val q148 = QueryDef(
+    "q148_streaming_dedup_gate",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
+        stageDir.toString
+      }
+    def sourceOnce = s.readStream.schema(raw.schema).parquet(streamPath)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val sinkName = "q148_dedup_sink"
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val q = sourceOnce.unionByName(sourceOnce)
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(d4(col("value"))).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Fourth streaming oracle gate — STREAM-STREAM JOIN, the hardest
+    * stateful operator (two keyed state stores, time-bounded matching):
+    * watermarked click and purchase streams over the same events file are
+    * inner-joined on user with purchase in (click, click + 1 hour]; the
+    * per-user pair count and exact total lag (integer microseconds) must
+    * hash-match the batch range join in DuckDB.
+    *
+    * Determinism: inner stream-stream joins emit exactly the matching
+    * pairs (the watermark only bounds state retention; AvailableNow over
+    * a bounded file drops nothing), and both engines compare identical
+    * whole-microsecond instants. Scale posture: state is keyed by user
+    * and retained only inside the watermark horizon — bounded memory at
+    * any throughput, the q65/q82 range-join semantics moved to streams. */
+  val q149 = QueryDef(
+    "q149_streaming_join_gate",
+    """WITH pr AS (
+      |  SELECT c.user_id, date_diff('microsecond', c.ts, p.ts) AS lag_us
+      |  FROM events c JOIN events p ON p.user_id = c.user_id
+      |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(lag_us) AS BIGINT) AS total_lag_us
+      |FROM pr GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-join")
+        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
+        stageDir.toString
+      }
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts")
+    }
+    def side(tp: String, userAs: String, tsAs: String) =
+      s.readStream.schema(raw.schema).parquet(streamPath)
+        .filter(col("event_type") === tp)
+        .select(col("user_id").as(userAs), tsCol.as(tsAs))
+        .withWatermark(tsAs, "24 hours")
+    val sinkName = "q149_join_sink"
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val q = side("click", "c_user", "c_ts")
+      .join(side("purchase", "p_user", "p_ts"),
+        col("p_user") === col("c_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("total_lag_us"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
+    q142, q145, q148, q149)
 }

@@ -139,6 +139,25 @@ object Multimodal {
     private def pcmFormat = new javax.sound.sampled.AudioFormat(
       SampleRateHz, 16, 1, /*signed*/ true, /*bigEndian*/ false)
 
+    // Resolve the JDK's WAV reader/writer providers ONCE per JVM:
+    // `AudioSystem.getAudioInputStream`/`write` run a synchronized
+    // service-registry scan per call, which serializes 32 decode threads
+    // (measured: the q88 hot path spent more time in provider lookup
+    // contention than in PCM work at 10× corpus). ServiceLoader is the
+    // same public SPI the registry itself uses.
+    private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+    }
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
+    }
+
     /** Synthesize the waveform and encode REAL WAV (RIFF) bytes. */
     def encodeWav(id: Long, nSamples: Int): Array[Byte] = {
       val raw = java.nio.ByteBuffer.allocate(nSamples * 2)
@@ -148,8 +167,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(raw.array()), pcmFormat, nSamples.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
 
@@ -160,8 +178,12 @@ object Multimodal {
       * statistics. Fails loudly on a non-16-bit-mono stream rather than
       * guessing a layout. */
     def decodeWav(bytes: Array[Byte]): Decoded = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = wavReaders.view.flatMap { r =>
+        try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }.headOption.getOrElse(
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "no provider recognizes the byte stream"))
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
         s"expected 16-bit mono PCM, got $fmt")
