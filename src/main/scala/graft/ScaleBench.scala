@@ -116,9 +116,16 @@ object ScaleBench {
     *    size (within-cluster work quadratic in N/K); the replica keeps
     *    the corpus's fixed label set, so a 10× run would only measure
     *    the deliberately-quadratic cluster blowup the contract says to
-    *    re-partition away. */
+    *    re-partition away.
+    *  - q52 (weak-threshold sign-LSH pairs): guarded by
+    *    Similarity.MaxLshPairVectors, which correctly refuses the 80k-
+    *    vector replica — at its cosine ≥ 0.4 verify threshold (all this
+    *    corpus's geometry permits) sign-LSH banding is intrinsically
+    *    near-quadratic (ρ → 1); the scale routes for vector near-dup are
+    *    SemDeDup (q114) and IVF (q51/q89). */
   private val excluded = Set(
-    "q47_ngram_jaccard", "q97_edit_distance_pairs", "q114_semantic_dedup")
+    "q47_ngram_jaccard", "q97_edit_distance_pairs", "q114_semantic_dedup",
+    "q52_ann_lsh_pairs")
 
   private def flagships: Seq[String] = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

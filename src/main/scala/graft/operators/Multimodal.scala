@@ -145,17 +145,29 @@ object Multimodal {
     // (measured: the q88 hot path spent more time in provider lookup
     // contention than in PCM work at 10× corpus). ServiceLoader is the
     // same public SPI the registry itself uses.
-    private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
-      import scala.jdk.CollectionConverters._
-      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
-        .iterator().asScala.toSeq
-    }
     private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
       import scala.jdk.CollectionConverters._
       java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
         .iterator().asScala
         .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
         .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
+    }
+    // Probe-sorted ONCE: readers that recognize a WAV byte stream come
+    // first. Provider order matters on the hot path because a non-matching
+    // reader signals via UnsupportedAudioFileException, and constructing
+    // that exception inside a deep executor stack costs ~100× the actual
+    // PCM work per clip (measured: the AU/AIFF readers' per-row throws
+    // made the decode stage 25× slower than the codec itself).
+    private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      val all = java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader]).iterator().asScala.toSeq
+      val probe = encodeWav(0L, 1)
+      val (wav, rest) = all.partition { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      wav ++ rest
     }
 
     /** Synthesize the waveform and encode REAL WAV (RIFF) bytes. */
@@ -370,6 +382,7 @@ object Multimodal {
       .select(col("doc_id").cast("long").as("media_id"),
         (col("doc_id") % 16 + 8).cast("int").as("w"),
         (col("doc_id") % 12 + 8).cast("int").as("h"))
+      .repartition(s.sparkContext.defaultParallelism) // codec uses the cluster, not the scan layout
       .as[(Long, Int, Int)]
     dims.mapPartitions { it =>
       it.map { case (id, w, h) =>
@@ -404,9 +417,14 @@ object Multimodal {
       |  CAST(MAX(ABS(s)) AS INT) AS peak
       |FROM samp GROUP BY 1, 2 ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
+    // repartition before the codec: decode is CPU-bound and must use the
+    // cluster, not inherit the scan's partitioning (a compact metadata
+    // table packs into very few scan partitions — decoding 50k clips on
+    // one core is the bottleneck the shuffle of tiny (id, n) rows buys off)
     val dims = Tables.documents(s, d)
       .select(col("doc_id").cast("long").as("media_id"),
         (col("doc_id") % 500 + 100).cast("int").as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     dims.mapPartitions { it =>
       it.map { case (id, n) =>
@@ -448,6 +466,7 @@ object Multimodal {
         (col("doc_id") % 12 + 6).cast("int").as("w"),
         (col("doc_id") % 10 + 6).cast("int").as("h"),
         (col("doc_id") % 6 + 3).cast("int").as("nf"))
+      .repartition(s.sparkContext.defaultParallelism) // codec uses the cluster, not the scan layout
       .as[(Long, Int, Int, Int)]
     dims.mapPartitions { it =>
       it.map { case (id, w, h, nf) =>

@@ -170,10 +170,21 @@ object Similarity {
   private def coefSql(p: String, i: String): String =
     s"CASE WHEN substr(md5($p || ':' || $i), 1, 1) <= '7' THEN 1 ELSE -1 END"
 
+  /** Corpus-size ceiling for [[q52]]'s pair mining. The 4-bit bands
+    * collide by chance at 1/16, so the candidate scan is N²-shaped; and
+    * unlike MinHash at J ≥ 0.8 (q48), no band width fixes this at q52's
+    * weak verify threshold — cosine ≥ 0.4 is what this corpus's geometry
+    * permits (max off-diagonal ≈ 0.51), and sign-LSH's exponent ρ → 1 as
+    * the threshold weakens, i.e. weak-threshold pair mining is
+    * intrinsically near-quadratic. Above the bound the caller must use
+    * the scale routes: SemDeDup clustering (q114) or IVF candidate
+    * generation (q51/q89) at production thresholds. */
+  private[graft] val MaxLshPairVectors = 20000L
+
   /** Hyperplane-LSH near-neighbor pairs: 16 sign-random-projection bits
     * banded 4×4 (candidates share ANY band — multi-probe recall), exact
     * cosine verify at ≥ 0.4 (threshold fits this corpus: max off-diagonal
-    * cosine ≈ 0.51). */
+    * cosine ≈ 0.51). Guarded by [[MaxLshPairVectors]] — see its note. */
   val q52 = QueryDef(
     "q52_ann_lsh_pairs",
     s"""WITH n AS ($normedSql),
@@ -206,6 +217,11 @@ object Similarity {
     // the projection is then ONE groupBy with an order-independent exact
     // decimal sum — identical values to the oracle's per-element lambda.
     import s.implicits._
+    val nVec = Tables.embeddings(s, d).count()
+    require(nVec <= MaxLshPairVectors,
+      s"q52: $nVec vectors exceed MaxLshPairVectors=$MaxLshPairVectors — " +
+        "weak-threshold sign-LSH pair mining is near-quadratic by nature; " +
+        "use SemDeDup (q114) or IVF candidates (q51/q89) at scale")
     val md = java.security.MessageDigest.getInstance("MD5")
     val coef = for (p <- 0 until Planes; i <- 1 to Dim) yield {
       val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
