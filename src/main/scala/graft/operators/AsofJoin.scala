@@ -89,5 +89,67 @@ object AsofJoin {
       .orderBy("event_id", "iv_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q65, q82)
+  /** q150: INTERVAL-OVERLAP self-join — the two-sided sibling of q82's
+    * point-in-interval range join: find pairs of shipment windows for the
+    * SAME (supplier, part) that overlap in time (supply-contention
+    * detection; the same shape resolves passage-span overlap in a
+    * document pipeline). Windows are [ship, ship + transit] with transit
+    * = quantity % 10 + 3 days — deterministic, mirrored by the oracle.
+    *
+    * Scale posture: each interval registers in every 14-day grid cell it
+    * touches (cell width > max interval span ⇒ ≤ 2 cells per interval),
+    * candidates come from an EQUI-join on (supplier, part, cell) — never
+    * an all-pairs compare — and the exact overlap predicate then filters.
+    * Lossless: overlapping intervals share a day, and that day's cell is
+    * registered by both. Pairs found in two shared cells are deduped by
+    * the final DISTINCT-shaped aggregation; overlap_days is an exact
+    * integer date difference. */
+  val q150 = QueryDef(
+    "q150_interval_overlap_join",
+    """WITH iv AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+      |    CAST(l_shipdate AS DATE) AS s,
+      |    CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS BIGINT) % 10 + 3 AS INT) AS e
+      |  FROM lineitem)
+      |SELECT a.l_orderkey AS order_a, CAST(a.l_linenumber AS INT) AS line_a,
+      |  b.l_orderkey AS order_b, CAST(b.l_linenumber AS INT) AS line_b,
+      |  a.l_suppkey, a.l_partkey,
+      |  CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1 AS INT) AS overlap_days
+      |FROM iv a JOIN iv b
+      |  ON a.l_suppkey = b.l_suppkey AND a.l_partkey = b.l_partkey
+      |  AND (a.l_orderkey < b.l_orderkey
+      |       OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+      |  AND a.s <= b.e AND b.s <= a.e
+      |ORDER BY order_a, line_a, order_b, line_b""".stripMargin) { (s, d) =>
+    val cellDays = 14L // > max interval span (13 days inclusive) ⇒ ≤ 2 cells
+    def cellOf(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, lit("1970-01-01").cast("date")) / cellDays.toDouble).cast("long")
+    val iv = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
+      col("l_shipdate").cast("date").as("s"),
+      date_add(col("l_shipdate").cast("date"),
+        (col("l_quantity").cast("long") % 10 + 3).cast("int")).as("e"))
+    val binned = iv.withColumn("cell",
+      explode(sequence(cellOf(col("s")), cellOf(col("e")))))
+    val a = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_a"),
+      col("ln").as("ln_a"), col("s").as("s_a"), col("e").as("e_a"))
+    val b = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_b"),
+      col("ln").as("ln_b"), col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, Seq("sk", "pk", "cell"))
+      .filter(col("ok_a") < col("ok_b") ||
+        (col("ok_a") === col("ok_b") && col("ln_a") < col("ln_b")))
+      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      // a pair overlapping across two shared cells appears twice: collapse
+      .groupBy("ok_a", "ln_a", "ok_b", "ln_b", "sk", "pk")
+      .agg(first(datediff(least(col("e_a"), col("e_b")),
+        greatest(col("s_a"), col("s_b"))) + 1).as("overlap_days"))
+      .select(col("ok_a").as("order_a"), col("ln_a").cast("int").as("line_a"),
+        col("ok_b").as("order_b"), col("ln_b").cast("int").as("line_b"),
+        col("sk").as("l_suppkey"), col("pk").as("l_partkey"),
+        col("overlap_days").cast("int").as("overlap_days"))
+      .orderBy("order_a", "line_a", "order_b", "line_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q65, q82, q150)
 }
