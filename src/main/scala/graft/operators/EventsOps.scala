@@ -526,16 +526,28 @@ object EventsOps {
     val sinkName = "q149_join_sink"
     s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
     try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val q = side("click", "c_user", "c_ts")
-      .join(side("purchase", "p_user", "p_ts"),
-        col("p_user") === col("c_user") &&
-          col("p_ts") > col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stream-stream join materializes FOUR state stores per shuffle
+    // partition, each paying per-micro-batch checkpoint commits — at the
+    // session default (32) that fixed cost dwarfs the bounded replay's
+    // row work. 8 partitions keep the join distributed while cutting the
+    // commit fan-out 4×; the partition count is frozen into the (fresh,
+    // per-run) checkpoint, so this never mismatches resumed state.
+    // restored only after termination: the micro-batch thread reads the
+    // conf when it plans the first batch, which happens after start()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = side("click", "c_user", "c_ts")
+        .join(side("purchase", "p_user", "p_ts"),
+          col("p_user") === col("c_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(sinkName)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
