@@ -285,6 +285,61 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q151: token-weighted SYSTEMATIC sampling (PPS without randomness) —
+    * select ~n documents with probability proportional to token count by
+    * walking the global cumulative token line and picking every
+    * (total div n)-th token's owning document; long documents can be
+    * selected with multiplicity > 1 (the honest PPS semantics). The
+    * deterministic workhorse behind "sample 1B tokens for evaluation":
+    * reproducible across engines, runs and cluster sizes — no rand().
+    *
+    * Scale posture: the global cumulative sum is computed as a TWO-LEVEL
+    * distributed prefix sum — per-bucket partial sums (one map-side
+    * combinable aggregate over doc_id div 1000 buckets), an exclusive
+    * prefix over the SMALL bucket frame (a window over corpus/1000 rows —
+    * three orders below the corpus; recurse the same trick if buckets
+    * ever outgrow one partition), and a broadcast join back for the
+    * within-bucket window partitioned by bucket. No global-sort window
+    * over raw documents anywhere. All arithmetic is exact integers; the
+    * selection count per doc is two floor divisions. */
+  val q151 = QueryDef(
+    "q151_weighted_systematic_sample",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(trim(text), ' ')) AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS ci FROM t),
+      |s AS (SELECT (SELECT SUM(w) FROM t) // 100 AS step)
+      |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+      |  CAST(ci // step - (ci - w) // step AS BIGINT) AS multiplicity
+      |FROM c, s
+      |WHERE ci // step - (ci - w) // step >= 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      .withColumn("bucket", expr("doc_id div 1000"))
+    // level 1: bucket partial sums (tiny frame, map-side combined)
+    val bucketSums = t.groupBy("bucket").agg(sum(col("w")).as("bw"))
+    // level 2: exclusive prefix over the bucket frame only
+    val bucketOffsets = bucketSums.withColumn("off",
+      coalesce(sum(col("bw")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withCum = t
+      .join(broadcast(bucketOffsets.select(col("bucket"), col("off"))), Seq("bucket"))
+      .withColumn("ci", col("off") + sum(col("w")).over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val step = t.agg(expr("sum(w) div 100").as("step")) // integer div: exact on both engines
+    withCum.crossJoin(broadcast(step))
+      .withColumn("multiplicity",
+        expr("ci div step - (ci - w) div step"))
+      .filter(col("multiplicity") >= 1)
+      .select(col("doc_id"), col("w").as("n_tokens"), col("multiplicity"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus shuffle (q93): the global reshuffle a training
     * run applies before sequence packing — every doc gets a shard (hash
     * mod 8) and a position within its shard (rank by a second hash
@@ -377,5 +432,6 @@ object CorpusOps {
       .orderBy("doc_id", "bench_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111, q130)
+  val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
+    q130, q151)
 }
