@@ -432,6 +432,51 @@ object CorpusOps {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** q157: cross-source containment matrix — for every ordered source
+    * pair, how much of source A's distinct 5-gram set also appears in
+    * source B (ppm). The corpus-mixing diagnostic: high containment means
+    * one slice is largely redundant given another (pretraining mixes get
+    * pruned on exactly this signal); it is q63's contamination idea lifted
+    * from doc-vs-benchmark to slice-vs-slice.
+    *
+    * Scale posture: the per-source distinct shingle set is ONE hash
+    * aggregate (map-side combined); the intersection is a shuffle
+    * equi-join on the shingle key whose per-key fan-out is bounded by
+    * |sources|² (a handful), never per-document; set sizes ride a tiny
+    * per-source frame (broadcast-safe by cardinality contract). Shares
+    * are exact integer ppm — no float division. */
+  val q157 = QueryDef(
+    "q157_source_containment",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(${shinglesNSql("t", 5)}) AS g
+       |  FROM (SELECT source, string_split(trim(text), ' ') AS t FROM documents)),
+       |sz AS (SELECT source, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+       |ix AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+       |       FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+       |       GROUP BY 1, 2)
+       |SELECT i.source_a, i.source_b, za.n_grams AS n_a, zb.n_grams AS n_b,
+       |  i.n_common,
+       |  CAST((i.n_common * 1000000) // za.n_grams AS BIGINT) AS containment_a_in_b_ppm
+       |FROM ix i
+       |JOIN sz za ON za.source = i.source_a
+       |JOIN sz zb ON zb.source = i.source_b
+       |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .select(col("source"), explode(shinglesN("t", 5)).as("g"))
+      .distinct()
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val ix = sh.toDF("source_a", "g")
+      .join(sh.toDF("source_b", "g"), Seq("g"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+    ix.join(sz.toDF("source_a", "n_a"), Seq("source_a"))
+      .join(sz.toDF("source_b", "n_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(n_common * 1000000) div n_a").as("containment_a_in_b_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151)
+    q130, q151, q157)
 }

@@ -190,5 +190,64 @@ object DedupClusters {
       .orderBy("scheme")
   }
 
-  val all: Seq[QueryDef] = Seq(q71, q131)
+  /** q156: canonical selection — within each near-dup component, keep the
+    * HIGHEST-QUALITY member (q44's 3-gate score; ties to the lower
+    * doc_id), not blindly the minimum id. This is the curation-correct
+    * form of cluster collapse: q71 answers "which docs are the same?",
+    * this answers "which copy do we train on?".
+    *
+    * Scale posture: quality is a per-doc projection joined to the
+    * component labels on doc_id (two per-doc frames, shuffle equi-join,
+    * nothing broadcast); the winner per component is ONE
+    * max(struct(quality, -doc_id)) hash aggregate — map-side combinable,
+    * never a window over the corpus — joined back on the component key. */
+  val q156 = {
+    val qualSql =
+      """(CASE WHEN length(text) BETWEEN 100 AND 500 THEN 1 ELSE 0 END
+        | + CASE WHEN len(string_split(trim(text), ' ')) >= 15 THEN 1 ELSE 0 END
+        | + CASE WHEN len(regexp_extract_all(text, '[^a-z0-9 ]')) * 10
+        |        <= len(string_split(trim(text), ' ')) THEN 1 ELSE 0 END)""".stripMargin
+    QueryDef(
+      "q156_canonical_selection",
+      s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
+         |pairs AS (SELECT doc_a, doc_b FROM verified),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |closure(a, b) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT c.a, e.t FROM closure c JOIN edges e ON e.s = c.b),
+         |comp AS (
+         |  SELECT a AS doc_id, least(min(b), a) AS component
+         |  FROM closure GROUP BY a),
+         |q AS (SELECT doc_id, $qualSql AS quality FROM documents),
+         |j AS (SELECT c.doc_id, c.component, q.quality
+         |      FROM comp c JOIN q USING (doc_id)),
+         |best AS (SELECT component, max(struct_pack(q := quality, nd := -doc_id)) AS b
+         |         FROM j GROUP BY component)
+         |SELECT j.doc_id, j.component, CAST(j.quality AS INT) AS quality_score,
+         |  -(b.b).nd AS canonical_id,
+         |  j.doc_id = -(b.b).nd AS is_canonical
+         |FROM j JOIN best b USING (component)
+         |ORDER BY component, doc_id""".stripMargin) { (s, d) =>
+      val labels = components(s, d)
+      val qual = Tables.documents(s, d).select(col("doc_id"),
+        (when(length(col("text")).between(100, 500), 1).otherwise(0)
+          + when(size(split(trim(col("text")), " ")) >= 15, 1).otherwise(0)
+          + when(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))) * 10
+              <= size(split(trim(col("text")), " ")), 1).otherwise(0)).as("quality"))
+      val j = labels.join(qual, Seq("doc_id"))
+      val best = j.groupBy("component")
+        .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("component"), (-col("b").getField("nd")).as("canonical_id"))
+      j.join(best, Seq("component"))
+        .select(col("doc_id"), col("component"),
+          col("quality").cast("int").as("quality_score"),
+          col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("component", "doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q71, q131, q156)
 }

@@ -555,6 +555,97 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** q153: time-series gap fill — a dense per-user hourly spine over each
+    * user's activity span, hours with no events filled with an explicit 0,
+    * plus the running cumulative count over the FILLED series (the shape a
+    * downstream rate/forecast job consumes: regular grid, no holes).
+    *
+    * Scale posture: events are first reduced to per-(user, hour) counts
+    * (map-side combinable aggregate — the only pass over the raw fact);
+    * the spine is an integer-range fan-out per user bounded by that user's
+    * activity span, and the fill join is a shuffle equi-join on
+    * (user_id, h) between two already-aggregated frames. The running sum
+    * is windowed per user (state bounded by span hours), never a global
+    * sort. Hour indexes are exact integer epoch-hours, reconstructed via
+    * timestamp_micros on both engines — no float time math anywhere. */
+  val q153 = QueryDef(
+    "q153_time_gap_fill",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(date_trunc('hour', ts)) // 3600000 AS h
+      |  FROM events),
+      |c AS (SELECT user_id, h, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM c GROUP BY user_id),
+      |s AS (SELECT user_id, unnest(range(lo, hi + 1)) AS h FROM b)
+      |SELECT s.user_id, make_timestamp(s.h * 3600000000) AS hour_start,
+      |  COALESCE(c.n, 0) AS n_events,
+      |  CAST(SUM(COALESCE(c.n, 0)) OVER (PARTITION BY s.user_id ORDER BY s.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+      |FROM s LEFT JOIN c USING (user_id, h)
+      |ORDER BY user_id, hour_start""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("h"))
+    val c = e.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+    val b = c.groupBy("user_id").agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = b.select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(c, Seq("user_id", "h"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .select(col("user_id"),
+        timestamp_micros(col("h") * 3600000000L).as("hour_start"),
+        col("n_events"),
+        sum(col("n_events")).over(w).as("cum_events"))
+      .orderBy("user_id", "hour_start")
+  }
+
+  /** q155: distribution drift — the event-type mix of the first half of
+    * the timeline vs the second (the monitoring primitive behind "did the
+    * traffic composition shift?"). Per category: both counts, both shares,
+    * and |Δshare|; the total-variation distance is Σ drift_ppm / 2.
+    * Shares are ppm-quantized INTEGERS ((n * 10^6) div total) so the
+    * statistic is exact and engine-identical — no float division, and
+    * n * 10^6 stays inside int64 up to 9.2 trillion rows per half.
+    *
+    * Scale posture: one map-side-combinable conditional aggregate over the
+    * fact (the q18 FILTER shape) keyed by the small category domain; the
+    * midpoint and the two totals are 1-row bounded frames (broadcast by
+    * construction, the q15 scalar-subquery shape). Nothing per-row ever
+    * crosses the network twice. */
+  val q155 = QueryDef(
+    "q155_distribution_drift",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) // 3600000 AS h
+      |  FROM events),
+      |b AS (SELECT (min(h) + max(h) + 1) // 2 AS mid FROM e),
+      |c AS (SELECT event_type,
+      |        CAST(SUM(CASE WHEN h < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |        CAST(SUM(CASE WHEN h >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      |      FROM e CROSS JOIN b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_first) AS BIGINT) AS t1,
+      |             CAST(SUM(n_second) AS BIGINT) AS t2 FROM c)
+      |SELECT event_type, n_first, n_second,
+      |  CAST((n_first * 1000000) // greatest(t1, 1) AS BIGINT) AS share1_ppm,
+      |  CAST((n_second * 1000000) // greatest(t2, 1) AS BIGINT) AS share2_ppm,
+      |  CAST(abs((n_first * 1000000) // greatest(t1, 1)
+      |    - (n_second * 1000000) // greatest(t2, 1)) AS BIGINT) AS drift_ppm
+      |FROM c CROSS JOIN t ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("h"))
+    val b = e.agg(expr("(min(h) + max(h) + 1) div 2").as("mid"))
+    val c = e.crossJoin(broadcast(b))
+      .groupBy("event_type")
+      .agg(sum(when(col("h") < col("mid"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("h") >= col("mid"), 1L).otherwise(0L)).as("n_second"))
+    val t = c.agg(sum(col("n_first")).as("t1"), sum(col("n_second")).as("t2"))
+    c.crossJoin(broadcast(t))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        expr("(n_first * 1000000) div greatest(t1, 1)").as("share1_ppm"),
+        expr("(n_second * 1000000) div greatest(t2, 1)").as("share2_ppm"),
+        expr("""abs((n_first * 1000000) div greatest(t1, 1)
+                  - (n_second * 1000000) div greatest(t2, 1))""").as("drift_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149)
+    q142, q145, q148, q149, q153, q155)
 }

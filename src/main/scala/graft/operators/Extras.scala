@@ -653,6 +653,129 @@ object Extras {
       .orderBy("o_orderpriority")
   }
 
+  /** q154: PageRank over the co-purchase graph (q141's edges), 3 fixed
+    * power iterations at damping 0.85 — "which products sit at the center
+    * of the basket graph". EXACT across engines: scores live in integer
+    * fixed-point (scale 10^12) and every step is integer arithmetic on
+    * positive operands, where Spark's truncating `div` and DuckDB's
+    * flooring `//` agree — no float summation order, no libm (the same
+    * discipline as q139's decay weights).
+    *
+    * Scale posture: the textbook BSP shape — per-round, contributions
+    * `pr div deg` flow along edges via ONE shuffle equi-join on the node
+    * key and collapse with a map-side-combinable SUM; `deg`/`pr` are
+    * node-cardinality frames (never broadcast), rounds are constant (3),
+    * and each round's result is localCheckpoint-materialized so lineage
+    * stays flat (the q71 components discipline). The symmetric edge set
+    * guarantees in-degree = out-degree ≥ 1: no dangling-mass term. */
+  val q154 = {
+    val R = "1000000000000"
+    def iterCte(cur: String, prev: String): String =
+      s"""$cur AS (SELECT dg.node, dg.deg, bb.base + (85 * SUM(p.pr // p.deg)) // 100 AS pr
+         |        FROM e JOIN $prev p ON p.node = e.s
+         |        JOIN deg dg ON dg.node = e.t CROSS JOIN bb
+         |        GROUP BY dg.node, dg.deg, bb.base)""".stripMargin
+    QueryDef(
+      "q154_pagerank_copurchase",
+      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         |      FROM d a JOIN d b ON b.l_orderkey = a.l_orderkey
+         |                       AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |bb AS (SELECT (15 * ($R // n)) // 100 AS base, $R // n AS init FROM nn),
+         |pr0 AS (SELECT node, deg, init AS pr FROM deg CROSS JOIN bb),
+         |${iterCte("pr1", "pr0")},
+         |${iterCte("pr2", "pr1")},
+         |${iterCte("pr3", "pr2")}
+         |SELECT node AS part_key, deg, CAST(pr AS BIGINT) AS pr_e12
+         |FROM pr3 ORDER BY part_key""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val e = items.toDF("k", "s").join(items.toDF("k", "t"), Seq("k"))
+        .filter(col("s") =!= col("t")).select("s", "t").distinct()
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val n = deg.count() // node count: a bounded aggregate scalar (|parts|)
+      val init = R.toLong / n
+      val base = (15L * init) / 100L
+      var pr = deg.withColumn("pr", lit(init))
+      for (_ <- 1 to 3) {
+        val contrib = e
+          .join(pr.select(col("node").as("s"), expr("pr div deg").as("c")), Seq("s"))
+          .groupBy(col("t").as("node")).agg(sum(col("c")).as("sc"))
+        pr = deg.join(contrib, Seq("node"))
+          .select(col("node"), col("deg"),
+            (lit(base) + expr("(85 * sc) div 100")).as("pr"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("node").as("part_key"), col("deg"), col("pr").as("pr_e12"))
+        .orderBy("part_key")
+    }
+  }
+
+  /** q159: grouped ordinary-least-squares trend — per nation, the slope
+    * (cents/day) and intercept of revenue vs order date, from the five
+    * classical sufficient statistics (n, Σx, Σy, Σxy, Σx²). The moments
+    * are EXACT decimal sums (cents, integer day index), so both engines
+    * hold identical rationals; slope/intercept are then the same two
+    * trailing IEEE double divisions on both sides (the q140 discipline:
+    * exact integers all the way down, floats only at the finish line).
+    *
+    * Scale posture: one broadcast-dim join chain (q11's shape: customer →
+    * nation are the bounded sides) and ONE map-side-combinable aggregate
+    * computing all five moments in a single pass over orders — no window,
+    * no second scan, per-group state is five numbers. Decimal(38)
+    * accumulators give ~1e36 of headroom before any overflow. */
+  val q159 = QueryDef(
+    "q159_ols_revenue_trend",
+    """WITH j AS (
+      |  SELECT n.n_name AS nation,
+      |    date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+      |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |a AS (
+      |  SELECT nation, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(y) AS sy,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      |  FROM j GROUP BY 1)
+      |SELECT nation, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day,
+      |  (CAST(sy AS DOUBLE)
+      |     - CAST(n * sxy - sx * sy AS DOUBLE)
+      |       / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM a ORDER BY nation""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dx = col("x").cast(DecimalType(18, 0))
+    val j = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("nation"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        d2(col("o_totalprice")).as("y"))
+    val a = j.groupBy("nation").agg(
+      count(lit(1)).as("n"),
+      sum(dx).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(dx * col("y")).as("sxy"),
+      sum(dx * dx).as("sxx"))
+    a.select(col("nation"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_per_day"),
+        ((col("sy").cast("double")
+          - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
-    q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146)
+    q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159)
 }

@@ -77,5 +77,58 @@ object PassageOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q113)
+  /** Chunk width / stride (tokens) for the retrieval chunker. 64/48 gives
+    * 16 tokens of overlap — the standard RAG recipe shape (windowed
+    * passages with context carry-over at the seams). */
+  private val C = 64
+  private val S = 48
+
+  /** q152: RAG document chunking — overlapping token windows, one row per
+    * chunk with its token offset, width, and an exact content digest (the
+    * retrieval index key). A doc of n tokens yields 1 chunk when n <= C,
+    * else ((n - (C-S+1)) div S) + 1 chunks at starts 0, S, 2S, … — the
+    * last window always reaches token n, and no window is fully contained
+    * in its predecessor.
+    *
+    * Scale posture: pure per-document fan-out (explode over a computed
+    * range) — no join, no shuffle except the gate's deterministic
+    * ORDER BY; the digest is computed where the chunk is born, so a
+    * downstream index build shuffles 32-char digests, never chunk text.
+    * All arithmetic is exact integers (positive operands, so Spark `div`
+    * ≡ DuckDB `//`). */
+  val q152 = QueryDef(
+    "q152_doc_chunking",
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+       |             len(string_split(trim(text), ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, toks, n,
+       |        CASE WHEN n <= $C THEN 1
+       |             ELSE (n - ${C - S + 1}) // $S + 1 END AS n_chunks
+       |      FROM t),
+       |e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
+       |      FROM c)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $S AS start_tok,
+       |  least($C, n - chunk_id * $S) AS n_chunk_tokens,
+       |  md5(array_to_string(
+       |    toks[(chunk_id*$S+1):(chunk_id*$S+least($C, n - chunk_id*$S))],
+       |    ' ')) AS chunk_digest
+       |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= C, lit(1L))
+          .otherwise(expr(s"(n - ${C - S + 1}) div $S + 1")))
+    t.select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .withColumn("n_chunk_tokens", least(lit(C.toLong), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_chunk_tokens"),
+        md5(array_join(
+          expr(s"slice(toks, cast(start_tok + 1 as int), cast(n_chunk_tokens as int))"),
+          " ")).as("chunk_digest"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q113, q152)
 }

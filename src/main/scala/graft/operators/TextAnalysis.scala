@@ -409,5 +409,49 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126, q137)
+  /** q158: bigram next-token model — for every token, its most frequent
+    * successor across the corpus with support counts and an exact ppm
+    * share (the argmax table IS a trained order-1 LM; q142 does the same
+    * for event streams, this is the text version). Ties break to the
+    * lexicographically smallest successor via min(struct(-count, token)) —
+    * pure integer/string ordering, engine-identical.
+    *
+    * Scale posture: bigram extraction is per-doc fan-out (no join); the
+    * count table is ONE (prev, next) hash aggregate with map-side combine
+    * absorbing hot pairs; argmax-per-prev is a second min(struct)
+    * aggregate on the smaller pair table. Nothing is broadcast; windows
+    * never touch the corpus. */
+  val q158 = QueryDef(
+    "q158_bigram_next_token",
+    s"""WITH bg AS (
+       |  SELECT unnest(${shinglesNSql("t", 2)}) AS b
+       |  FROM (SELECT string_split(trim(text), ' ') AS t FROM documents)),
+       |c AS (SELECT split_part(b, ' ', 1) AS prev, split_part(b, ' ', 2) AS nxt,
+       |        COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+       |best AS (SELECT prev, min(struct_pack(nn := -n, t := nxt)) AS b
+       |         FROM c GROUP BY prev)
+       |SELECT t.prev, t.total, (b.b).t AS top_next,
+       |  -(b.b).nn AS top_count,
+       |  CAST((-(b.b).nn * 1000000) // t.total AS BIGINT) AS top_share_ppm
+       |FROM tot t JOIN best b USING (prev)
+       |ORDER BY prev""".stripMargin) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(tokens(col("text")).as("t"))
+      .select(explode(shinglesN("t", 2)).as("b"))
+      .select(split_part(col("b"), lit(" "), lit(1)).as("prev"),
+        split_part(col("b"), lit(" "), lit(2)).as("nxt"))
+    val c = bg.groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("prev").agg(sum(col("n")).as("total"))
+    val best = c.groupBy("prev")
+      .agg(min(struct((-col("n")).as("nn"), col("nxt").as("t"))).as("b"))
+      .select(col("prev"), col("b.t").as("top_next"), (-col("b.nn")).as("top_count"))
+    tot.join(best, Seq("prev"))
+      .select(col("prev"), col("total"), col("top_next"), col("top_count"),
+        expr("(top_count * 1000000) div total").as("top_share_ppm"))
+      .orderBy("prev")
+  }
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126, q137,
+    q158)
 }
