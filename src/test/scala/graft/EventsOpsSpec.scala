@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the time-series operators over the real sf0.001 tables —
+  * properties the DuckDB oracle cannot state (it only proves equality, not
+  * that both engines compute a *sensible* series).
+  */
+class EventsOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q153 gap fill: per-user spine is contiguous and conserves event counts") {
+    val rows = operators.EventsOps.q153.build(spark, dir)
+      .select("user_id", "n_events", "cum_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perUserEvents = graft.core.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = rows.groupBy(_._1)
+    byUser.keySet shouldBe perUserEvents.keySet
+    byUser.foreach { case (uid, rs) =>
+      // cum is the running sum of the filled series and ends at the true total
+      rs.map(_._2).sum shouldBe perUserEvents(uid)
+      rs.map(_._3).max shouldBe perUserEvents(uid)
+      // the spine actually fills gaps: rows ≥ distinct active hours
+      rs.length.toLong should be >= rs.count(_._2 > 0).toLong
+    }
+    // gap filling is real on this data: at least one zero-hour exists
+    rows.count(_._2 == 0L) should be > 0
+  }
+
+  test("q155 drift: counts conserve and ppm shares sum to ~1e6 per half") {
+    val rows = operators.EventsOps.q155.build(spark, dir).collect()
+    val total = graft.core.Tables.events(spark, dir).count()
+    val (n1, n2) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    n1 + n2 shouldBe total
+    // both halves are populated (the midpoint split is real)
+    n1 should be > 0L
+    n2 should be > 0L
+    // floor-quantized shares lose < 1 ppm per category
+    val k = rows.length
+    rows.map(_.getLong(3)).sum should (be <= 1000000L and be > (1000000L - k))
+    rows.map(_.getLong(4)).sum should (be <= 1000000L and be > (1000000L - k))
+  }
+}

@@ -62,4 +62,32 @@ class PassageOpsSpec extends SparkSpec {
     rows(2L)._2 shouldBe 0L
     rows(2L)._3 shouldBe null
   }
+
+  test("q152 chunking invariants: stride spacing, full coverage, no contained chunk") {
+    val rows = operators.PassageOps.q152.build(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTok = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), expr("cast(size(split(trim(text), ' ')) as long)").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are 0..k-1 and starts are exactly stride-spaced
+      sorted.map(_._2) shouldBe (0L until sorted.length.toLong)
+      sorted.foreach { case (_, cid, start, len) =>
+        start shouldBe cid * 48
+        len shouldBe math.min(64L, n - start)
+        len should be > 0L
+      }
+      // the last chunk reaches the final token: full coverage
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == n)
+      // no chunk is fully contained in its predecessor (each adds tokens)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, l2)) => s2 + l2 should be > (s1 + l1)
+        case _ =>
+      }
+    }
+  }
 }
