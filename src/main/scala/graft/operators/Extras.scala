@@ -664,10 +664,13 @@ object Extras {
     * Scale posture: the textbook BSP shape — per-round, contributions
     * `pr div deg` flow along edges via ONE shuffle equi-join on the node
     * key and collapse with a map-side-combinable SUM; `deg`/`pr` are
-    * node-cardinality frames (never broadcast), rounds are constant (3),
-    * and each round's result is localCheckpoint-materialized so lineage
-    * stays flat (the q71 components discipline). The symmetric edge set
-    * guarantees in-degree = out-degree ≥ 1: no dangling-mass term. */
+    * node-cardinality frames (never broadcast) and rounds are constant
+    * (3). Only the edge list is localCheckpoint-materialized (it feeds
+    * the degree count plus every round); the per-round frames stay lazy —
+    * unlike q71's data-dependent fixpoint there is no per-round action,
+    * so the single terminal job executes the shallow 3-round DAG once and
+    * materialization barriers would only add latency. The symmetric edge
+    * set guarantees in-degree = out-degree ≥ 1: no dangling-mass term. */
   val q154 = {
     val R = "1000000000000"
     def iterCte(cur: String, prev: String): String =
@@ -695,7 +698,6 @@ object Extras {
         .filter(col("s") =!= col("t")).select("s", "t").distinct()
         .localCheckpoint(true)
       val deg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
       val n = deg.count() // node count: a bounded aggregate scalar (|parts|)
       val init = R.toLong / n
       val base = (15L * init) / 100L
@@ -707,7 +709,6 @@ object Extras {
         pr = deg.join(contrib, Seq("node"))
           .select(col("node"), col("deg"),
             (lit(base) + expr("(85 * sc) div 100")).as("pr"))
-          .localCheckpoint(true)
       }
       pr.select(col("node").as("part_key"), col("deg"), col("pr").as("pr_e12"))
         .orderBy("part_key")

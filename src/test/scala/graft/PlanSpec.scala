@@ -243,6 +243,51 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q154/q157/q158: graph and corpus aggregates carry no broadcast hints at all") {
+    // PageRank's node/edge frames, the containment matrix's shingle sets,
+    // and the bigram count table are all corpus-cardinality — these
+    // queries must rely on shuffle equi-joins only. With auto-broadcast
+    // disabled, ANY BroadcastExchange in their plans would be a hint we
+    // planted on an unbounded frame.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(graft.operators.Extras.q154, graft.operators.CorpusOps.q157,
+          graft.operators.TextAnalysis.q158).foreach { qd =>
+        val planned = qd.build(spark, sf).queryExecution.executedPlan
+        val inner = planned match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val exchanges = inner.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        withClue(s"${qd.name}: unexpected broadcast(s):\n${exchanges.mkString("\n")}\n") {
+          exchanges shouldBe empty
+        }
+      }
+      // q155's only broadcasts are the two keys=[] scalar aggregates
+      // (midpoint, totals) — 1-row frames, bounded by construction
+      val planned = graft.operators.EventsOps.q155.build(spark, sf)
+        .queryExecution.executedPlan
+      val inner = planned match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val exchanges = inner.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      exchanges should not be empty
+      exchanges.foreach { b =>
+        withClue(s"q155: non-scalar broadcast subtree:\n${b.child}\n") {
+          b.child.toString should include("keys=[]")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("CBO: analyzed catalog stats flip the dim join from shuffle to broadcast") {
     // TableStore.registerCbo hands ANALYZE'd row/NDV stats to Catalyst;
     // under spark.sql.cbo.enabled an equality filter is estimated at
