@@ -777,6 +777,126 @@ object Extras {
       .orderBy("nation")
   }
 
+  /** q160: association rules — q141's co-purchase support completed with
+    * the other two classic measures: confidence (P(b|a)) and lift
+    * (P(a,b)/(P(a)P(b))), for every pair with support ≥ 3. Both are exact
+    * integer ppm — confidence = (nab·10^6) div na, lift = (nab·N·10^6)
+    * div (na·nb) — positive int64 operands, where Spark `div` ≡ DuckDB
+    * `//` (decimal division is deliberately avoided: Spark rounds decimal
+    * quotients to the result scale BEFORE a floor could run, which can
+    * disagree with an exact floor at the edge). nab·N·10^6 stays in int64
+    * up to ~9e12 basket-pairs; past that both engines fail loudly on
+    * overflow rather than silently diverging — recast to DECIMAL(38,0)
+    * numerators with an explicit integer quotient if that day comes.
+    *
+    * Scale posture: q141's shape — per-order pair fan-out bounded by
+    * basket size, one map-side-combinable pair rollup — plus a
+    * per-item support rollup joined back on each end of the pair (two
+    * shuffle equi-joins on item keys; nothing broadcast). */
+  val q160 = QueryDef(
+    "q160_association_rules",
+    """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM d),
+      |item AS (SELECT l_partkey, COUNT(*) AS n_item FROM d GROUP BY 1),
+      |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      |      FROM d a JOIN d b ON b.l_orderkey = a.l_orderkey
+      |                       AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2),
+      |f AS (SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b
+      |      FROM p JOIN item ia ON ia.l_partkey = p.part_a
+      |             JOIN item ib ON ib.l_partkey = p.part_b
+      |      WHERE n_pair >= 3)
+      |SELECT part_a, part_b, n_pair, n_a, n_b,
+      |  CAST((n_pair * 1000000) // n_a AS BIGINT) AS conf_a_to_b_ppm,
+      |  CAST((n_pair * 1000000) // n_b AS BIGINT) AS conf_b_to_a_ppm,
+      |  CAST((n_pair * nb.n_baskets * 1000000) // (n_a * n_b) AS BIGINT) AS lift_ppm
+      |FROM f CROSS JOIN nb
+      |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val nBaskets = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val item = items.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = items.toDF("l_orderkey", "part_a")
+      .join(items.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    pairs
+      .join(item.toDF("part_a", "n_a"), Seq("part_a"))
+      .join(item.toDF("part_b", "n_b"), Seq("part_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"), col("n_b"),
+        expr("(n_pair * 1000000) div n_a").as("conf_a_to_b_ppm"),
+        expr("(n_pair * 1000000) div n_b").as("conf_b_to_a_ppm"),
+        expr("(n_pair * n_baskets * 1000000) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** q161: triangle census of the co-purchase graph — triangle count and
+    * the global clustering coefficient ((3·triangles)/wedges, exact ppm).
+    * The density diagnostic behind "are baskets cliquey or hub-and-spoke?".
+    *
+    * Scale posture: the degree-ordered orientation trick — every
+    * undirected edge points from its (degree, id)-smaller endpoint to the
+    * larger, so per-node out-degree is O(√E) and the wedge join
+    * (self-join of the oriented list on its source) generates O(E^1.5)
+    * candidates TOTAL regardless of hub skew; a plain neighbor self-join
+    * would be Σ deg² and explode on the hottest part. Closure check is
+    * one shuffle equi-join of wedges against the canonical (min, max)
+    * edge key; every aggregate is single-row. Counting each triangle
+    * exactly once is the orientation's gift: its 3 edges form exactly one
+    * directed wedge at the (degree, id)-minimum vertex. */
+  val q161 = QueryDef(
+    "q161_triangle_census",
+    """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |       FROM d a JOIN d b ON b.l_orderkey = a.l_orderkey
+      |                        AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS dg FROM (
+      |          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.u ELSE e0.v END AS s,
+      |             CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.v ELSE e0.u END AS t
+      |      FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+      |w AS (SELECT o1.t AS b, o2.t AS c
+      |      FROM o o1 JOIN o o2 ON o2.s = o1.s AND o1.t < o2.t),
+      |tri AS (SELECT COUNT(*) AS n_tri FROM w
+      |        JOIN e0 ON e0.u = least(w.b, w.c) AND e0.v = greatest(w.b, w.c)),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |               CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+      |        FROM deg),
+      |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e0)
+      |SELECT agg.n_nodes, ne.n_edges, agg.n_wedges, tri.n_tri AS n_triangles,
+      |  CAST((3 * tri.n_tri * 1000000) // greatest(agg.n_wedges, 1) AS BIGINT)
+      |    AS clustering_ppm
+      |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val e0 = items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
+      .filter(col("u") < col("v")).select("u", "v").distinct()
+      .localCheckpoint(true) // reused by orientation, closure, and edge count
+    val deg = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val o = e0
+      .join(deg.toDF("u", "dgu"), Seq("u")).join(deg.toDF("v", "dgv"), Seq("v"))
+      .select(
+        when(struct(col("dgu"), col("u")) < struct(col("dgv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("dgu"), col("u")) < struct(col("dgv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+    val w = o.toDF("s", "b").join(o.toDF("s", "c"), Seq("s"))
+      .filter(col("b") < col("c"))
+      .select(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))
+    val tri = w.join(e0, Seq("u", "v")).agg(count(lit(1)).as("n_triangles"))
+    val agg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val ne = e0.agg(count(lit(1)).as("n_edges"))
+    agg.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(3 * n_triangles * 1000000) div greatest(n_wedges, 1)")
+          .as("clustering_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
-    q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159)
+    q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159, q160,
+    q161)
 }

@@ -30,6 +30,30 @@ class GraphOpsSpec extends SparkSpec {
     maxDegNode._3 should be > rows.map(_._3).min
   }
 
+  test("q161 triangle census agrees with brute force on the real graph") {
+    val row = operators.Extras.q161.build(spark, dir).collect().head
+    val (nNodes, nEdges, nWedges, nTri, ppm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    // brute-force recount from the same distinct (order, part) projection
+    val items = graft.core.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    nNodes shouldBe adj.size.toLong
+    nEdges shouldBe edges.size.toLong
+    nWedges shouldBe adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val brute = edges.toSeq.map { case (u, v) =>
+      (adj(u) intersect adj(v)).size.toLong
+    }.sum / 3 // each triangle counted once per edge
+    nTri shouldBe brute
+    ppm shouldBe (if (nWedges == 0) 0L else 3 * nTri * 1000000 / nWedges)
+  }
+
   test("q156 canonical selection: one canonical per component, max quality wins") {
     val rows = operators.DedupClusters.q156.build(spark, dir)
       .select("doc_id", "component", "quality_score", "canonical_id", "is_canonical")
