@@ -646,6 +646,67 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** q163: seasonal-naive forecast evaluation — score the "same hour last
+    * week" predictor of hourly event volume per type against the naive
+    * "previous hour" baseline: MASE-style ratio in exact integer ppm
+    * (Σ|n_t − n_{t−168}| · 10^6 div Σ|n_t − n_{t−1}|). The standard
+    * sanity gate any volume-forecast model must beat, computed with no
+    * floats and no libm.
+    *
+    * Scale posture: the fact collapses to per-(type, hour) counts in one
+    * map-side-combinable aggregate; the DENSE grid (missing hours are
+    * real zeros — sparse joins would silently skip them) is types ×
+    * span-hours, a bounded frame, so the LAG windows and the final
+    * conditional sums never touch raw events. */
+  val q163 = QueryDef(
+    "q163_seasonal_naive_eval",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) // 3600000 AS h
+      |  FROM events),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |s AS (SELECT event_type, unnest(range(lo, hi + 1)) AS h
+      |      FROM ty CROSS JOIN b),
+      |c AS (SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |f AS (SELECT s.event_type, s.h, COALESCE(c.n, 0) AS n
+      |      FROM s LEFT JOIN c USING (event_type, h)),
+      |l AS (SELECT event_type, n,
+      |        LAG(n, 168) OVER (PARTITION BY event_type ORDER BY h) AS sn,
+      |        LAG(n, 1) OVER (PARTITION BY event_type ORDER BY h) AS pn
+      |      FROM f)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  CAST(SUM(abs(n - sn)) AS BIGINT) AS abs_err_seasonal,
+      |  CAST(SUM(abs(n - pn)) AS BIGINT) AS abs_err_naive,
+      |  CAST((SUM(abs(n - sn)) * 1000000) // greatest(SUM(abs(n - pn)), 1)
+      |    AS BIGINT) AS mase_ppm
+      |FROM l WHERE sn IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("h"))
+    val b = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val ty = e.select("event_type").distinct()
+    val spine = ty.crossJoin(broadcast(b))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val c = e.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val f = spine.join(c, Seq("event_type", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    f.select(col("event_type"), col("n"),
+        lag(col("n"), 168).over(w).as("sn"),
+        lag(col("n"), 1).over(w).as("pn"))
+      .filter(col("sn").isNotNull)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_hours"),
+        sum(abs(col("n") - col("sn"))).as("abs_err_seasonal"),
+        sum(abs(col("n") - col("pn"))).as("abs_err_naive"))
+      .select(col("event_type"), col("n_hours"), col("abs_err_seasonal"),
+        col("abs_err_naive"),
+        expr("(abs_err_seasonal * 1000000) div greatest(abs_err_naive, 1)")
+          .as("mase_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155)
+    q142, q145, q148, q149, q153, q155, q163)
 }

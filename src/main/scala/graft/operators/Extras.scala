@@ -896,7 +896,132 @@ object Extras {
           .as("clustering_ppm"))
   }
 
+  /** q162: WEIGHTED quantiles (p25/p50/p75 of line price, weighted by
+    * quantity) at whole-dollar granularity — "the price point below which
+    * half the UNITS sell", which q68's row-weighted percentile cannot
+    * answer. Exact by construction: quantities become integer
+    * centi-units, the quantile conditions are integer cross-
+    * multiplications (4·cum ≥ q·T), and the dollar grid makes the answer
+    * discrete — no interpolation, no floats anywhere.
+    *
+    * Scale posture: the q128 histogram contract — the fact table
+    * collapses to a (flag, dollar) frame in ONE map-side-combinable
+    * aggregate; windows run over that bounded histogram (price range in
+    * dollars × 3 flags), never over lineitem; the final pick is a
+    * conditional MIN per flag. */
+  val q162 = QueryDef(
+    "q162_weighted_quantiles",
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+      |           AS dollar,
+      |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |           AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, dollar, w,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY dollar
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY flag) AS t
+      |  FROM h)
+      |SELECT flag,
+      |  CAST(MIN(CASE WHEN 4 * cum >= t THEN dollar END) AS BIGINT) AS p25_dollar,
+      |  CAST(MIN(CASE WHEN 2 * cum >= t THEN dollar END) AS BIGINT) AS p50_dollar,
+      |  CAST(MIN(CASE WHEN 4 * cum >= 3 * t THEN dollar END) AS BIGINT) AS p75_dollar,
+      |  CAST(MAX(t) AS BIGINT) AS total_weight_c
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    val h = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div 100")
+          .as("dollar"))
+      .agg(sum(expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)")).as("w"))
+    val win = Window.partitionBy("flag").orderBy("dollar")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = h
+      .withColumn("cum", sum(col("w")).over(win))
+      .withColumn("t", sum(col("w")).over(Window.partitionBy("flag")))
+    c.groupBy("flag").agg(
+        min(when(expr("4 * cum >= t"), col("dollar"))).as("p25_dollar"),
+        min(when(expr("2 * cum >= t"), col("dollar"))).as("p50_dollar"),
+        min(when(expr("4 * cum >= 3 * t"), col("dollar"))).as("p75_dollar"),
+        max(col("t")).as("total_weight_c"))
+      .orderBy("flag")
+  }
+
+  /** q164: k-core peeling (4 fixed rounds) over the co-purchase graph —
+    * iteratively drop nodes with fewer than k surviving neighbors; what
+    * remains is the graph's dense backbone (the community-detection
+    * preprocessing step). k = ⌊0.7 · mean degree⌋, derived from the
+    * data, so the peel genuinely bites at every scale (a constant k is
+    * either vacuous or total on graphs whose density shifts; this
+    * graph's core collapses entirely above ~0.74·mean — the random-graph
+    * core-collapse cliff). Six fixed rounds keep both engines on the
+    * same deterministic prefix of the fixpoint; the emitted `converged`
+    * flag states whether the last round changed anything, so a
+    * premature cut can never pass silently as the fixpoint.
+    *
+    * Scale posture: each round is two semi-joins (edge endpoints against
+    * the survivor set) plus one map-side-combinable degree count — the
+    * same per-round shuffle shape as q154, constant rounds, node/edge
+    * frames only, nothing broadcast. */
+  val q164 = {
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "n0" else s"s${i - 1}"
+      s"""d$i AS (SELECT ed.s AS node, COUNT(*) AS c FROM ed
+         |        WHERE ed.s IN (SELECT node FROM $prev)
+         |          AND ed.t IN (SELECT node FROM $prev)
+         |        GROUP BY 1),
+         |s$i AS (SELECT node, c FROM d$i WHERE c >= (SELECT k FROM kk))""".stripMargin
+    }
+    QueryDef(
+      "q164_kcore_backbone",
+      s"""WITH dd AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |       FROM dd a JOIN dd b ON b.l_orderkey = a.l_orderkey
+         |                          AND a.l_partkey < b.l_partkey),
+         |ed AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+         |n0 AS (SELECT DISTINCT s AS node FROM ed),
+         |kk AS (SELECT (7 * ((SELECT COUNT(*) FROM ed) // (SELECT COUNT(*) FROM n0))) // 10 AS k),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |${roundCtes(3)},
+         |${roundCtes(4)},
+         |${roundCtes(5)},
+         |${roundCtes(6)}
+         |SELECT s6.node AS part_key, CAST(s6.c AS BIGINT) AS core_deg,
+         |  (SELECT COUNT(*) FROM s6) = (SELECT COUNT(*) FROM s5) AS converged
+         |FROM s6 ORDER BY part_key""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val e0 = items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
+        .filter(col("u") < col("v")).select("u", "v").distinct()
+      val ed = e0.select(col("u").as("s"), col("v").as("t"))
+        .unionByName(e0.select(col("v").as("s"), col("u").as("t")))
+        .localCheckpoint(true) // feeds every peel round
+      var survivors = ed.select(col("s").as("node")).distinct()
+      // k = floor(0.7 * mean degree): two bounded aggregate scalars
+      val k = 7L * (ed.count() / survivors.count()) / 10L
+      var prevCount = -1L
+      var lastCount = -1L
+      var withDeg: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 6) {
+        val alive = ed
+          .join(survivors.toDF("s"), Seq("s"), "left_semi")
+          .join(survivors.toDF("t"), Seq("t"), "left_semi")
+        withDeg = alive.groupBy(col("s").as("node")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= k)
+          .localCheckpoint(true) // consumed twice: next round's two semi-joins
+        survivors = withDeg.select("node")
+        prevCount = lastCount
+        lastCount = withDeg.count() // bounded scalar: surviving node count
+      }
+      withDeg
+        .select(col("node").as("part_key"), col("c").as("core_deg"),
+          lit(lastCount == prevCount).as("converged"))
+        .orderBy("part_key")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
     q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159, q160,
-    q161)
+    q161, q162, q164)
 }
