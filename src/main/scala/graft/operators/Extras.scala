@@ -12,6 +12,42 @@ import graft.functions.Dec._
   */
 object Extras {
 
+  /** Memoized co-purchase graph per (session, dir) — the (order, part)
+    * distinct projection and the distinct undirected edge list (u < v),
+    * both localCheckpoint-materialized ONCE and shared by the five graph
+    * queries (q141 affinity, q154 PageRank, q160 rules, q161 triangles,
+    * q164 k-core). Without the memo each query re-runs the two largest
+    * shuffles of the family (fact distinct + within-order self-join
+    * distinct). Weak session keys, same contract as Dedup.lshVerifiedPairs:
+    * inputs are immutable driver-generated parquet, so no invalidation
+    * beyond session lifetime is needed. */
+  private val graphMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
+                                          org.apache.spark.sql.DataFrame)]]()
+
+  private def copurchase(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    graphMemo.synchronized {
+      val perDir = {
+        val cur = graphMemo.get(s)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
+                                                        org.apache.spark.sql.DataFrame)]()
+          graphMemo.put(s, m); m
+        }
+      }
+      perDir.getOrElseUpdate(d, {
+        val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .distinct().localCheckpoint(true)
+        val edges = items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
+          .filter(col("u") < col("v")).select("u", "v").distinct()
+          .localCheckpoint(true)
+        (items, edges)
+      })
+    }
+
   /** Explicit ROWS BETWEEN frame: 4-event moving average per user.
     * Average is decimal-sum / count (exact) — frame-order-proof. */
   val q66 = QueryDef(
@@ -539,7 +575,7 @@ object Extras {
       |SELECT part_a, part_b, support, CAST(rk AS INT) AS rk FROM (
       |  SELECT *, ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b) AS rk
       |  FROM p) WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
-    val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val items = copurchase(s, d)._1
     items.toDF("l_orderkey", "part_a")
       .join(items.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
       .filter(col("part_a") < col("part_b"))
@@ -693,10 +729,9 @@ object Extras {
          |${iterCte("pr3", "pr2")}
          |SELECT node AS part_key, deg, CAST(pr AS BIGINT) AS pr_e12
          |FROM pr3 ORDER BY part_key""".stripMargin) { (s, d) =>
-      val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-      val e = items.toDF("k", "s").join(items.toDF("k", "t"), Seq("k"))
-        .filter(col("s") =!= col("t")).select("s", "t").distinct()
-        .localCheckpoint(true)
+      val und = copurchase(s, d)._2
+      val e = und.select(col("u").as("s"), col("v").as("t"))
+        .unionByName(und.select(col("v").as("s"), col("u").as("t")))
       val deg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
       val n = deg.count() // node count: a bounded aggregate scalar (|parts|)
       val init = R.toLong / n
@@ -812,7 +847,7 @@ object Extras {
       |  CAST((n_pair * nb.n_baskets * 1000000) // (n_a * n_b) AS BIGINT) AS lift_ppm
       |FROM f CROSS JOIN nb
       |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
-    val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val items = copurchase(s, d)._1
     val nBaskets = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
     val item = items.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
     val pairs = items.toDF("l_orderkey", "part_a")
@@ -869,10 +904,7 @@ object Extras {
       |  CAST((3 * tri.n_tri * 1000000) // greatest(agg.n_wedges, 1) AS BIGINT)
       |    AS clustering_ppm
       |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin) { (s, d) =>
-    val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-    val e0 = items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
-      .filter(col("u") < col("v")).select("u", "v").distinct()
-      .localCheckpoint(true) // reused by orientation, closure, and edge count
+    val e0 = copurchase(s, d)._2 // memo-materialized: orientation, closure, count
     val deg = e0.select(col("u").as("node"))
       .unionByName(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -991,9 +1023,7 @@ object Extras {
          |SELECT s6.node AS part_key, CAST(s6.c AS BIGINT) AS core_deg,
          |  (SELECT COUNT(*) FROM s6) = (SELECT COUNT(*) FROM s5) AS converged
          |FROM s6 ORDER BY part_key""".stripMargin) { (s, d) =>
-      val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-      val e0 = items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
-        .filter(col("u") < col("v")).select("u", "v").distinct()
+      val e0 = copurchase(s, d)._2
       val ed = e0.select(col("u").as("s"), col("v").as("t"))
         .unionByName(e0.select(col("v").as("s"), col("u").as("t")))
         .localCheckpoint(true) // feeds every peel round

@@ -343,5 +343,82 @@ object SearchOps {
       .orderBy("frk")
   }
 
-  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119, q125)
+  /** q165: chunk-level BM25 retrieval — q101's log-free Okapi scoring run
+    * over q152's overlapping 64/48-token chunks instead of whole
+    * documents: the actual RAG serving shape ("give me the best
+    * PASSAGES"), where a long document cannot hide a relevant span
+    * behind a diluted whole-doc term frequency. Same two-term
+    * IEEE-commutative score contract as q101 (sum of two doubles is
+    * order-proof; every factor is +,-,×,÷ — no libm), so the gate pins
+    * bit-identical scores.
+    *
+    * Scale posture: chunking stays per-document fan-out (q152's shape);
+    * tf filters to the query terms BEFORE any shuffle, df (one row per
+    * query term) and the chunk-corpus stats (one row) broadcast; the
+    * only data-sized shuffle joins term-bearing chunks against chunk
+    * lengths on the (doc, chunk) key. Top-10 is a fully-tiebroken
+    * TakeOrdered. */
+  val q165 = QueryDef(
+    "q165_chunk_bm25",
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+       |             len(string_split(trim(text), ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, toks, n,
+       |        CASE WHEN n <= 64 THEN 1 ELSE (n - 17) // 48 + 1 END AS n_chunks
+       |      FROM t),
+       |e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
+       |      FROM c),
+       |ch AS (SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+       |         toks[(chunk_id*48+1):(chunk_id*48+least(64, n - chunk_id*48))] AS ctoks,
+       |         least(64, n - chunk_id*48) AS dl
+       |       FROM e),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |                 CAST(COUNT(*) AS DOUBLE) AS n FROM ch),
+       |tf AS (SELECT doc_id, chunk_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM (SELECT doc_id, chunk_id, unnest(ctoks) AS w FROM ch)
+       |       WHERE w IN ('dup', 'window') GROUP BY 1, 2, 3),
+       |df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+       |SELECT tf.doc_id, tf.chunk_id, ch.start_tok,
+       |  SUM(((stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      ((tf.tf * 2.2) /
+       |       (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(ch.dl AS DOUBLE) / stats.avgdl)))))
+       |    AS score
+       |FROM tf CROSS JOIN stats
+       |JOIN df ON df.w = tf.w
+       |JOIN ch ON ch.doc_id = tf.doc_id AND ch.chunk_id = tf.chunk_id
+       |GROUP BY 1, 2, 3
+       |ORDER BY score DESC, tf.doc_id, tf.chunk_id LIMIT 10""".stripMargin) { (s, d) =>
+    val terms = Seq("dup", "window")
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= 64, lit(1L)).otherwise(expr("(n - 17) div 48 + 1")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 48).as("start_tok"),
+        expr("slice(toks, cast(chunk_id * 48 + 1 as int), " +
+          "cast(least(64, n - chunk_id * 48) as int))").as("ctoks"),
+        least(lit(64L), col("n") - col("chunk_id") * 48).as("dl"))
+    val stats = ch.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val tf = ch.select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "chunk_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    tf.crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), Seq("w"))
+      .join(ch.select("doc_id", "chunk_id", "start_tok", "dl"), Seq("doc_id", "chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+          .as("s"))
+      .groupBy("doc_id", "chunk_id", "start_tok").agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_id")).limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119, q125, q165)
 }

@@ -30,6 +30,26 @@ class EventsOpsSpec extends SparkSpec {
     rows.count(_._2 == 0L) should be > 0
   }
 
+  test("q163 seasonal-naive eval agrees with a driver-side recount") {
+    val rows = operators.EventsOps.q163.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = graft.core.Tables.events(spark, dir)
+      .selectExpr("event_type", "unix_seconds(date_trunc('hour', ts)) div 3600 as h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max
+    val counts = ev.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (t, nHours, errS, errN, ppm) =>
+      val series = (lo to hi).map(h => counts.getOrElse((t, h), 0L))
+      val scored = (168 until series.length).map(i =>
+        (math.abs(series(i) - series(i - 168)), math.abs(series(i) - series(i - 1))))
+      nHours shouldBe scored.length.toLong
+      errS shouldBe scored.map(_._1).sum
+      errN shouldBe scored.map(_._2).sum
+      ppm shouldBe errS * 1000000L / math.max(errN, 1L)
+    }
+  }
+
   test("q155 drift: counts conserve and ppm shares sum to ~1e6 per half") {
     val rows = operators.EventsOps.q155.build(spark, dir).collect()
     val total = graft.core.Tables.events(spark, dir).count()

@@ -54,6 +54,40 @@ class GraphOpsSpec extends SparkSpec {
     ppm shouldBe (if (nWedges == 0) 0L else 3 * nTri * 1000000 / nWedges)
   }
 
+  test("q164 k-core peel agrees with a driver-side fixpoint") {
+    val rows = operators.Extras.q164.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // brute-force peel to the TRUE fixpoint on collected edges
+    val items = graft.core.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nodes0 = edges.flatMap(e => Seq(e._1, e._2))
+    // mirror the operator exactly: k = 7·⌊2|E| / |V|⌋ / 10, integer steps
+    val k = 7L * (2L * edges.size / nodes0.size) / 10L
+    var surv = nodes0
+    var stable = false
+    while (!stable) {
+      val deg = edges.toSeq
+        .filter(e => surv(e._1) && surv(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, v) => n -> v.size }
+      val next = deg.filter(_._2 >= k).keySet
+      stable = next == surv
+      surv = next
+    }
+    if (rows.exists(_._3)) { // converged run must equal the true fixpoint
+      rows.map(_._1).toSet shouldBe surv
+      val deg = edges.toSeq.filter(e => surv(e._1) && surv(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, v) => n -> v.size }
+      rows.foreach { case (n, c, _) => c shouldBe deg(n).toLong }
+    } else { // a non-converged prefix must at least contain the fixpoint
+      surv.subsetOf(rows.map(_._1).toSet) shouldBe true
+    }
+  }
+
   test("q156 canonical selection: one canonical per component, max quality wins") {
     val rows = operators.DedupClusters.q156.build(spark, dir)
       .select("doc_id", "component", "quality_score", "canonical_id", "is_canonical")
