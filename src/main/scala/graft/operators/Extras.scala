@@ -1051,7 +1051,50 @@ object Extras {
     }
   }
 
+  /** q166: functional-dependency audit — does column A determine column
+    * B? The schema-discovery / data-contract primitive q144's profiler
+    * doesn't cover: per candidate FD, the distinct LHS count, distinct
+    * (LHS, RHS) pair count, and how many LHS values map to MORE than one
+    * RHS (the violators). Five candidates across four tables, two of
+    * which are expected to fail — an audit that can only pass is not an
+    * audit.
+    *
+    * Scale posture: each FD is one DISTINCT-pair hash aggregate (map-side
+    * combined on the pair key) followed by a per-LHS count — the same
+    * two-aggregate shape as q46's exact dedup; the five candidates union
+    * into one long-format frame. Nothing is broadcast, no windows. */
+  val q166 = {
+    val fds = Seq( // (name, table, lhs, rhs)
+      ("customer.key->nation", "customer", "c_custkey", "c_nationkey"),
+      ("documents.id->lang", "documents", "doc_id", "lang"),
+      ("lineitem.order->supp", "lineitem", "l_orderkey", "l_suppkey"),
+      ("nation.key->region", "nation", "n_nationkey", "n_regionkey"),
+      ("orders.cust->status", "orders", "o_custkey", "o_orderstatus"))
+    val sql = fds.map { case (name, t, a, b) =>
+      s"""SELECT '$name' AS fd,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         |  CAST(SUM(c) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+         |  SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT a, COUNT(*) AS c
+         |      FROM (SELECT DISTINCT $a AS a, $b AS b FROM $t) GROUP BY a)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef("q166_fd_audit", sql + "\nORDER BY fd") { (s, d) =>
+      fds.map { case (name, t, a, b) =>
+        val g = Tables.load(s, d, t)
+          .select(col(a).as("a"), col(b).as("b")).distinct()
+          .groupBy("a").agg(count(lit(1)).as("c"))
+        g.agg(
+          count(lit(1)).as("n_lhs"),
+          sum(col("c")).as("n_pairs"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_violating_lhs"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_pairs"),
+            col("n_violating_lhs"), (col("n_violating_lhs") === 0).as("holds"))
+      }.reduce(_ unionByName _).orderBy("fd")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
     q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159, q160,
-    q161, q162, q164)
+    q161, q162, q164, q166)
 }
