@@ -707,6 +707,73 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** q167: FIFTH streaming oracle gate — built-in `session_window`
+    * sessionization (30-min gap) streamed over the real events table and
+    * hash-compared to batch SQL. Semantics pinned precisely: session
+    * windows are [t, t+30m) intervals merged on OVERLAP, so a gap of
+    * EXACTLY 30 minutes starts a new session — the oracle therefore uses
+    * `>=` where q41's lag/cumsum batch form uses `>` (the two definitions
+    * differ only on that measure-zero boundary; the events feed carries
+    * no sub-microsecond components, so µs truncation cannot manufacture
+    * a boundary case).
+    *
+    * Complete output mode: a bounded AvailableNow replay must emit every
+    * session, including those the watermark would still hold in append
+    * mode (q145's lesson). State is per-user open sessions — bounded by
+    * the gap horizon at any real event-time skew. */
+  val q167 = QueryDef(
+    "q167_streaming_session_gate",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      |      AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id,
+      |  CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.EventStream
+    val raw = s.read.parquet(s"$d/events.parquet")
+    // single-file driver tables stage into a dir; Spark-written tables
+    // (the 10x replica) stream in place — q132's staging discipline
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
+        stageDir.toString
+      }
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)") // nanos → micros
+      case _ => col("ts")
+    }
+    val stream = s.readStream.schema(raw.schema).parquet(streamPath)
+      .select(col("user_id"), tsCol.as("ts"), col("value"))
+    val sinkName = "q167_session_sink"
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8") // bounded replay: state shuffle sized to it
+      val q = EventStream.sessionRollup(stream).writeStream
+        .format("memory").queryName(sinkName).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(sinkName)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155, q163)
+    q142, q145, q148, q149, q153, q155, q163, q167)
 }
