@@ -477,6 +477,53 @@ object CorpusOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** q168: quantile normalization of a per-doc feature — every document's
+    * token count becomes its EXACT within-language percentile (ppm), the
+    * standard feature-normalization step before cross-language mixing
+    * (raw length is incomparable across languages; its rank is).
+    * pct_ppm = (#docs in the language with strictly fewer tokens) · 10^6
+    * div (n_lang − 1); single-doc languages pin to 0.
+    *
+    * Scale posture: NO window over the corpus — the doc frame collapses
+    * to a (lang, n_tokens) HISTOGRAM (bounded by languages × max token
+    * count) in one map-side aggregate; the strictly-less cumulative runs
+    * over that histogram; docs get their percentile back via a shuffle
+    * equi-join on (lang, n_tokens). The q162/q128 histogram discipline
+    * applied to rank normalization. */
+  val q168 = QueryDef(
+    "q168_quantile_normalize",
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens
+      |  FROM documents),
+      |h AS (SELECT lang, n_tokens, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS n_lt,
+      |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM h)
+      |SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((cum.n_lt * 1000000) // greatest(cum.n_lang - 1, 1) AS BIGINT)
+      |    AS pct_ppm
+      |FROM t JOIN cum ON cum.lang = t.lang AND cum.n_tokens = t.n_tokens
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val h = t.groupBy("lang", "n_tokens").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("lang").orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = h
+      .withColumn("n_lt", sum(col("c")).over(wOrd) - col("c"))
+      .withColumn("n_lang", sum(col("c")).over(Window.partitionBy("lang")))
+      .select("lang", "n_tokens", "n_lt", "n_lang")
+    t.join(cum, Seq("lang", "n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("(n_lt * 1000000) div greatest(n_lang - 1, 1)").as("pct_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157)
+    q130, q151, q157, q168)
 }
