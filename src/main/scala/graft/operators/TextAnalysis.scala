@@ -452,6 +452,95 @@ object TextAnalysis {
       .orderBy("prev")
   }
 
+  /** q169: BPE ENCODE — apply q126's trained merges to the corpus and
+    * score the result per document (piece count, char count, pieces-per-
+    * char compression in exact ppm). Training without application is half
+    * a tokenizer; this is the other half, and the compression ratio is
+    * the metric a tokenizer change is actually judged by.
+    *
+    * The merge table is re-derived with the exact training recipe (the
+    * oracle replays the same CTEs), so both engines encode with
+    * bit-identical segmentations — q126's gate already proves the two
+    * trainings agree.
+    *
+    * Scale posture: segmentation lives on the DISTINCT-word table (q126's
+    * key property — work per distinct word, not per occurrence); encoding
+    * is ONE shuffle equi-join of exploded doc words against that table on
+    * the word key, then a per-doc sum. The 3 winning merge pairs ride a
+    * 1-row broadcast each round. */
+  val q169 = {
+    def pairsSql(s: String) =
+      s"""select l, r, sum(cnt) freq from (
+         |    select cnt, arr[i] l, arr[i+1] r from (
+         |      select cnt, unnest(range(1, len(arr))) i, arr from (
+         |        select cnt, string_split(trim(s),' ') arr from $s)))
+         |  group by 1,2""".stripMargin
+    val iters = (1 to BpeMerges).map { k =>
+      s"""p$k as (${pairsSql(s"s${k - 1}")}),
+         |t$k as (select l, r, freq from p$k order by freq desc, l, r limit 1),
+         |s$k as (select w, cnt, replace(s, ' '||t.l||' '||t.r||' ', ' '||t.l||t.r||' ') s
+         |        from s${k - 1} cross join t$k t)""".stripMargin
+    }.mkString(",\n")
+    QueryDef(
+      "q169_bpe_encode",
+      s"""with toks as (select unnest(string_split(trim(text),' ')) w from documents),
+         |words as (select w, count(*) cnt from toks group by 1),
+         |s0 as (select w, cnt,
+         |         ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' ' s
+         |       from words),
+         |$iters,
+         |enc as (select w, len(string_split(trim(s), ' ')) np, len(w) nc
+         |        from s$BpeMerges),
+         |dw as (select doc_id, unnest(string_split(trim(text),' ')) w
+         |       from documents)
+         |select dw.doc_id,
+         |  cast(count(*) as bigint) n_words,
+         |  cast(sum(enc.np) as bigint) n_pieces,
+         |  cast(sum(enc.nc) as bigint) n_chars,
+         |  cast((sum(enc.np) * 1000000) // greatest(sum(enc.nc), 1) as bigint)
+         |    as pieces_per_char_ppm
+         |from dw join enc on enc.w = dw.w
+         |group by 1 order by 1""".stripMargin) { (s, d) =>
+      // the training loop mirrors q126 verbatim (same rounds, same
+      // tiebreaks) — the gate proves the replica agrees with DuckDB's
+      var cur = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"),
+          concat(lit(" "),
+            array_join(expr("filter(split(w, ''), x -> x <> '')"), " "),
+            lit(" ")).as("s"))
+      (1 to BpeMerges).foreach { _ =>
+        val pairs = cur
+          .select(col("cnt"), split(trim(col("s")), " ").as("arr"))
+          .select(col("cnt"), col("arr"),
+            explode(expr(
+              "if(size(arr) >= 2, sequence(1, size(arr) - 1), cast(array() as array<int>))")).as("i"))
+          .select(col("cnt"), expr("element_at(arr, i)").as("l"),
+            expr("element_at(arr, i + 1)").as("r"))
+          .groupBy("l", "r").agg(sum(col("cnt")).as("freq"))
+        val top1 = pairs.orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+        cur = cur.crossJoin(broadcast(top1))
+          .select(col("w"), col("cnt"),
+            expr("replace(s, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))").as("s"))
+      }
+      val enc = cur.select(col("w"),
+        size(split(trim(col("s")), " ")).cast("long").as("np"),
+        length(col("w")).cast("long").as("nc"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(enc, Seq("w"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"),
+          sum(col("np")).as("n_pieces"),
+          sum(col("nc")).as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_chars"),
+          expr("(n_pieces * 1000000) div greatest(n_chars, 1)")
+            .as("pieces_per_char_ppm"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126, q137,
-    q158)
+    q158, q169)
 }
