@@ -774,6 +774,69 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** q171: volume anomaly detection — hours whose event count sits more
+    * than 3σ from the type's mean hourly volume, over the DENSE grid
+    * (missing hours are zeros; a sparse scan can't flag an outage). The
+    * 3σ test is INTEGER-EXACT via cross-multiplication: with n hours,
+    * Σx, Σx², flag x when (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — both sides
+    * exact int64, no float mean/stddev anywhere (int64 headroom to ~3M
+    * events/hour/type at a 720-hour window; both engines fail loudly on
+    * overflow past that rather than silently diverging).
+    *
+    * Scale posture: q163's grid discipline — one map-side count
+    * aggregate over the fact, the spine and moments frames are bounded
+    * (types × span-hours and |types| rows), the flag join is an
+    * equi-join on event_type against the tiny moments frame. */
+  val q171 = QueryDef(
+    "q171_volume_anomalies",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) // 3600000 AS h
+      |  FROM events),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |s AS (SELECT event_type, unnest(range(lo, hi + 1)) AS h
+      |      FROM ty CROSS JOIN b),
+      |c AS (SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |f AS (SELECT s.event_type, s.h, COALESCE(c.n, 0) AS x
+      |      FROM s LEFT JOIN c USING (event_type, h)),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+      |        CAST(SUM(x) AS BIGINT) AS sx,
+      |        CAST(SUM(x * x) AS BIGINT) AS sxx
+      |      FROM f GROUP BY 1)
+      |SELECT f.event_type, make_timestamp(f.h * 3600000000) AS hour_start,
+      |  f.x AS n_events,
+      |  m.nh * f.x - m.sx AS dev_num,
+      |  (m.nh * f.x - m.sx) * (m.nh * f.x - m.sx) AS dev_sq,
+      |  9 * (m.nh * m.sxx - m.sx * m.sx) AS nine_var_sq
+      |FROM f JOIN m USING (event_type)
+      |WHERE (m.nh * f.x - m.sx) * (m.nh * f.x - m.sx)
+      |    > 9 * (m.nh * m.sxx - m.sx * m.sx)
+      |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("h"))
+    val b = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val ty = e.select("event_type").distinct()
+    val spine = ty.crossJoin(broadcast(b))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val c = e.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val f = spine.join(c, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L))).drop("n")
+    val m = f.groupBy("event_type").agg(
+      count(lit(1)).as("nh"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    f.join(m, Seq("event_type"))
+      .withColumn("dev_num", col("nh") * col("x") - col("sx"))
+      .withColumn("dev_sq", col("dev_num") * col("dev_num"))
+      .withColumn("nine_var_sq",
+        lit(9L) * (col("nh") * col("sxx") - col("sx") * col("sx")))
+      .filter(col("dev_sq") > col("nine_var_sq"))
+      .select(col("event_type"),
+        timestamp_micros(col("h") * 3600000000L).as("hour_start"),
+        col("x").as("n_events"), col("dev_num"), col("dev_sq"), col("nine_var_sq"))
+      .orderBy("event_type", "hour_start")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155, q163, q167)
+    q142, q145, q148, q149, q153, q155, q163, q167, q171)
 }

@@ -541,6 +541,81 @@ object TextAnalysis {
     }
   }
 
+  /** q170: language-ID EVALUATION — q43's function-word classifier scored
+    * against the labeled `lang` column: per class, support, prediction
+    * count, correct count, and precision/recall/F1 in exact integer ppm
+    * (F1 = 2PR div (P+R) on the ppm values — no floats). Shipping a
+    * classifier without its confusion metrics is how silently-broken
+    * language filters eat a corpus; this is the eval the curation
+    * pipeline gates on.
+    *
+    * Scale posture: the predictor is per-doc expression work (q43's
+    * codegen'd scoring); the confusion matrix is one |langs|² hash
+    * aggregate; everything after runs on ≤ |langs| rows. */
+  val q170 = {
+    val sqlScores = StopWords.map { case (lang, words) =>
+      s"  ${stopHitsSql("t", words)} AS score_$lang"
+    }.mkString(",\n")
+    val caseChain = StopWords.map { case (lang, _) =>
+      s"WHEN score_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    QueryDef(
+      "q170_langid_eval",
+      s"""WITH toks AS (SELECT lang, string_split(trim(text), ' ') AS t FROM documents),
+         |scored AS (SELECT lang,
+         |$sqlScores
+         |FROM toks),
+         |best AS (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS best FROM scored),
+         |pred AS (SELECT lang, CASE $caseChain END AS predicted FROM best),
+         |cm AS (SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+         |row_t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY 1),
+         |col_t AS (SELECT predicted, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+         |diag AS (SELECT lang, CAST(n AS BIGINT) AS n_correct FROM cm WHERE lang = predicted)
+         |SELECT r.lang, r.n_true,
+         |  COALESCE(c.n_pred, 0) AS n_pred,
+         |  COALESCE(g.n_correct, 0) AS n_correct,
+         |  (COALESCE(g.n_correct, 0) * 1000000) // greatest(COALESCE(c.n_pred, 0), 1)
+         |    AS precision_ppm,
+         |  (COALESCE(g.n_correct, 0) * 1000000) // greatest(r.n_true, 1) AS recall_ppm,
+         |  (2 * ((COALESCE(g.n_correct, 0) * 1000000) // greatest(COALESCE(c.n_pred, 0), 1))
+         |     * ((COALESCE(g.n_correct, 0) * 1000000) // greatest(r.n_true, 1)))
+         |    // greatest(((COALESCE(g.n_correct, 0) * 1000000) // greatest(COALESCE(c.n_pred, 0), 1))
+         |       + ((COALESCE(g.n_correct, 0) * 1000000) // greatest(r.n_true, 1)), 1) AS f1_ppm
+         |FROM row_t r
+         |LEFT JOIN col_t c ON c.predicted = r.lang
+         |LEFT JOIN diag g ON g.lang = r.lang
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      var df = Tables.documents(s, d).withColumn("t", tokens(col("text")))
+      for ((lang, words) <- StopWords)
+        df = df.withColumn(s"score_$lang", stopHits("t", words).cast("long"))
+      df = df.withColumn("best",
+        greatest(StopWords.map { case (l, _) => col(s"score_$l") }: _*))
+      val predicted = StopWords.foldRight(lit(null).cast("string")) {
+        case ((lang, _), elseCol) =>
+          when(col(s"score_$lang") === col("best"), lang).otherwise(elseCol)
+      }
+      val cm = df.select(col("lang"), predicted.as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      val rowT = cm.groupBy("lang").agg(sum(col("n")).as("n_true"))
+      val colT = cm.groupBy("predicted").agg(sum(col("n")).as("n_pred"))
+      val diag = cm.filter(col("lang") === col("predicted"))
+        .select(col("lang"), col("n").as("n_correct"))
+      rowT
+        .join(colT.withColumnRenamed("predicted", "lang"), Seq("lang"), "left")
+        .join(diag, Seq("lang"), "left")
+        .select(col("lang"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+        .withColumn("precision_ppm",
+          expr("(n_correct * 1000000) div greatest(n_pred, 1)"))
+        .withColumn("recall_ppm",
+          expr("(n_correct * 1000000) div greatest(n_true, 1)"))
+        .withColumn("f1_ppm",
+          expr("(2 * precision_ppm * recall_ppm) div greatest(precision_ppm + recall_ppm, 1)"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126, q137,
-    q158, q169)
+    q158, q169, q170)
 }
