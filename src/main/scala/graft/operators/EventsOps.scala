@@ -837,6 +837,51 @@ object EventsOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** q173: conversion-latency distribution — time from a user's FIRST
+    * view to their first subsequent purchase, summarized per user
+    * segment as count, exact total, and interpolated p50/p90 (q68's
+    * proven cross-engine percentile convention). The product-analytics
+    * complement to q120's stage funnel: not "how many convert" but "how
+    * long conversion takes". Lags are integer microseconds on both
+    * engines (ns→µs truncation is identical — the q149 contract).
+    *
+    * Scale posture: two conditional MIN aggregates per user (map-side
+    * combined) and a user-key join; the percentile pass runs over the
+    * per-user lag frame, bounded by the user population, never raw
+    * events. */
+  val q173 = QueryDef(
+    "q173_conversion_latency",
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN t1 ON t1.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > t1.t1 GROUP BY 1),
+      |lg AS (SELECT t1.user_id, epoch_us(t3.t3) - epoch_us(t1.t1) AS lag_us
+      |       FROM t1 JOIN t3 ON t3.user_id = t1.user_id)
+      |SELECT CAST(user_id % 3 AS BIGINT) AS segment,
+      |  COUNT(*) AS n_converted,
+      |  CAST(SUM(lag_us) AS BIGINT) AS total_lag_us,
+      |  quantile_cont(lag_us, 0.5) AS p50_us,
+      |  quantile_cont(lag_us, 0.9) AS p90_us
+      |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    t1.join(t3, Seq("user_id"))
+      .select(col("user_id"),
+        (expr("unix_micros(t3)") - expr("unix_micros(t1)")).as("lag_us"))
+      .groupBy((col("user_id") % 3).as("segment"))
+      .agg(count(lit(1)).as("n_converted"),
+        sum(col("lag_us")).as("total_lag_us"),
+        expr("percentile(lag_us, 0.5)").as("p50_us"),
+        expr("percentile(lag_us, 0.9)").as("p90_us"))
+      .orderBy("segment")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155, q163, q167, q171)
+    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173)
 }

@@ -616,6 +616,56 @@ object TextAnalysis {
     }
   }
 
+  /** q172: TF-IDF keyword extraction — the top-5 most characteristic
+    * tokens per language: within-language term frequency × the log-free
+    * idf (N − df + 0.5)/(df + 0.5) (q101's variant — no libm, one IEEE
+    * multiply and divide per token, so scores are bit-identical across
+    * engines). "What is slice X actually about" is the first question
+    * asked of any new corpus source.
+    *
+    * Scale posture: df and tf are two hash aggregates over exploded
+    * tokens (map-side combined); the scoring join is a vocab-key
+    * equi-join (no vocab broadcast hint — AQE may choose one when it is
+    * genuinely small); the rank window partitions by language over the
+    * VOCAB-sized scored frame, never the corpus — the q113 window
+    * contract. */
+  val q172 = QueryDef(
+    "q172_tfidf_keywords",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+      |  FROM documents),
+      |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+      |dfq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      |        FROM tok GROUP BY 1),
+      |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT tf.lang, tf.w, tf.tf,
+      |    CAST(tf.tf AS DOUBLE) * ((nd.n - dfq.df + 0.5) / (dfq.df + 0.5)) AS score
+      |  FROM tf JOIN dfq ON dfq.w = tf.w CROSS JOIN nd),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY score DESC, w) AS rk FROM scored)
+      |SELECT lang, CAST(rk AS INT) AS rk, w,
+      |  CAST(tf AS BIGINT) AS n_occurrences, score
+      |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+    val nd = tok.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+    val dfq = tok.groupBy("w").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val tf = tok.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(dfq, Seq("w")).crossJoin(broadcast(nd))
+      .select(col("lang"), col("w"), col("tf"),
+        (col("tf").cast("double")
+          * ((col("n") - col("df") + 0.5) / (col("df") + 0.5))).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("score").desc, col("w"))).cast("int"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("w"),
+        col("tf").cast("long").as("n_occurrences"), col("score"))
+      .orderBy("lang", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(q42, q43, q44, q45, q80, q94, q103, q118, q126, q137,
-    q158, q169, q170)
+    q158, q169, q170, q172)
 }
