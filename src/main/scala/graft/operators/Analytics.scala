@@ -382,6 +382,50 @@ object Analytics {
       .orderBy("bal_bucket")
   }
 
+  /** q175: the full six-table star with the local-supplier twist (the
+    * TPC-H Q5 shape): discounted revenue per region counting only line
+    * items whose SUPPLIER sits in the same nation as the ordering
+    * customer. The one query that exercises the whole star at once —
+    * two independent dimension arms (customer→nation→region and
+    * supplier→nation) meeting in an equality on the nation key.
+    *
+    * Scale posture: lineitem joins orders on the order key and customer
+    * on the customer key — both shuffle equi-joins (customer GROWS with
+    * scale and is deliberately NOT hinted; AQE may still broadcast it
+    * when genuinely small). supplier/nation/region are the bounded
+    * broadcast dims (q11's contract / Tables.broadcastDims). The
+    * local-supplier restriction is a post-join equality filter on two
+    * already-attached nation keys — no extra shuffle. Revenue folds in
+    * exact decimals (q01's money convention). */
+  val q175 = QueryDef(
+    "q175_star_local_supplier",
+    """SELECT r_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE s_nationkey = c_nationkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        out(sum(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount")))), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q175)
 }

@@ -726,5 +726,52 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135)
+  /** q174: embedding hygiene audit — per-vector dimension count,
+    * zero-component count, exact-decimal self-norm, and Tukey-fence
+    * outlier flags (is_zero / is_low / is_high) against the corpus's
+    * norm distribution. Broken embeddings (zero vectors, truncated dims,
+    * degenerate norms) silently poison every ANN/dedup path downstream —
+    * this is the pre-index gate that catches them. Norms fold in exact
+    * decimal (the q50 parity convention); the fences are interpolated
+    * quartiles over the per-vector frame (q129's box-plot rule) applied
+    * with identical IEEE expressions on both engines.
+    *
+    * Scale posture: one per-component hash aggregate for norms (map-side
+    * combined on vec_id), per-vector expression work for dims/zeros, and
+    * a 1-row quartile broadcast — nothing corpus-sized crosses the
+    * network twice. */
+  val q174 = QueryDef(
+    "q174_embedding_hygiene",
+    s"""WITH n AS ($normedSql),
+       |d AS (SELECT vec_id, len(v) AS dims,
+       |        len(list_filter(v, x -> x = 0)) AS n_zero_components,
+       |        CAST(nrm AS DOUBLE) AS norm_sq FROM n),
+       |f AS (SELECT quantile_cont(norm_sq, 0.25) AS p25,
+       |             quantile_cont(norm_sq, 0.75) AS p75 FROM d)
+       |SELECT vec_id, CAST(dims AS BIGINT) AS dims,
+       |  CAST(n_zero_components AS BIGINT) AS n_zero_components, norm_sq,
+       |  norm_sq = 0 AS is_zero,
+       |  norm_sq < p25 - 1.5 * (p75 - p25) AS is_low,
+       |  norm_sq > p75 + 1.5 * (p75 - p25) AS is_high
+       |FROM d CROSS JOIN f ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val el = elems(s, d)
+    val norms = el.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
+    val dims = Tables.embeddings(s, d).select(col("vec_id"),
+      size(col("embedding")).cast("long").as("dims"),
+      expr("cast(size(filter(embedding, x -> x = 0)) as bigint)")
+        .as("n_zero_components"))
+    val base = dims.join(norms, Seq("vec_id"))
+      .withColumn("norm_sq", col("nrm").cast("double")).drop("nrm")
+    val fences = base.agg(
+      expr("percentile(norm_sq, 0.25)").as("p25"),
+      expr("percentile(norm_sq, 0.75)").as("p75"))
+    base.crossJoin(broadcast(fences))
+      .select(col("vec_id"), col("dims"), col("n_zero_components"), col("norm_sq"),
+        (col("norm_sq") === 0).as("is_zero"),
+        (col("norm_sq") < col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("is_low"),
+        (col("norm_sq") > col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("is_high"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174)
 }
