@@ -426,6 +426,37 @@ object Analytics {
       .orderBy("r_name")
   }
 
+  /** q177: discount-band impact — does discounting move volume? Line
+    * items bucketed by discount percentage point, each band reporting
+    * line count, exact average quantity (decimal-sum / count, emitted as
+    * the IEEE division of exact operands), and discounted revenue. The
+    * pricing-analytics staple, and a guard against "we discounted more
+    * and sold the same".
+    *
+    * Scale posture: one map-side-combinable aggregate over lineitem
+    * keyed by the tiny band domain (discounts are single percentage
+    * points); no joins, no windows. */
+  val q177 = QueryDef(
+    "q177_discount_impact",
+    """SELECT CAST(round(CAST(l_discount AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+      |    AS discount_pct,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY discount_pct""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(round(d4(col("l_discount")) * 100, 0).cast("long").as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(d2(col("l_quantity"))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_qty"),
+        out(sum(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount")))), 6)
+          .as("revenue"))
+      .orderBy("discount_pct")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q175)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q175, q177)
 }

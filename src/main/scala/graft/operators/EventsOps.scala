@@ -882,6 +882,44 @@ object EventsOps {
       .orderBy("segment")
   }
 
+  /** q176: inter-arrival statistics — per event type, the distribution
+    * of gaps between a user's consecutive events of that type: exact
+    * integer-µs count/total plus interpolated p50/p90 (q68's percentile
+    * convention). The workload-characterization primitive behind rate
+    * limits, session-gap tuning (is 30 min the right q41 cutoff?), and
+    * synthetic-load modeling.
+    *
+    * Scale posture: the lag window partitions by (user, type) — per-user
+    * activity-bounded partitions, the q41 contract — and everything
+    * downstream aggregates per type (map-side combined, |types| rows). */
+  val q176 = QueryDef(
+    "q176_interarrival_stats",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id, event_type
+      |                                          ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |  COUNT(gap_us) AS n_gaps,
+      |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+      |  quantile_cont(gap_us, 0.5) AS p50_us,
+      |  quantile_cont(gap_us, 0.9) AS p90_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("event_type"),
+        (expr("unix_micros(ts)") - expr("unix_micros(prev_ts)")).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_us"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173)
+    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176)
 }
