@@ -1094,7 +1094,49 @@ object Extras {
     }
   }
 
+  /** q178: join-key skew report — for each candidate join/aggregation
+    * key, the group-size distribution (max, p50, p99) and the max/avg
+    * skew factor in exact ppm. This is the "should I salt this join?"
+    * advisor (q58/q95 are the salting mechanisms; this is the diagnostic
+    * that tells you WHEN): a skew_ppm in the millions means one task
+    * will eat the partition at 100 TB.
+    *
+    * Scale posture: per key, ONE map-side-combinable count aggregate
+    * (the group-size frame is key-cardinality, not row-cardinality);
+    * the percentile pass runs over that frame; three keys union into a
+    * long-format report. */
+  val q178 = {
+    val keys = Seq( // (label, table, key)
+      ("events.user_id", "events", "user_id"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+    val sql = keys.map { case (label, t, k) =>
+      s"""SELECT '$label' AS key_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(MAX(c) AS BIGINT) AS max_group,
+         |  quantile_cont(c, 0.5) AS p50_group,
+         |  quantile_cont(c, 0.99) AS p99_group,
+         |  CAST((MAX(c) * COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS skew_ppm
+         |FROM (SELECT COUNT(*) AS c FROM $t GROUP BY $k)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef("q178_skew_report", sql + "\nORDER BY key_name") { (s, d) =>
+      keys.map { case (label, t, k) =>
+        val g = Tables.load(s, d, t).groupBy(k).agg(count(lit(1)).as("c"))
+        g.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_group"),
+          expr("percentile(c, 0.5)").as("p50_group"),
+          expr("percentile(c, 0.99)").as("p99_group"))
+          .select(lit(label).as("key_name"), col("n_keys"), col("n_rows"),
+            col("max_group"), col("p50_group"), col("p99_group"),
+            expr("(max_group * n_keys * 1000000) div n_rows").as("skew_ppm"))
+      }.reduce(_ unionByName _).orderBy("key_name")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
     q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159, q160,
-    q161, q162, q164, q166)
+    q161, q162, q164, q166, q178)
 }
