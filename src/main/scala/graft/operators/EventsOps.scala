@@ -920,6 +920,80 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** q179: SIXTH streaming oracle gate — the hourly per-type volume
+    * rollup computed BY THE STREAM (Complete-mode tumbling windows, the
+    * q145 machinery) and then anomaly-flagged with q171's integer-exact
+    * 3σ test, hash-compared to the batch SQL. Proves the stream's state
+    * output composes with downstream batch analytics bit-for-bit: the
+    * streamed counts ARE the batch counts, so the anomaly set is
+    * identical. Sparse-vs-dense honesty: tumbling windows only emit
+    * OBSERVED hours, so this gate intentionally scores the sparse grid
+    * (q171 keeps the dense-grid/zero-fill variant — an outage hour is
+    * invisible here and flagged there).
+    *
+    * Scale posture: streaming state is bounded by windows × types
+    * (q145's contract); the flag join is an equi-join against a
+    * |types|-row moments frame. */
+  val q179 = QueryDef(
+    "q179_streaming_anomaly_gate",
+    """WITH c AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+      |         COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+      |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |      FROM c GROUP BY 1)
+      |SELECT c.event_type, c.hour_start, c.x AS n_events
+      |FROM c JOIN m USING (event_type)
+      |WHERE (m.nh * c.x - m.sx) * (m.nh * c.x - m.sx)
+      |    > 9 * (m.nh * m.sxx - m.sx * m.sx)
+      |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
+        stageDir.toString
+      }
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts")
+    }
+    val stream = s.readStream.schema(raw.schema).parquet(streamPath)
+      .select(col("event_type"), tsCol.as("ts"))
+    val sinkName = "q179_anomaly_sink"
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = stream
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("x"))
+        .writeStream
+        .format("memory").queryName(sinkName).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // MemoryPlan is not multi-instance: a self-join of the sink table
+    // fails to resolve. localCheckpoint rebases it onto an RDD scan,
+    // which the analyzer CAN instantiate twice (moments + flag sides).
+    val c = s.table(sinkName).localCheckpoint(true)
+    val m = c.groupBy("event_type").agg(
+      count(lit(1)).as("nh"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    c.join(m, Seq("event_type"))
+      .filter((col("nh") * col("x") - col("sx")) * (col("nh") * col("x") - col("sx"))
+        > lit(9L) * (col("nh") * col("sxx") - col("sx") * col("sx")))
+      .select(col("event_type"), col("hour_start"), col("x").as("n_events"))
+      .orderBy("event_type", "hour_start")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176)
+    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176, q179)
 }
