@@ -201,12 +201,21 @@ object DedupClusters {
     * nothing broadcast); the winner per component is ONE
     * max(struct(quality, -doc_id)) hash aggregate — map-side combinable,
     * never a window over the corpus — joined back on the component key. */
+  /** q44's 3-gate quality score, shared by q156 (canonical selection) and
+    * q181 (dedup savings) — SQL and Column forms kept in lockstep. */
+  private val qualSql =
+    """(CASE WHEN length(text) BETWEEN 100 AND 500 THEN 1 ELSE 0 END
+      | + CASE WHEN len(string_split(trim(text), ' ')) >= 15 THEN 1 ELSE 0 END
+      | + CASE WHEN len(regexp_extract_all(text, '[^a-z0-9 ]')) * 10
+      |        <= len(string_split(trim(text), ' ')) THEN 1 ELSE 0 END)""".stripMargin
+
+  private def qualityCol: org.apache.spark.sql.Column =
+    when(length(col("text")).between(100, 500), 1).otherwise(0) +
+      when(size(split(trim(col("text")), " ")) >= 15, 1).otherwise(0) +
+      when(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))) * 10
+          <= size(split(trim(col("text")), " ")), 1).otherwise(0)
+
   val q156 = {
-    val qualSql =
-      """(CASE WHEN length(text) BETWEEN 100 AND 500 THEN 1 ELSE 0 END
-        | + CASE WHEN len(string_split(trim(text), ' ')) >= 15 THEN 1 ELSE 0 END
-        | + CASE WHEN len(regexp_extract_all(text, '[^a-z0-9 ]')) * 10
-        |        <= len(string_split(trim(text), ' ')) THEN 1 ELSE 0 END)""".stripMargin
     QueryDef(
       "q156_canonical_selection",
       s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
@@ -231,11 +240,7 @@ object DedupClusters {
          |FROM j JOIN best b USING (component)
          |ORDER BY component, doc_id""".stripMargin) { (s, d) =>
       val labels = components(s, d)
-      val qual = Tables.documents(s, d).select(col("doc_id"),
-        (when(length(col("text")).between(100, 500), 1).otherwise(0)
-          + when(size(split(trim(col("text")), " ")) >= 15, 1).otherwise(0)
-          + when(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))) * 10
-              <= size(split(trim(col("text")), " ")), 1).otherwise(0)).as("quality"))
+      val qual = Tables.documents(s, d).select(col("doc_id"), qualityCol.as("quality"))
       val j = labels.join(qual, Seq("doc_id"))
       val best = j.groupBy("component")
         .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("b"))
@@ -249,5 +254,82 @@ object DedupClusters {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q71, q131, q156)
+  /** q181: dedup token-savings report — THE headline number of every
+    * dedup paper ("X% of training tokens were duplicates"): total corpus
+    * tokens, tokens surviving exact dedup (keep-min-doc_id per content
+    * hash), tokens surviving near-dup canonical collapse (q156's
+    * quality-argmax keepers), and both savings in exact integer ppm.
+    * One row, computed entirely from gate-proven building blocks.
+    *
+    * Scale posture: token counts are per-doc expression work; exact-dup
+    * keepers are one digest-keyed aggregate (q46's shape); near-dup
+    * removals join the component labels (candidate-bounded) against the
+    * per-doc token frame on doc_id. Output is single-row scalars. */
+  val q181 = QueryDef(
+    "q181_dedup_savings",
+    s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
+       |pairs AS (SELECT doc_a, doc_b FROM verified),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |closure(a, b) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT c.a, e.t FROM closure c JOIN edges e ON e.s = c.b),
+       |comp AS (
+       |  SELECT a AS doc_id, least(min(b), a) AS component
+       |  FROM closure GROUP BY a),
+       |q AS (SELECT doc_id, $qualSql AS quality FROM documents),
+       |j AS (SELECT c.doc_id, c.component, q.quality
+       |      FROM comp c JOIN q USING (doc_id)),
+       |best AS (SELECT component, max(struct_pack(q := quality, nd := -doc_id)) AS b
+       |         FROM j GROUP BY component),
+       |noncanon AS (SELECT j.doc_id FROM j JOIN best b USING (component)
+       |             WHERE j.doc_id <> -(b.b).nd),
+       |tok AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS nt,
+       |          md5(trim(text)) AS dg FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(nt) AS BIGINT) AS total FROM tok),
+       |ex AS (SELECT CAST(SUM(t2.nt) AS BIGINT) AS kept
+       |       FROM (SELECT MIN(doc_id) AS k FROM tok GROUP BY dg) kk
+       |       JOIN tok t2 ON t2.doc_id = kk.k),
+       |nd AS (SELECT CAST(COALESCE(SUM(t3.nt), 0) AS BIGINT) AS removed
+       |       FROM noncanon nc JOIN tok t3 ON t3.doc_id = nc.doc_id)
+       |SELECT tot.n_docs, tot.total AS total_tokens,
+       |  ex.kept AS tokens_after_exact,
+       |  tot.total - nd.removed AS tokens_after_neardup,
+       |  CAST(((tot.total - ex.kept) * 1000000) // greatest(tot.total, 1)
+       |    AS BIGINT) AS exact_savings_ppm,
+       |  CAST((nd.removed * 1000000) // greatest(tot.total, 1) AS BIGINT)
+       |    AS neardup_savings_ppm
+       |FROM tot CROSS JOIN ex CROSS JOIN nd""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("nt"),
+      md5(trim(col("text"))).as("dg"))
+    val tot = tok.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total"))
+    val keepers = tok.groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
+      .join(tok.select("doc_id", "nt"), Seq("doc_id"))
+      .agg(sum(col("nt")).as("kept"))
+    val labels = components(s, d)
+    val qual = Tables.documents(s, d).select(col("doc_id"), qualityCol.as("quality"))
+    val j = labels.join(qual, Seq("doc_id"))
+    val best = j.groupBy("component")
+      .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("component"), (-col("b").getField("nd")).as("canonical_id"))
+    val removed = j.join(best, Seq("component"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .join(tok.select("doc_id", "nt"), Seq("doc_id"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("removed"))
+    tot.crossJoin(broadcast(keepers)).crossJoin(broadcast(removed))
+      .select(col("n_docs"), col("total").as("total_tokens"),
+        col("kept").as("tokens_after_exact"),
+        (col("total") - col("removed")).as("tokens_after_neardup"),
+        expr("((total_tokens - tokens_after_exact) * 1000000) div greatest(total_tokens, 1)")
+          .as("exact_savings_ppm"),
+        expr("(removed * 1000000) div greatest(total_tokens, 1)")
+          .as("neardup_savings_ppm"))
+      .select("n_docs", "total_tokens", "tokens_after_exact", "tokens_after_neardup",
+        "exact_savings_ppm", "neardup_savings_ppm")
+  }
+
+  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181)
 }

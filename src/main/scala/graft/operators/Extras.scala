@@ -1136,7 +1136,59 @@ object Extras {
     }
   }
 
+  /** q180: Pareto concentration — how many customers carry 80% of
+    * revenue, and what share the top decile takes. q140's Gini gives the
+    * single-number inequality; this gives the operational cut ("talk to
+    * these N accounts"). Exact integer cents throughout; the 80% line is
+    * the cross-multiplication 5·cum ≥ 4·total, never a float percent.
+    *
+    * Scale posture: the fact collapses to the customer revenue rollup
+    * (one map-side aggregate); the ranked cumulative runs over that
+    * bounded rollup (the q140 window contract); output is one row. */
+  val q180 = QueryDef(
+    "q180_pareto_concentration",
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT o_custkey, cents,
+      |        SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk
+      |      FROM rev),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total, COUNT(*) AS n FROM rev)
+      |SELECT t.n AS n_customers, t.total AS total_cents,
+      |  CAST(MIN(CASE WHEN 5 * r.cum >= 4 * t.total THEN r.rk END) AS BIGINT)
+      |    AS n_for_80pct,
+      |  CAST(MIN(CASE WHEN 5 * r.cum >= 4 * t.total THEN r.rk END) * 1000000 // t.n
+      |    AS BIGINT) AS share_for_80pct_ppm,
+      |  CAST((SUM(CASE WHEN r.rk <= t.n // 10 THEN r.cents ELSE 0 END) * 1000000)
+      |    // t.total AS BIGINT) AS top_decile_share_ppm
+      |FROM r CROSS JOIN t GROUP BY t.n, t.total""".stripMargin) { (s, d) =>
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+        .as("cents"))
+    val wCum = Window.orderBy(col("cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wRk = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val r = rev
+      .withColumn("cum", sum(col("cents")).over(wCum))
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+    val t = rev.agg(sum(col("cents")).as("total"), count(lit(1)).as("n"))
+    r.crossJoin(broadcast(t))
+      .groupBy("n", "total")
+      .agg(
+        min(when(expr("5 * cum >= 4 * total"), col("rk"))).as("n_for_80pct"),
+        sum(when(expr("rk <= n div 10"), col("cents")).otherwise(0L)).as("top_cents"))
+      .select(col("n").as("n_customers"), col("total").as("total_cents"),
+        col("n_for_80pct"),
+        expr("n_for_80pct * 1000000 div n").as("share_for_80pct_ppm"),
+        expr("(top_cents * 1000000) div total").as("top_decile_share_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
     q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159, q160,
-    q161, q162, q164, q166, q178)
+    q161, q162, q164, q166, q178, q180)
 }
