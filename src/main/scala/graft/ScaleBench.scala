@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * constant-factor noise included); anything super-linear is a plan bug. */
 object ScaleBench {
 
-  private val Replicas = 10
+  /** Replication factor — default 10 (the per-round artifact);
+    * SPARK_GRAFT_SCALE_REPLICAS=100 builds the 100× probe (pair with a
+    * distinct out dir + artifact; the _READY stamp keys on the factor, so
+    * differently-scaled replicas never cross-contaminate). */
+  private val Replicas =
+    sys.env.get("SPARK_GRAFT_SCALE_REPLICAS").map(_.toInt).getOrElse(10)
 
   private def salted(textCol: String, k: Int) = {
     // insert a per-replica token every 4 words: breaks ~3/4 of the
