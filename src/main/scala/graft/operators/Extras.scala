@@ -1188,7 +1188,49 @@ object Extras {
         expr("(top_cents * 1000000) div total").as("top_decile_share_ppm"))
   }
 
+  /** q182: single-source supply risk — parts whose entire order volume
+    * flows through ONE supplier, and the share of total spend exposed to
+    * them. The supply-chain audit every procurement review starts with;
+    * the one-row rollup is the dashboard number, the exposure share is
+    * exact integer ppm on cents.
+    *
+    * Scale posture: one map-side-combinable aggregate over lineitem
+    * keyed by part (distinct-supplier count + spend per part), then a
+    * single-row conditional rollup — no joins, no windows. */
+  val q182 = QueryDef(
+    "q182_single_source_risk",
+    """WITH sp AS (
+      |  SELECT l_partkey,
+      |    COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS spend_c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_single_source,
+      |  CAST(SUM(spend_c) AS BIGINT) AS total_spend_c,
+      |  CAST(SUM(CASE WHEN n_suppliers = 1 THEN spend_c ELSE 0 END) AS BIGINT)
+      |    AS spend_at_risk_c,
+      |  CAST((SUM(CASE WHEN n_suppliers = 1 THEN spend_c ELSE 0 END) * 1000000)
+      |    // greatest(SUM(spend_c), 1) AS BIGINT) AS risk_share_ppm
+      |FROM sp""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
+          .as("spend_c"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("n_suppliers") === 1, 1L).otherwise(0L)).as("n_single_source"),
+        sum(col("spend_c")).as("total_spend_c"),
+        sum(when(col("n_suppliers") === 1, col("spend_c")).otherwise(0L))
+          .as("spend_at_risk_c"))
+      .select(col("n_parts"), col("n_single_source"), col("total_spend_c"),
+        col("spend_at_risk_c"),
+        expr("(spend_at_risk_c * 1000000) div greatest(total_spend_c, 1)")
+          .as("risk_share_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q66, q67, q68, q77, q78, q83, q85, q86, q100, q106, q108,
     q123, q127, q128, q129, q133, q134, q140, q141, q143, q144, q146, q154, q159, q160,
-    q161, q162, q164, q166, q178, q180)
+    q161, q162, q164, q166, q178, q180, q182)
 }
