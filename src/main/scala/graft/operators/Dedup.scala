@@ -166,28 +166,60 @@ object Dedup {
   // Inputs are immutable driver-generated parquet, so no invalidation
   // beyond session lifetime is needed.
   private val lshPairsMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, MemoEntry]]()
+
+  /** A memoized frame plus the storage it pinned: the RDD ids that
+    * [[buildLshVerifiedPairs]]'s caches and localCheckpoint registered,
+    * captured so [[releaseLshCache]] can unpersist exactly those blocks
+    * (a localCheckpointed Dataset exposes no unpersist of its own). */
+  private[graft] final case class MemoEntry(df: DataFrame, rddIds: Set[Int])
+
+  /** Run `build` and record which persistent RDDs it newly registered.
+    * Memo builds are serialized under the memo lock, so the before/after
+    * diff attributes blocks to this build alone. */
+  private[graft] def trackedBuild(s: SparkSession, build: => DataFrame): MemoEntry = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val df = build
+    MemoEntry(df, (s.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+  }
 
   private[graft] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
     lshPairsMemo.synchronized {
       val perDir = {
         val cur = lshPairsMemo.get(s)
         if (cur != null) cur
-        else { val m = scala.collection.mutable.Map[String, DataFrame]();
+        else { val m = scala.collection.mutable.Map[String, MemoEntry]();
                lshPairsMemo.put(s, m); m }
       }
-      perDir.getOrElseUpdate(d, buildLshVerifiedPairs(s, d))
+      perDir.getOrElseUpdate(d,
+        trackedBuild(s, buildLshVerifiedPairs(s, d))).df
     }
 
-  /** Drop memoized pair frames for `dir` (all sessions). Call after
-    * rewriting the parquet under a previously-read directory — the memo
-    * otherwise assumes driver-generated inputs are immutable and would
-    * serve pairs computed from the old files. */
-  private[graft] def invalidateLshCache(dir: String): Unit =
+  /** Drop memoized pair frames for `dir` (all sessions) AND unpersist the
+    * executor storage they pinned (shingle/minhash caches + the
+    * checkpointed pair blocks). Call after rewriting the parquet under a
+    * previously-read directory — the memo otherwise assumes
+    * driver-generated inputs are immutable and would serve pairs computed
+    * from the old files — or from a long-lived service session that is
+    * done with a corpus (the blocks otherwise live for the session). */
+  private[graft] def releaseLshCache(dir: String): Unit =
     lshPairsMemo.synchronized {
       import scala.jdk.CollectionConverters._
-      lshPairsMemo.values.asScala.foreach(_.remove(dir))
+      for (perDir <- lshPairsMemo.values.asScala; e <- perDir.remove(dir);
+           sc = e.df.sparkSession.sparkContext; id <- e.rddIds)
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true))
     }
+
+  /** Release every memoized corpus (the session-shutdown hygiene hook). */
+  private[graft] def clearLshCache(): Unit =
+    lshPairsMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      lshPairsMemo.values.asScala.flatMap(_.keys).toSet[String]
+        .foreach(releaseLshCache)
+    }
+
+  private[graft] def invalidateLshCache(dir: String): Unit = releaseLshCache(dir)
 
   /** (doc_id, band, bv) band keys of a signature frame carrying h0..h15. */
   private def bandsOf(sig: DataFrame): DataFrame =

@@ -24,7 +24,7 @@ object Extras {
   private val graphMemo = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
     scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
-                                          org.apache.spark.sql.DataFrame)]]()
+                                          org.apache.spark.sql.DataFrame, Set[Int])]]()
 
   private def copurchase(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
@@ -34,18 +34,43 @@ object Extras {
         if (cur != null) cur
         else {
           val m = scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
-                                                        org.apache.spark.sql.DataFrame)]()
+                                                        org.apache.spark.sql.DataFrame, Set[Int])]()
           graphMemo.put(s, m); m
         }
       }
-      perDir.getOrElseUpdate(d, {
+      val (items, edges, _) = perDir.getOrElseUpdate(d, {
+        // record which persistent RDDs this build registers so
+        // releaseGraphMemo can unpersist exactly those blocks (builds are
+        // serialized under the memo lock, so the diff is attributable)
+        val before = s.sparkContext.getPersistentRDDs.keySet
         val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
           .distinct().localCheckpoint(true)
         val edges = items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
           .filter(col("u") < col("v")).select("u", "v").distinct()
           .localCheckpoint(true)
-        (items, edges)
+        (items, edges, (s.sparkContext.getPersistentRDDs.keySet -- before).toSet)
       })
+      (items, edges)
+    }
+
+  /** Drop the memoized co-purchase graph for `dir` (all sessions) and
+    * unpersist its checkpointed blocks — the lifecycle hook a long-lived
+    * service session calls when done with a corpus; without it the edge
+    * list lives in executor storage for the session lifetime. */
+  private[graft] def releaseGraphMemo(dir: String): Unit =
+    graphMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      for (perDir <- graphMemo.values.asScala; (items, _, ids) <- perDir.remove(dir);
+           sc = items.sparkSession.sparkContext; id <- ids)
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true))
+    }
+
+  /** Release every memoized corpus graph (session-shutdown hygiene). */
+  private[graft] def clearGraphMemo(): Unit =
+    graphMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      graphMemo.values.asScala.flatMap(_.keys).toSet[String]
+        .foreach(releaseGraphMemo)
     }
 
   /** Explicit ROWS BETWEEN frame: 4-event moving average per user.

@@ -31,15 +31,14 @@ object Windows {
   private[graft] def windowlessRankDesc(df: org.apache.spark.sql.DataFrame,
                                  valueCol: String, rankName: String): org.apache.spark.sql.DataFrame = {
     // Run the upstream aggregation EXACTLY ONCE: limit(max+1).collect()
-    // bounds driver memory (the guard trips before anything larger lands),
-    // and the collected histogram becomes a local (value, rank) relation —
-    // no cache entry to leak, no upstream recompute.
+    // bounds driver memory (histograms above the ceiling take the fully
+    // distributed path below instead), and the collected histogram becomes
+    // a local (value, rank) relation — no cache entry to leak, no upstream
+    // recompute.
     val agg = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
     val rows = agg.limit(MaxRankDistinct.toInt + 1).collect()
-    require(rows.length <= MaxRankDistinct,
-      s"windowlessRankDesc: over $MaxRankDistinct distinct values of " +
-        s"$valueCol; rank inputs must be pre-aggregated or " +
-        "pre-thresholded (the histogram is collected to the driver)")
+    if (rows.length > MaxRankDistinct)
+      return distributedRankDesc(agg, valueCol, rankName)
     // every orderable Spark value type (numeric, string, date/timestamp,
     // decimal) surfaces as Comparable; sort descending, then rank(v) =
     // 1 + Σ counts of strictly greater values = the running prefix sum
@@ -58,6 +57,37 @@ object Windows {
         rankName, org.apache.spark.sql.types.LongType, nullable = false)))
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(ranked: _*), schema)
+  }
+
+  /** Fully distributed DESC rank over a distinct-value histogram — the
+    * q151 two-level prefix-sum shape, with range repartitioning supplying
+    * the ordered buckets: partitions are value-ordered by construction, so
+    * rank(v) = 1 + (sum of counts in strictly-greater partitions) +
+    * (running count of strictly-greater values within the partition).
+    * No global-sort window, no driver histogram — the only small frame is
+    * one row per range partition. Partition BOUNDARIES come from range-
+    * exchange sampling and may vary run to run; ranks never do (they are
+    * functions of values and counts alone, not of which bucket a value
+    * landed in). */
+  private[graft] def distributedRankDesc(agg: org.apache.spark.sql.DataFrame,
+                                 valueCol: String, rankName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = agg
+      .repartitionByRange(256, col(valueCol).desc)
+      .withColumn("__b", spark_partition_id())
+    // level 1: per-bucket totals (≤ 256 rows)
+    val bucketSums = buckets.groupBy("__b").agg(sum(col("__cnt")).as("__bw"))
+    // level 2: exclusive prefix over the tiny bucket frame only
+    val offsets = bucketSums.withColumn("__off",
+      coalesce(sum(col("__bw")).over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    buckets
+      .join(broadcast(offsets.select(col("__b"), col("__off"))), Seq("__b"))
+      .withColumn(rankName,
+        lit(1L) + col("__off") + coalesce(sum(col("__cnt")).over(
+          Window.partitionBy("__b").orderBy(col(valueCol).desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(valueCol), col(rankName))
   }
 
   /** §2.5 W1 — ROW_NUMBER dedupe, keep rn=1 (reference All-Tasks-of-SQL

@@ -22,10 +22,31 @@ class GuardsSpec extends SparkSpec {
     val ranks = Windows.windowlessRankDesc(small, "v", "r")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     ranks shouldBe Map(5 -> 1L, 3 -> 3L, 1 -> 4L)
+  }
 
-    val unreduced = spark.range(Windows.MaxRankDistinct + 1).toDF("v")
-    an[IllegalArgumentException] should be thrownBy
-      Windows.windowlessRankDesc(unreduced, "v", "r")
+  test("windowlessRankDesc falls back to the distributed prefix-sum above the ceiling") {
+    // MaxRankDistinct+1 distinct values: the driver histogram path must
+    // refuse to collect this, and the range-partitioned two-level
+    // prefix-sum must take over with identical rank semantics
+    val n = Windows.MaxRankDistinct + 1
+    val big = spark.range(n).toDF("v")
+    val ranked = Windows.windowlessRankDesc(big, "v", "r")
+    // value v has (n - 1 - v) strictly-greater values → rank n - v
+    val probe = ranked.filter(col("v").isin(0L, 12345L, n - 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probe shouldBe Map(0L -> n, 12345L -> (n - 12345L), (n - 1) -> 1L)
+    ranked.count() shouldBe n
+  }
+
+  test("distributedRankDesc matches the local histogram path exactly (ties included)") {
+    val df = spark.range(2000).toDF("x")
+      .select((col("x") % 700).as("v")) // 700 distinct values with uneven tie counts
+    val local = Windows.windowlessRankDesc(df, "v", "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = df.groupBy(col("v")).agg(count(lit(1)).as("__cnt"))
+    val dist = Windows.distributedRankDesc(agg, "v", "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist shouldBe local
   }
 
   test("q97 drops oversized prefix blocks instead of going quadratic on them") {

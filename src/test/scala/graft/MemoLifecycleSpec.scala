@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{Dedup, Extras}
+
+/** Memo lifecycle (VERDICT r5 #6): the localCheckpoint blocks behind the
+  * LSH pair memo and the co-purchase graph memo must be releasable — a
+  * long-lived service session otherwise accretes executor storage per
+  * corpus it ever touched. Release must drop storage back to the
+  * pre-build baseline AND a rebuild after release must still work. */
+class MemoLifecycleSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.filter(_._2.getStorageLevel.isValid)
+      .keySet.toSet
+
+  test("releaseLshCache unpersists the pair memo's blocks back to baseline") {
+    Dedup.clearLshCache() // isolate from suites that already built the memo
+    val baseline = persistedIds
+    val n1 = Dedup.lshVerifiedPairs(spark, sf).count()
+    (persistedIds -- baseline) should not be empty
+    Dedup.releaseLshCache(sf)
+    (persistedIds -- baseline) shouldBe empty
+    // rebuild after release still answers, repinning storage
+    Dedup.lshVerifiedPairs(spark, sf).count() shouldBe n1
+    Dedup.releaseLshCache(sf)
+    (persistedIds -- baseline) shouldBe empty
+  }
+
+  test("releaseGraphMemo unpersists the co-purchase graph blocks back to baseline") {
+    Extras.clearGraphMemo()
+    val baseline = persistedIds
+    val n1 = Extras.q154.build(spark, sf).count()
+    (persistedIds -- baseline) should not be empty
+    Extras.releaseGraphMemo(sf)
+    (persistedIds -- baseline) shouldBe empty
+    Extras.q154.build(spark, sf).count() shouldBe n1
+    Extras.releaseGraphMemo(sf)
+    (persistedIds -- baseline) shouldBe empty
+  }
+}
