@@ -994,6 +994,108 @@ object EventsOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** q183: SEVENTH streaming oracle gate — LATE DATA vs the WATERMARK,
+    * the semantics none of the six replay gates exercise (they deliver
+    * bounded in-order files, so the watermark never drops anything).
+    * The events table is split into three files replayed as separate
+    * micro-batches (`maxFilesPerTrigger=1`, modTimes force the order):
+    *
+    *  1. on-time rows — everything except the late set, INCLUDING the
+    *     global max timestamp M, so the watermark advances to exactly
+    *     M − 2h (the `withWatermark` delay) when this batch commits;
+    *  2. a 1-row `__spacer` sentinel at ts = M — its batch runs with
+    *     eviction watermark M − 2h, so every window ending ≤ M − 2h is
+    *     finalized and emitted HERE. The spacer exists because Spark's
+    *     late-event filter lags one batch behind eviction (SPARK-24634:
+    *     late events are judged against the PREVIOUS batch's watermark,
+    *     so state never resurrects an emitted window) — without it the
+    *     late rows would arrive while the filter still sits at −∞ and
+    *     be absorbed instead of dropped;
+    *  3. the late set — `event_id % 7 = 0 AND ts < M − 4h`: every row's
+    *     1-hour window ended ≤ M − 3h, an hour below BOTH watermark
+    *     readings, and the window was already emitted in batch 2 — so
+    *     Spark MUST drop all of them, deterministically, regardless of
+    *     whether its filter compares event time or window end, `<` or
+    *     `≤`;
+    *  4. a single `__flush` sentinel at M + 10h — drives the final
+    *     watermark to M + 8h, past every real window end, so the
+    *     closing no-data batch emits the remaining windows.
+    *
+    * Sentinel types are filtered from the sink batch-side; the real
+    * windows carry on-time contributions only. The oracle applies the
+    * same watermark rule as a plain SQL filter: drop exactly
+    * `event_id % 7 = 0 AND ts < max(ts) − 4h`. A hash-match therefore
+    * proves both directions: every late row was dropped AND no on-time
+    * row was (the dropped-row count is the deterministic complement of
+    * the surviving `n_events` sum).
+    *
+    * Scale posture: state is windows × types (q145's contract); late
+    * rows cost one filter evaluation and never touch state — exactly
+    * the behavior that bounds a production stream's state under
+    * out-of-order arrival. */
+  val q183 = QueryDef(
+    "q183_streaming_late_gate",
+    """WITH m AS (SELECT max(ts) AS mts FROM events),
+      |surv AS (
+      |  SELECT e.* FROM events e, m
+      |  WHERE NOT (e.event_id % 7 = 0 AND e.ts < m.mts - INTERVAL 4 HOUR))
+      |SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM surv GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val mMicros = ev.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val hourUs = 3600L * 1000000L
+    val isLate = col("event_id") % 7 === 0 &&
+      expr("unix_micros(ts)") < mMicros - 4 * hourUs
+    def sentinel(name: String, tsMicros: Long) = s.range(1).select(
+      lit(-1L).as("event_id"), timestamp_micros(lit(tsMicros)).as("ts"),
+      lit(-1L).as("user_id"), lit(name).as("event_type"),
+      lit(0.0).as("value"))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, modSec: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-late-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = streamDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+      ()
+    }
+    stage("a_ontime", ev.filter(!isLate), 0)
+    stage("b_spacer", sentinel("__spacer", mMicros), 10)
+    stage("c_late", ev.filter(isLate), 20)
+    stage("d_flush", sentinel("__flush", mMicros + 10 * hourUs), 30)
+
+    val sinkName = "q183_late_sink"
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withWatermark("ts", "2 hours")
+      // group by the window STRUCT (not .getField("start") as in the
+      // Complete-mode gates): append mode requires the watermark-tagged
+      // event-time window column in the grouping key
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .filter(!col("event_type").isin("__spacer", "__flush"))
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy("hour_start", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176, q179)
+    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176, q179, q183)
 }
