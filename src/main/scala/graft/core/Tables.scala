@@ -29,17 +29,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses as a
-    * timestamp; with `spark.sql.legacy.parquet.nanosAsLong=true` it reads
-    * as nanos-since-epoch LONG. Convert to micros with integer division
-    * (truncation — exactly how DuckDB narrows ns→us). */
+  /** `events.ts` arrives in whatever encoding the generator last used, so we
+    * normalize every historical variant to session-zone TIMESTAMP:
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses it as a timestamp; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it reads as
+    *    nanos-since-epoch LONG. Convert to micros with integer division
+    *    (truncation — exactly how DuckDB narrows ns→us).
+    *  - parquet timestamp[us] without tz: reads as TIMESTAMP_NTZ, which
+    *    `unix_micros` and `withWatermark` reject. The session tz is pinned
+    *    UTC, so a plain cast to TIMESTAMP reinterprets the micros losslessly
+    *    and keeps the DuckDB oracle's naive timestamps hash-identical.
+    *  - plain TIMESTAMP: passthrough. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => df
+    df.withColumn("ts", tsAsTimestamp(df.schema("ts").dataType))
+  }
+
+  /** Column expression rendering a raw `ts` column (any of the historical
+    * encodings [[events]] documents) as session-zone TIMESTAMP. Exposed for
+    * call sites that must read `events.parquet` directly — the streaming
+    * file-source gates — so their normalization can't drift from the batch
+    * loader's. */
+  def tsAsTimestamp(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType         => timestamp_micros(expr("ts div 1000")) // nanos → micros
+      case TimestampNTZType => col("ts").cast(TimestampType) // UTC session tz: lossless
+      case _                => col("ts")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -246,10 +246,7 @@ object EventsOps {
         stageDir.toString
       }
     val stream = s.readStream.schema(raw.schema).parquet(streamPath)
-    val tsMicros = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000") // nanos → micros
-      case _ => expr("unix_micros(ts)")
-    }
+    val tsMicros = unix_micros(Tables.tsAsTimestamp(raw.schema("ts").dataType))
     val typed = stream
       .select(col("user_id"), tsMicros.as("ts"), col("event_type"))
       .as[EventStream.TypedEvent]
@@ -410,10 +407,7 @@ object EventsOps {
         java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
         stageDir.toString
       }
-    val tsCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
-      case _ => col("ts")
-    }
+    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
     val sinkName = "q145_hourly_sink"
     s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
     try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
@@ -514,10 +508,7 @@ object EventsOps {
         java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
         stageDir.toString
       }
-    val tsCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
-      case _ => col("ts")
-    }
+    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
     def side(tp: String, userAs: String, tsAs: String) =
       s.readStream.schema(raw.schema).parquet(streamPath)
         .filter(col("event_type") === tp)
@@ -749,11 +740,7 @@ object EventsOps {
         java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
         stageDir.toString
       }
-    val tsCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        expr("timestamp_micros(ts div 1000)") // nanos → micros
-      case _ => col("ts")
-    }
+    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
     val stream = s.readStream.schema(raw.schema).parquet(streamPath)
       .select(col("user_id"), tsCol.as("ts"), col("value"))
     val sinkName = "q167_session_sink"
@@ -957,11 +944,7 @@ object EventsOps {
         java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
         stageDir.toString
       }
-    val tsCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        expr("timestamp_micros(ts div 1000)")
-      case _ => col("ts")
-    }
+    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
     val stream = s.readStream.schema(raw.schema).parquet(streamPath)
       .select(col("event_type"), tsCol.as("ts"))
     val sinkName = "q179_anomaly_sink"
@@ -1055,45 +1038,61 @@ object EventsOps {
       lit(0.0).as("value"))
 
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-late")
-    def stage(name: String, df: org.apache.spark.sql.DataFrame, modSec: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-late-$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dst = streamDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+      java.nio.file.Files.deleteIfExists(p)
       ()
     }
-    stage("a_ontime", ev.filter(!isLate), 0)
-    stage("b_spacer", sentinel("__spacer", mMicros), 10)
-    stage("c_late", ev.filter(isLate), 20)
-    stage("d_flush", sentinel("__flush", mMicros + 10 * hourUs), 30)
-
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, modSec: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-late-$name")
+      try {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = streamDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+        ()
+      } finally rmTree(tmp)
+    }
     val sinkName = "q183_late_sink"
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val q = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      .withWatermark("ts", "2 hours")
-      // group by the window STRUCT (not .getField("start") as in the
-      // Complete-mode gates): append mode requires the watermark-tagged
-      // event-time window column in the grouping key
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n_events"), col("value_sum"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sinkName)
-      .filter(!col("event_type").isin("__spacer", "__flush"))
-      .select(col("hour_start"), col("event_type"), col("n_events"),
-        col("value_sum").cast("double").as("value_sum"))
-      .orderBy("hour_start", "event_type")
+    try {
+      stage("a_ontime", ev.filter(!isLate), 0)
+      stage("b_spacer", sentinel("__spacer", mMicros), 10)
+      stage("c_late", ev.filter(isLate), 20)
+      stage("d_flush", sentinel("__flush", mMicros + 10 * hourUs), 30)
+
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withWatermark("ts", "2 hours")
+        // group by the window STRUCT (not .getField("start") as in the
+        // Complete-mode gates): append mode requires the watermark-tagged
+        // event-time window column in the grouping key
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("value_sum"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // localCheckpoint detaches the result from the memory sink, so the
+      // view and the staged files can be torn down before the caller
+      // evaluates it — repeated verify/bench runs leave /tmp flat.
+      s.table(sinkName).localCheckpoint(true)
+        .filter(!col("event_type").isin("__spacer", "__flush"))
+        .select(col("hour_start"), col("event_type"), col("n_events"),
+          col("value_sum").cast("double").as("value_sum"))
+        .orderBy("hour_start", "event_type")
+    } finally {
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      rmTree(streamDir)
+    }
   }
 
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,

@@ -51,24 +51,65 @@ final class TableStore(spark: SparkSession, root: String) {
   // wins; the loser gets ConcurrentWriteException before touching disk,
   // and a writer holding a stale snapshot always conflicts (the version
   // it targets was necessarily claimed by whoever advanced the chain).
-  // Claim files persist as tombstones of attempted versions (vacuum
-  // sweeps superseded ones); a writer that DIES between claim and flip
-  // leaves the table refusing writers until [[releaseAbandonedClaim]] —
-  // loud and recoverable, never a silent lost update. Single-writer
-  // cost: one createFile per publish.
+  // Claim files persist FOREVER as tombstones of attempted versions —
+  // vacuum deliberately keeps them (they are empty-ish files, bytes per
+  // version): deleting a superseded version's tombstone would let a
+  // writer ≥2 snapshots stale re-claim that freed number and flip
+  // VERSION backwards, a silent lost update. [[flipVersion]] is the
+  // second line of defense: the pointer refuses to move anywhere but
+  // currentVersion+1. A writer that DIES between claim and flip leaves
+  // the table refusing writers until [[releaseAbandonedClaim]] — loud
+  // and recoverable, never a silent lost update. Single-writer cost:
+  // one createFile per publish.
   // ------------------------------------------------------------------
 
   private def claimFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.claim")
 
-  private def claimVersion(name: String, v: Int): Unit =
-    try { Files.createFile(claimFile(name, v)); () }
+  /** Claims currently between claim and flip in THIS process — a claim
+    * in this set is provably live and must never be released. Cross-
+    * process liveness is covered by the lease in
+    * [[releaseAbandonedClaim]]. */
+  private val inFlightClaims =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def claimKey(name: String, v: Int) = s"$name/v$v"
+
+  /** Diagnostic owner tag written into the claim (who/when); the LEASE
+    * clock is the claim file's mtime, not this content, so a crash
+    * between create and write still leaves a recoverable claim. */
+  private def ownerTag: String =
+    s"${ProcessHandle.current().pid()}/${Thread.currentThread().getId}@${System.currentTimeMillis()}"
+
+  private def claimVersion(name: String, v: Int): Unit = {
+    try Files.write(claimFile(name, v), ownerTag.getBytes,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableStore.ConcurrentWriteException(name, v)
     }
+    inFlightClaims.add(claimKey(name, v)); ()
+  }
 
   private def releaseClaim(name: String, v: Int): Unit = {
+    inFlightClaims.remove(claimKey(name, v))
     Files.deleteIfExists(claimFile(name, v)); ()
+  }
+
+  /** The ONLY way VERSION moves: guard + atomic rename. The guard makes
+    * the pointer monotone — even if a claim tombstone were lost (manual
+    * deletion, partial restore), a stale writer's flip to anything but
+    * currentVersion+1 aborts instead of regressing the table. On success
+    * the claim stays on disk as the committed version's tombstone but
+    * leaves the in-flight set. */
+  private def flipVersion(name: String, v: Int): Unit = {
+    val cur = currentVersion(name)
+    if (v != cur + 1)
+      throw new TableStore.ConcurrentWriteException(name, v)
+    val tmp = Paths.get(s"$root/$name/VERSION.tmp")
+    Files.write(tmp, v.toString.getBytes)
+    Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    inFlightClaims.remove(claimKey(name, v)); ()
   }
 
   /** Last version each table resolved to on THIS thread — the snapshot a
@@ -82,9 +123,34 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Crash recovery: drop an orphaned claim left by a writer that died
     * between claim and flip (the table refuses writers until then).
     * Returns whether anything was released. Only the NEXT version's claim
-    * can be orphaned — committed versions keep theirs as tombstones. */
-  def releaseAbandonedClaim(name: String): Boolean =
-    Files.deleteIfExists(claimFile(name, currentVersion(name) + 1))
+    * can be orphaned — committed versions keep theirs as tombstones.
+    *
+    * LEASE-GUARDED (VERDICT r6 #4): a claim is released only when its
+    * owner is provably dead —
+    *  - never while the claim is in-flight in THIS process (the owner is
+    *    a live thread between claim and flip), and
+    *  - never before `leaseMs` has elapsed since the claim was created
+    *    (file mtime — covers owners in OTHER processes, which we cannot
+    *    probe; a writer must finish its publish within the lease or be
+    *    treated as dead, the standard lease contract).
+    * Calling this mid-publish is therefore safe: it returns false
+    * instead of re-opening the CAS under the live writer. */
+  def releaseAbandonedClaim(
+      name: String,
+      leaseMs: Long = TableStore.DefaultClaimLeaseMs): Boolean = {
+    val v = currentVersion(name) + 1
+    val p = claimFile(name, v)
+    if (!Files.exists(p)) false
+    else if (inFlightClaims.contains(claimKey(name, v))) false
+    else {
+      val age = System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+      if (age < leaseMs) false
+      else {
+        inFlightClaims.remove(claimKey(name, v))
+        Files.deleteIfExists(p)
+      }
+    }
+  }
 
   // CAS test hooks (ConcurrencySpec): pin an explicit snapshot / plant an
   // orphaned claim without racing real Spark jobs in the test
@@ -92,7 +158,17 @@ final class TableStore(spark: SparkSession, root: String) {
     lastRead.get.update(name, expected)
     publish(name, df)
   }
+  /** Plant a LIVE claim (registered in-flight, as a real writer's). */
   private[graft] def claimForTest(name: String, v: Int): Unit = claimVersion(name, v)
+  /** Plant a DEAD writer's claim: on disk but owned by no live thread —
+    * what a crash between claim and flip leaves behind. */
+  private[graft] def plantDeadClaim(name: String, v: Int): Unit = {
+    claimVersion(name, v)
+    inFlightClaims.remove(claimKey(name, v)); ()
+  }
+  private[graft] def deleteClaimForTest(name: String, v: Int): Unit = {
+    Files.deleteIfExists(claimFile(name, v)); ()
+  }
   private[graft] def currentVersionOf(name: String): Int = currentVersion(name)
 
   /** Atomically publish a new version of a table. CAS: the new version is
@@ -110,10 +186,7 @@ final class TableStore(spark: SparkSession, root: String) {
       carryBatchLedger(name, v)
       carryAddCols(name, v)
       carryConstraintsFile(name, v)
-      val tmp = Paths.get(s"$root/$name/VERSION.tmp")
-      Files.write(tmp, v.toString.getBytes)
-      Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      flipVersion(name, v)
     } catch {
       case e: Throwable => releaseClaim(name, v); throw e
     } finally lastRead.get.remove(name)
@@ -767,10 +840,7 @@ final class TableStore(spark: SparkSession, root: String) {
       case Some(cs) => writeConstraintsFile(name, v, cs)
       case None => carryConstraintsFile(name, v)
     }
-    val tmp = Paths.get(s"$root/$name/VERSION.tmp")
-    Files.write(tmp, v.toString.getBytes)
-    Files.move(tmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    flipVersion(name, v)
   }
 
   private def listPartSubdirs(dir: String): Seq[String] = {
@@ -1298,7 +1368,9 @@ final class TableStore(spark: SparkSession, root: String) {
           Files.deleteIfExists(batchesFile(name, old))
           Files.deleteIfExists(addColsFile(name, old))
           Files.deleteIfExists(constraintsFile(name, old))
-          Files.deleteIfExists(claimFile(name, old))
+          // claim tombstones are deliberately KEPT: deleting v{old}.claim
+          // would let a stale writer re-claim that number and regress
+          // VERSION — the lost-update hole the CAS exists to close
         }
         // live bytes: sum exactly the manifest's entries, not whole dirs
         val bytes = m.entries.map { case (sub, vd) =>
@@ -1318,7 +1390,7 @@ final class TableStore(spark: SparkSession, root: String) {
           Files.deleteIfExists(batchesFile(name, old))
           Files.deleteIfExists(addColsFile(name, old))
           Files.deleteIfExists(constraintsFile(name, old))
-          Files.deleteIfExists(claimFile(name, old))
+          // claim tombstones deliberately kept (see the partitioned arm)
         }
         TableStore.TableStats(table(name).count(), bytes, v)
     }
@@ -1364,6 +1436,13 @@ final class TableStore(spark: SparkSession, root: String) {
 
 object TableStore {
   final case class TableStats(rows: Long, bytes: Long, version: Int)
+
+  /** Default lease for [[TableStore.releaseAbandonedClaim]]: a claim
+    * younger than this is assumed to belong to a live writer in another
+    * process and is NOT released. 10 minutes bounds a single publish
+    * (one version write + pointer flip) generously; operators recovering
+    * a known-dead table can pass an explicit shorter lease. */
+  val DefaultClaimLeaseMs: Long = 10L * 60 * 1000
 
   /** An optimistic publish lost the CAS on the version chain: another
     * writer claimed (and possibly committed) the version this mutation

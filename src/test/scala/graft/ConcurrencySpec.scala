@@ -70,12 +70,62 @@ class ConcurrencySpec extends SparkSpec {
   test("abandoned claim wedges writers loudly and releaseAbandonedClaim recovers") {
     val st = freshStore()
     st.create("t", Seq((1, "a")).toDF("id", "v"))
-    // simulate a writer that died between claim and flip
-    st.claimForTest("t", st.currentVersionOf("t") + 1)
+    // simulate a writer that DIED between claim and flip: the claim is on
+    // disk but owned by no live thread
+    st.plantDeadClaim("t", st.currentVersionOf("t") + 1)
     an[TableStore.ConcurrentWriteException] should be thrownBy
       st.update("t", col("id") === 1, Map("v" -> lit("b")))
-    st.releaseAbandonedClaim("t") shouldBe true
+    // within the lease the owner might be a live writer in another
+    // process — refuse
+    st.releaseAbandonedClaim("t") shouldBe false
+    // lease expired (0 ms): provably-dead, released
+    st.releaseAbandonedClaim("t", leaseMs = 0L) shouldBe true
     st.update("t", col("id") === 1, Map("v" -> lit("b")))
     st.table("t").head.getString(1) shouldBe "b"
+  }
+
+  test("a mid-publish claim survives a concurrent releaseAbandonedClaim") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v"))
+    val next = st.currentVersionOf("t") + 1
+    // a LIVE writer's claim (registered in-flight, as during publish)
+    st.claimForTest("t", next)
+    // even with the lease waived, the in-process liveness check refuses:
+    // releasing here would re-open the CAS under the live writer
+    st.releaseAbandonedClaim("t", leaseMs = 0L) shouldBe false
+    // the claim still guards the version — another writer still conflicts
+    an[TableStore.ConcurrentWriteException] should be thrownBy
+      st.update("t", col("id") === 1, Map("v" -> lit("x")))
+    st.deleteClaimForTest("t", next) // cleanup
+  }
+
+  test("vacuum keeps claim tombstones: a stale writer retrying after vacuum still aborts") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v")) // v0
+    val stale = st.currentVersionOf("t")
+    st.update("t", col("id") === 1, Map("v" -> lit("b"))) // v1
+    st.update("t", col("id") === 1, Map("v" -> lit("c"))) // v2
+    st.analyze("t") // vacuum: drops superseded data, must KEEP v1.claim
+    // a writer 2 snapshots stale targets v1 — the freed number a
+    // tombstone-sweeping vacuum would have re-opened (r6 lost-update hole)
+    an[TableStore.ConcurrentWriteException] should be thrownBy
+      st.publishFrom("t", Seq((1, "stale")).toDF("id", "v"), expected = stale)
+    st.currentVersionOf("t") shouldBe stale + 2 // pointer never regressed
+    st.table("t").head.getString(1) shouldBe "c"
+  }
+
+  test("VERSION flip refuses to regress even if a claim tombstone is lost") {
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v")) // v0
+    val stale = st.currentVersionOf("t")
+    st.update("t", col("id") === 1, Map("v" -> lit("b"))) // v1
+    st.update("t", col("id") === 1, Map("v" -> lit("c"))) // v2
+    // simulate tombstone loss (manual cleanup, partial restore): the CAS
+    // alone would now admit the stale writer — the flip guard must not
+    st.deleteClaimForTest("t", stale + 1)
+    an[TableStore.ConcurrentWriteException] should be thrownBy
+      st.publishFrom("t", Seq((1, "stale")).toDF("id", "v"), expected = stale)
+    st.currentVersionOf("t") shouldBe stale + 2
+    st.table("t").head.getString(1) shouldBe "c"
   }
 }
