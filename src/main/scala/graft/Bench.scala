@@ -29,15 +29,22 @@ object Bench {
       }
 
     // best-of-2: single runs at this scale carry ±40% GC/scheduling noise;
-    // the min is the steady-state cost of the query itself
+    // the min is the steady-state cost of the query itself.
+    // A query that THROWS records None, not its time-to-throw — counting
+    // a broken query's ~0.05s abort as a runtime once hid 10 broken
+    // queries inside a "faster" total (VERDICT r7).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      name -> times.minOption
     }
+    val errored = results.collect { case (name, None) => name }
     // The driver captures only the last 2,000 bytes of the log (measured
     // from BENCH_r03, whose full 88-query line already overflowed it and
     // parsed as null), so a 145-query map can NEVER ride the stdout line.
@@ -49,15 +56,20 @@ object Bench {
     // unparsable JSON on both the stdout headline and the full artifact
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullQs = results.map { case (k, v) => s""""$k":${num(v, 3)}""" }
+    // errored queries render as "err" and are EXCLUDED from the total;
+    // n_errors on the headline makes a partial run unmistakable
+    def render(v: Option[Double], digits: Int): String =
+      v.map(num(_, digits)).getOrElse("\"err\"")
+    val ok = results.collect { case (_, Some(v)) => v }
+    val total = ok.sum
+    val fullQs = results.map { case (k, v) => s""""$k":${render(v, 3)}""" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_local_full.json"),
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","n_ok":${ok.size},"n_errors":${errored.size},"errors":${errored.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
         .getBytes)
-    val slow = results.sortBy(-_._2).take(25).sortBy(_._1)
-      .map { case (k, v) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"full":"bench_local_full.json"}""")
+    val slow = results.sortBy(-_._2.getOrElse(Double.MaxValue)).take(25).sortBy(_._1)
+      .map { case (k, v) => s""""$k":${render(v, 2)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errored.size},"full":"bench_local_full.json"}""")
     spark.stop()
   }
 }

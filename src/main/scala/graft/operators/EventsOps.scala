@@ -17,6 +17,34 @@ import graft.functions.Dec._
   */
 object EventsOps {
 
+  /** Recursively delete a temp tree (streaming staging dirs). */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Directory path a streaming file source can monitor for the events
+    * table, plus the temp dir to clean up afterwards (if any). The file
+    * source monitors a DIRECTORY. A Spark-written table is already one
+    * (stream it in place); the driver's test tables are single FILES,
+    * which get staged into a temp dir — naive Files.copy of a directory
+    * path would copy only the empty dir and the stream would silently
+    * fold zero rows (caught by the 10× replica, whose events table IS a
+    * directory). Callers must `staged.foreach(rmTree)` in a finally once
+    * the stream has drained into its sink — repeated verify/bench runs
+    * must leave /tmp flat. */
+  private def stagedEventsPath(d: String): (String, Option[java.nio.file.Path]) = {
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) (src.toString, None)
+    else {
+      val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+      java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
+      (stageDir.toString, Some(stageDir))
+    }
+  }
+
   /** Tumbling 1-hour rollup — Spark `window()` vs DuckDB `time_bucket`. */
   val q40 = QueryDef(
     "q40_events_hourly",
@@ -231,36 +259,25 @@ object EventsOps {
     import graft.streaming.EventStream
     import s.implicits._
     val raw = s.read.parquet(s"$d/events.parquet")
-    // the streaming file source monitors a DIRECTORY. A Spark-written
-    // table is already one (stream it in place); the driver's test tables
-    // are single FILES, which get staged into a temp dir — naive
-    // Files.copy of a directory path would copy only the empty dir and
-    // the stream would silently fold zero rows (caught by the 10×
-    // replica, whose events table IS a directory).
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val streamPath =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
-        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
-        stageDir.toString
-      }
-    val stream = s.readStream.schema(raw.schema).parquet(streamPath)
-    val tsMicros = unix_micros(Tables.tsAsTimestamp(raw.schema("ts").dataType))
-    val typed = stream
-      .select(col("user_id"), tsMicros.as("ts"), col("event_type"))
-      .as[EventStream.TypedEvent]
-    val sinkName = "q132_funnel_sink"
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val q = EventStream.funnelStream(typed).writeStream
-      .format("memory").queryName(sinkName).outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sinkName)
-      .groupBy("user_id").agg(max(col("reached")).cast("int").as("reached"))
-      .orderBy("user_id")
+    val (streamPath, staged) = stagedEventsPath(d)
+    try {
+      val stream = s.readStream.schema(raw.schema).parquet(streamPath)
+      val tsMicros = unix_micros(Tables.tsAsTimestamp(raw.schema("ts").dataType))
+      val typed = stream
+        .select(col("user_id"), tsMicros.as("ts"), col("event_type"))
+        .as[EventStream.TypedEvent]
+      val sinkName = "q132_funnel_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val q = EventStream.funnelStream(typed).writeStream
+        .format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .groupBy("user_id").agg(max(col("reached")).cast("int").as("reached"))
+        .orderBy("user_id")
+    } finally staged.foreach(rmTree)
   }
 
   /** Weekly retention cohorts — the product-analytics matrix: users are
@@ -399,32 +416,27 @@ object EventsOps {
       |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
     import graft.functions.Dec._
     val raw = s.read.parquet(s"$d/events.parquet")
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val streamPath =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-hourly")
-        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
-        stageDir.toString
-      }
-    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
-    val sinkName = "q145_hourly_sink"
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val q = s.readStream.schema(raw.schema).parquet(streamPath)
-      .select(tsCol.as("ts"), col("event_type"), col("value"))
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sinkName)
-      .select(col("hour_start"), col("event_type"), col("n_events"),
-        col("value_sum").cast("double").as("value_sum"))
-      .orderBy("hour_start", "event_type")
+    val (streamPath, staged) = stagedEventsPath(d)
+    try {
+      val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
+      val sinkName = "q145_hourly_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val q = s.readStream.schema(raw.schema).parquet(streamPath)
+        .select(tsCol.as("ts"), col("event_type"), col("value"))
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(col("hour_start"), col("event_type"), col("n_events"),
+          col("value_sum").cast("double").as("value_sum"))
+        .orderBy("hour_start", "event_type")
+    } finally staged.foreach(rmTree)
   }
 
   /** Third streaming oracle gate (q132: stateful flatMap; q145: windowed
@@ -449,31 +461,26 @@ object EventsOps {
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
     import graft.functions.Dec._
     val raw = s.read.parquet(s"$d/events.parquet")
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val streamPath =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
-        stageDir.toString
-      }
-    def sourceOnce = s.readStream.schema(raw.schema).parquet(streamPath)
-      .select(col("event_id"), col("event_type"), col("value"))
-    val sinkName = "q148_dedup_sink"
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val q = sourceOnce.unionByName(sourceOnce)
-      .dropDuplicates("event_id")
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sinkName)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum(d4(col("value"))).cast("double").as("value_sum"))
-      .orderBy("event_type")
+    val (streamPath, staged) = stagedEventsPath(d)
+    try {
+      def sourceOnce = s.readStream.schema(raw.schema).parquet(streamPath)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val sinkName = "q148_dedup_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val q = sourceOnce.unionByName(sourceOnce)
+        .dropDuplicates("event_id")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(d4(col("value"))).cast("double").as("value_sum"))
+        .orderBy("event_type")
+    } finally staged.foreach(rmTree)
   }
 
   /** Fourth streaming oracle gate — STREAM-STREAM JOIN, the hardest
@@ -500,50 +507,45 @@ object EventsOps {
       |  CAST(SUM(lag_us) AS BIGINT) AS total_lag_us
       |FROM pr GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
     val raw = s.read.parquet(s"$d/events.parquet")
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val streamPath =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-join")
-        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
-        stageDir.toString
-      }
-    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
-    def side(tp: String, userAs: String, tsAs: String) =
-      s.readStream.schema(raw.schema).parquet(streamPath)
-        .filter(col("event_type") === tp)
-        .select(col("user_id").as(userAs), tsCol.as(tsAs))
-        .withWatermark(tsAs, "24 hours")
-    val sinkName = "q149_join_sink"
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    // A stream-stream join materializes FOUR state stores per shuffle
-    // partition, each paying per-micro-batch checkpoint commits — at the
-    // session default (32) that fixed cost dwarfs the bounded replay's
-    // row work. 8 partitions keep the join distributed while cutting the
-    // commit fan-out 4×; the partition count is frozen into the (fresh,
-    // per-run) checkpoint, so this never mismatches resumed state.
-    // restored only after termination: the micro-batch thread reads the
-    // conf when it plans the first batch, which happens after start()
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val (streamPath, staged) = stagedEventsPath(d)
     try {
-      val q = side("click", "c_user", "c_ts")
-        .join(side("purchase", "p_user", "p_ts"),
-          col("p_user") === col("c_user") &&
-            col("p_ts") > col("c_ts") &&
-            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(sinkName)
-      .groupBy(col("c_user").as("user_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("total_lag_us"))
-      .orderBy("user_id")
+      val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
+      def side(tp: String, userAs: String, tsAs: String) =
+        s.readStream.schema(raw.schema).parquet(streamPath)
+          .filter(col("event_type") === tp)
+          .select(col("user_id").as(userAs), tsCol.as(tsAs))
+          .withWatermark(tsAs, "24 hours")
+      val sinkName = "q149_join_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      // A stream-stream join materializes FOUR state stores per shuffle
+      // partition, each paying per-micro-batch checkpoint commits — at the
+      // session default (32) that fixed cost dwarfs the bounded replay's
+      // row work. 8 partitions keep the join distributed while cutting the
+      // commit fan-out 4×; the partition count is frozen into the (fresh,
+      // per-run) checkpoint, so this never mismatches resumed state.
+      // restored only after termination: the micro-batch thread reads the
+      // conf when it plans the first batch, which happens after start()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = side("click", "c_user", "c_ts")
+          .join(side("purchase", "p_user", "p_ts"),
+            col("p_user") === col("c_user") &&
+              col("p_ts") > col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(sinkName)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("total_lag_us"))
+        .orderBy("user_id")
+    } finally staged.foreach(rmTree)
   }
 
   /** q153: time-series gap fill — a dense per-user hourly spine over each
@@ -730,35 +732,28 @@ object EventsOps {
       |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     import graft.streaming.EventStream
     val raw = s.read.parquet(s"$d/events.parquet")
-    // single-file driver tables stage into a dir; Spark-written tables
-    // (the 10x replica) stream in place — q132's staging discipline
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val streamPath =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
-        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
-        stageDir.toString
-      }
-    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
-    val stream = s.readStream.schema(raw.schema).parquet(streamPath)
-      .select(col("user_id"), tsCol.as("ts"), col("value"))
-    val sinkName = "q167_session_sink"
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val (streamPath, staged) = stagedEventsPath(d)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8") // bounded replay: state shuffle sized to it
-      val q = EventStream.sessionRollup(stream).writeStream
-        .format("memory").queryName(sinkName).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(sinkName)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
-      .orderBy("user_id")
+      val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
+      val stream = s.readStream.schema(raw.schema).parquet(streamPath)
+        .select(col("user_id"), tsCol.as("ts"), col("value"))
+      val sinkName = "q167_session_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8") // bounded replay: state shuffle sized to it
+        val q = EventStream.sessionRollup(stream).writeStream
+          .format("memory").queryName(sinkName).outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(sinkName)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    } finally staged.foreach(rmTree)
   }
 
   /** q171: volume anomaly detection — hours whose event count sits more
@@ -936,33 +931,28 @@ object EventsOps {
       |    > 9 * (m.nh * m.sxx - m.sx * m.sx)
       |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
     val raw = s.read.parquet(s"$d/events.parquet")
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val streamPath =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
-        java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"))
-        stageDir.toString
-      }
-    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
-    val stream = s.readStream.schema(raw.schema).parquet(streamPath)
-      .select(col("event_type"), tsCol.as("ts"))
+    val (streamPath, staged) = stagedEventsPath(d)
     val sinkName = "q179_anomaly_sink"
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = stream
-        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
-          col("event_type"))
-        .agg(count(lit(1)).as("x"))
-        .writeStream
-        .format("memory").queryName(sinkName).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
+      val stream = s.readStream.schema(raw.schema).parquet(streamPath)
+        .select(col("event_type"), tsCol.as("ts"))
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = stream
+          .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("x"))
+          .writeStream
+          .format("memory").queryName(sinkName).outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally staged.foreach(rmTree)
     // MemoryPlan is not multi-instance: a self-join of the sink table
     // fails to resolve. localCheckpoint rebases it onto an RDD scan,
     // which the analyzer CAN instantiate twice (moments + flag sides).

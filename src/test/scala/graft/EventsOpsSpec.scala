@@ -30,6 +30,22 @@ class EventsOpsSpec extends SparkSpec {
     rows.count(_._2 == 0L) should be > 0
   }
 
+  test("streaming gates leave /tmp flat: staging dirs cleaned up across repeated runs") {
+    def stageDirs(): Set[String] = {
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late"))
+        .toSet
+    }
+    val before = stageDirs()
+    operators.EventsOps.q145.build(spark, dir).collect()
+    operators.EventsOps.q183.build(spark, dir).collect()
+    operators.EventsOps.q183.build(spark, dir).collect() // repeated run: no accumulation
+    stageDirs() shouldBe before
+  }
+
   test("q163 seasonal-naive eval agrees with a driver-side recount") {
     val rows = operators.EventsOps.q163.build(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

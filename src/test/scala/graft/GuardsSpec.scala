@@ -49,6 +49,33 @@ class GuardsSpec extends SparkSpec {
     dist shouldBe local
   }
 
+  test("distributedRankDesc stays correct with exchange reuse disabled") {
+    // the offsets branch and the probe join both consume the range-
+    // partitioned buckets frame; ranks must not depend on Spark
+    // deduplicating those two shuffles (VERDICT r6: correctness hinged on
+    // exchange reuse before the buckets frame was materialized)
+    val prevReuse = spark.conf.getOption("spark.sql.exchange.reuse")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = spark.range(5000).toDF("x")
+        .select((col("x") % 1300).as("v")) // uneven tie counts
+      val local = Windows.windowlessRankDesc(df, "v", "r")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agg = df.groupBy(col("v")).agg(count(lit(1)).as("__cnt"))
+      val dist = Windows.distributedRankDesc(agg, "v", "r")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dist shouldBe local
+    } finally {
+      prevReuse match {
+        case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+        case None => spark.conf.unset("spark.sql.exchange.reuse")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q97 drops oversized prefix blocks instead of going quadratic on them") {
     // synthesize a corpus: one hot block (MaxEditBlock+6 near-identical
     // docs sharing an 8-char prefix) plus one small block with a true pair
