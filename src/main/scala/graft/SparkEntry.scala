@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Multimodal.all ++ operators.SqlEntry.all ++ operators.NativeOps.all ++
       operators.CorpusOps.all ++ operators.SetOps.all ++ operators.AsofJoin.all ++
       operators.Extras.all ++ operators.DedupClusters.all ++ operators.IngestGate.all ++
-      operators.BloomJoin.all ++ operators.SearchOps.all ++ operators.PassageOps.all
+      operators.BloomJoin.all ++ operators.SearchOps.all ++ operators.PassageOps.all ++
+      operators.Warehouse.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Warehouse idioms beyond the reference's surface: SCD2 dimension
+  * maintenance + as-of lookup, session path mining, and one-pass column
+  * profiling — the operations a curation/warehouse team runs daily that
+  * the reference's task list implies but never spells out (its
+  * aggregate-then-rank patterns, AmazonFreshAnalysis.sql:197-264, stop at
+  * static dimensions).
+  */
+object Warehouse {
+
+  /** q184: SCD2 (type-2 slowly-changing dimension) build + as-of lookup.
+    * A per-user "loyalty tier" dimension is DERIVED from the event
+    * stream — tier k becomes effective at the user's k-th purchase
+    * (capped at 3) — materialized as classic SCD2 validity intervals
+    * `[valid_from, valid_to)` (open current interval: valid_to NULL),
+    * and every event is attributed to the interval governing its
+    * timestamp. The output is the dimension itself with per-interval
+    * event counts — both halves of the warehouse idiom (build the
+    * versioned dimension; look facts up against it) in one gate.
+    *
+    * Scale posture: NO range join anywhere. The change rows ride a
+    * per-user window (activity-bounded, the q41 contract); the as-of
+    * attribution is the q65 union trick — changes and events share one
+    * (user, time)-ordered window, changes sorting before events on ties
+    * (valid_from is inclusive) and later same-ts changes last (the
+    * governing row is the LATEST change ≤ ts, so a zero-width interval
+    * correctly receives nothing); the final dimension join is an
+    * equi-join on (user, valid_from, tier) against a counts frame
+    * bounded by |dim|. */
+  val q184 = QueryDef(
+    "q184_scd2_tier_lookup",
+    """WITH p AS (
+      |  SELECT user_id, ts,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      |  FROM events WHERE event_type = 'purchase'),
+      |ch AS (SELECT user_id, ts AS valid_from, CAST(k AS INT) AS tier
+      |       FROM p WHERE k <= 3),
+      |dim AS (
+      |  SELECT user_id, tier, valid_from,
+      |         LEAD(valid_from) OVER (PARTITION BY user_id
+      |                                ORDER BY valid_from, tier) AS valid_to
+      |  FROM ch)
+      |SELECT d.user_id, d.tier, d.valid_from, d.valid_to,
+      |  (SELECT COUNT(*) FROM events e
+      |    WHERE e.user_id = d.user_id AND e.ts >= d.valid_from
+      |      AND (d.valid_to IS NULL OR e.ts < d.valid_to)) AS n_events
+      |FROM dim d
+      |ORDER BY user_id, valid_from, tier""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val wK = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ch = ev.filter(col("event_type") === "purchase")
+      .withColumn("k", row_number().over(wK))
+      .filter(col("k") <= 3)
+      .select(col("user_id"), col("ts").as("valid_from"),
+        col("k").cast("int").as("tier"))
+    val wDim = Window.partitionBy("user_id").orderBy("valid_from", "tier")
+    val dim = ch.withColumn("valid_to", lead(col("valid_from"), 1).over(wDim))
+    // as-of attribution: one ordered pass, no range join (q65 shape)
+    val tagged = ev.select(col("user_id"), col("ts"),
+        lit(1).as("is_event"), lit(0).as("tier"))
+      .unionByName(ch.select(col("user_id"), col("valid_from").as("ts"),
+        lit(0).as("is_event"), col("tier")))
+      .withColumn("ch_info", when(col("is_event") === 0,
+        struct(col("ts").as("valid_from"), col("tier").as("tier"))))
+    val wAsof = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_event"), col("tier"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = tagged
+      .withColumn("gov", last(col("ch_info"), ignoreNulls = true).over(wAsof))
+      .filter(col("is_event") === 1 && col("gov").isNotNull)
+      .groupBy(col("user_id"), col("gov.valid_from").as("valid_from"),
+        col("gov.tier").as("tier"))
+      .agg(count(lit(1)).as("n_events"))
+    dim.join(counts, Seq("user_id", "valid_from", "tier"), "left")
+      .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "valid_from", "tier")
+  }
+
+  /** q185: session path mining — the top-20 most common 3-step event-type
+    * journeys (trigrams of consecutive events WITHIN a 30-min-gap
+    * session, the q41 sessionization contract). "view>view>click beats
+    * view>click>purchase 40:1" is the product question behind funnel
+    * redesigns; the same shape mines n-gram transition patterns in any
+    * sequence corpus.
+    *
+    * Scale posture: sessionization and the two leads ride per-user
+    * (then per-session) windows — activity-bounded, never global; the
+    * path count is a map-side-combinable aggregate on a low-cardinality
+    * key (|event types|³ ceiling), and top-20 is TakeOrderedAndProject
+    * (per-partition top-k, no global sort), deterministic via the path
+    * tiebreak. */
+  val q185 = QueryDef(
+    "q185_session_paths",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id)) > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM o),
+      |t AS (
+      |  SELECT event_type AS e1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id, sid
+      |                              ORDER BY ts, event_id) AS e2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id, sid
+      |                              ORDER BY ts, event_id) AS e3
+      |  FROM s)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_sessions
+      |FROM t WHERE e3 IS NOT NULL AND e2 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wS = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU))
+          > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wU))
+      .withColumn("e2", lead(col("event_type"), 1).over(wS))
+      .withColumn("e3", lead(col("event_type"), 2).over(wS))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** q186: numeric BOUNDS profile — null count, exact distinct count,
+    * and min/max for every numeric lineitem measure, in a SINGLE scan.
+    * Complements q144 (orders null/distinct expectation counts): this is
+    * the range-contract half of a data contract — "quantity ∈ [1, 50],
+    * discount ∈ [0, 0.1]" — that validates a new drop before any query
+    * trusts it. The naive form (one query per column) scans the fact
+    * once per column; at 100 TB that is the difference between one job
+    * and eight.
+    *
+    * Scale posture: one aggregate over the fact produces all 17 values
+    * (the multi-DISTINCT plan uses Spark's Expand — still one scan, with
+    * partial aggregation per distinct group), and `stack` unpivots the
+    * 1-row result — unlike q144's cached-frame union, the single-scan
+    * property here is structural and PlanSpec-asserted (exactly one
+    * FileScan). Column pruning keeps the scan to the four profiled
+    * columns. */
+  val q186 = QueryDef(
+    "q186_column_profile",
+    """WITH a AS (SELECT COUNT(*) AS n,
+      |  COUNT(l_quantity) AS nn1, COUNT(DISTINCT l_quantity) AS nd1,
+      |    MIN(l_quantity) AS mn1, MAX(l_quantity) AS mx1,
+      |  COUNT(l_extendedprice) AS nn2, COUNT(DISTINCT l_extendedprice) AS nd2,
+      |    MIN(l_extendedprice) AS mn2, MAX(l_extendedprice) AS mx2,
+      |  COUNT(l_discount) AS nn3, COUNT(DISTINCT l_discount) AS nd3,
+      |    MIN(l_discount) AS mn3, MAX(l_discount) AS mx3,
+      |  COUNT(l_tax) AS nn4, COUNT(DISTINCT l_tax) AS nd4,
+      |    MIN(l_tax) AS mn4, MAX(l_tax) AS mx4
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'l_quantity' AS column_name, n - nn1 AS n_nulls,
+      |         nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+      |  UNION ALL SELECT 'l_extendedprice', n - nn2, nd2, mn2, mx2 FROM a
+      |  UNION ALL SELECT 'l_discount', n - nn3, nd3, mn3, mx3 FROM a
+      |  UNION ALL SELECT 'l_tax', n - nn4, nd4, mn4, mx4 FROM a)
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"nn$i"), countDistinct(col(c)).as(s"nd$i"),
+        min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i"))
+    }
+    val a = Tables.lineitem(s, d).select(cols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', n - nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    a.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy("column_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(q184, q185, q186)
+}

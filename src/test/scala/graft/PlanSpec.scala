@@ -63,6 +63,27 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q184: SCD2 as-of lookup plans no range join (no nested loop, no cartesian)") {
+    // the union-asof trick must keep both the attribution and the final
+    // dimension join hash-joinable — a BETWEEN theta join would plan a
+    // nested loop over dim × events
+    val plan = planOf(operators.Warehouse.q184.build(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q185: top-20 session paths plan TakeOrderedAndProject, not a global sort") {
+    planOf(operators.Warehouse.q185.build(spark, sf)) should include("TakeOrderedAndProject")
+  }
+
+  test("q186: one-pass profile reads only the four profiled columns") {
+    val plan = planOf(operators.Warehouse.q186.build(spark, sf))
+    plan should include("l_quantity")
+    plan should not include "l_orderkey" // pruned: profile ≠ full-width scan
+    // multi-DISTINCT goes through Expand — still a single scan of lineitem
+    plan.split("FileScan parquet").length shouldBe 2 // exactly one scan
+  }
+
   test("q22/q23: global rank runs without any Window operator") {
     // a `RANK() OVER (ORDER BY …)` window is a single-partition sort of
     // every group — the windowless threshold/histogram shape must not
