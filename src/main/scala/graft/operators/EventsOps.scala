@@ -1028,12 +1028,6 @@ object EventsOps {
       lit(0.0).as("value"))
 
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-late")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val f = p.toFile
-      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
-      java.nio.file.Files.deleteIfExists(p)
-      ()
-    }
     def stage(name: String, df: org.apache.spark.sql.DataFrame, modSec: Int): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-late-$name")
       try {

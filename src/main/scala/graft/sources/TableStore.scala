@@ -65,14 +65,12 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def claimFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.claim")
 
-  /** Claims currently between claim and flip in THIS process — a claim
-    * in this set is provably live and must never be released. Cross-
-    * process liveness is covered by the lease in
-    * [[releaseAbandonedClaim]]. */
-  private val inFlightClaims =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // process-wide in-flight set lives on the companion so every TableStore
+  // instance over the same root sees the same liveness truth
+  private def inFlightClaims = TableStore.inFlightClaims
 
-  private def claimKey(name: String, v: Int) = s"$name/v$v"
+  private def claimKey(name: String, v: Int) =
+    s"$root/$name/v$v"
 
   /** Diagnostic owner tag written into the claim (who/when); the LEASE
     * clock is the claim file's mtime, not this content, so a crash
@@ -81,6 +79,17 @@ final class TableStore(spark: SparkSession, root: String) {
     s"${ProcessHandle.current().pid()}/${Thread.currentThread().getId}@${System.currentTimeMillis()}"
 
   private def claimVersion(name: String, v: Int): Unit = {
+    // Currency pre-check BEFORE the CAS and before ANY data write: a
+    // claim may only target currentVersion+1. Without this, a writer
+    // whose target's tombstone is missing (pre-fix vacuum, manual
+    // cleanup, partial restore) would win the createFile CAS and then
+    // `overwrite` a version directory the CURRENT manifest may still
+    // reference (append chains) — silent corruption the later
+    // flipVersion guard cannot undo. The check-then-create pair is
+    // race-free: a concurrent writer advancing the chain past `v` must
+    // first claim this same v, which makes our createFile throw.
+    if (v != currentVersion(name) + 1)
+      throw new TableStore.ConcurrentWriteException(name, v)
     try Files.write(claimFile(name, v), ownerTag.getBytes,
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
@@ -143,7 +152,12 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!Files.exists(p)) false
     else if (inFlightClaims.contains(claimKey(name, v))) false
     else {
-      val age = System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+      // the claim can vanish between exists() and the mtime read (the
+      // owner's failed publish releases it) — that is a "nothing to
+      // release" outcome, not an error in the recovery path
+      val age = try
+        System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.nio.file.NoSuchFileException => return false }
       if (age < leaseMs) false
       else {
         inFlightClaims.remove(claimKey(name, v))
@@ -1436,6 +1450,16 @@ final class TableStore(spark: SparkSession, root: String) {
 
 object TableStore {
   final case class TableStats(rows: Long, bytes: Long, version: Int)
+
+  /** Claims currently between claim and flip anywhere in THIS process,
+    * keyed by absolute `root/name/vN` — JVM-global so a second
+    * TableStore instance opened over the same root (an operator tool
+    * recovering while a service is mid-publish) sees the live claim and
+    * [[TableStore.releaseAbandonedClaim]] refuses to release it even
+    * with a zero lease. Cross-process liveness is covered by the
+    * lease. */
+  private[sources] val inFlightClaims =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Default lease for [[TableStore.releaseAbandonedClaim]]: a claim
     * younger than this is assumed to belong to a live writer in another

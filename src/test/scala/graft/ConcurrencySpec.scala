@@ -114,6 +114,25 @@ class ConcurrencySpec extends SparkSpec {
     st.table("t").head.getString(1) shouldBe "c"
   }
 
+  test("stale writer with a lost tombstone is rejected BEFORE touching live append-chain data") {
+    // an append-chain manifest references EVERY version dir, so a stale
+    // writer that wins a freed claim and then `overwrite`s its target dir
+    // would corrupt data the current snapshot still reads — the claim-time
+    // currency pre-check must abort before any write happens
+    val st = freshStore()
+    st.create("t", Seq((1, "a")).toDF("id", "v")) // v0
+    val stale = st.currentVersionOf("t")
+    st.appendBatch("t", 1L, Seq((2, "b")).toDF("id", "v")) // v1, manifest refs v0+v1
+    st.appendBatch("t", 2L, Seq((3, "c")).toDF("id", "v")) // v2, manifest refs v0+v1+v2
+    val before = st.table("t").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    st.deleteClaimForTest("t", stale + 1) // simulate tombstone loss for v1
+    an[TableStore.ConcurrentWriteException] should be thrownBy
+      st.publishFrom("t", Seq((9, "clobber")).toDF("id", "v"), expected = stale)
+    // the live v1 directory was never overwritten: full content survives
+    st.table("t").collect().map(r => (r.getInt(0), r.getString(1))).toSet shouldBe before
+    st.currentVersionOf("t") shouldBe stale + 2
+  }
+
   test("VERSION flip refuses to regress even if a claim tombstone is lost") {
     val st = freshStore()
     st.create("t", Seq((1, "a")).toDF("id", "v")) // v0

@@ -34,10 +34,12 @@ class EventsOpsSpec extends SparkSpec {
     def stageDirs(): Set[String] = {
       val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(tmp).iterator().asScala
+      val s = java.nio.file.Files.list(tmp)
+      try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late"))
         .toSet
+      finally s.close()
     }
     val before = stageDirs()
     operators.EventsOps.q145.build(spark, dir).collect()
