@@ -35,11 +35,17 @@ object Verify {
           "[verify] WARNING: SPARK_GRAFT_ONLY selected ZERO queries — " +
             "this run verifies nothing")
     }
+    // failures are COLLECTED, not just logged: round 7's 10 broken
+    // queries silently vanished from the correctness artifact (thrown →
+    // no parquet → driver drops the row); _errors.json makes a partial
+    // dump unmistakable at a glance
+    val errors = scala.collection.mutable.ListBuffer[(String, String)]()
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +63,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED (see _errors.json)")
     spark.stop()
   }
 }

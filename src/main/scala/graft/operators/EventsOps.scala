@@ -1079,6 +1079,119 @@ object EventsOps {
     }
   }
 
+  /** q187: EIGHTH streaming oracle gate — stream-stream LEFT OUTER join,
+    * the semantics q149's inner join never exercises: a click with no
+    * purchase inside its 1-hour window must still EMIT, null-extended,
+    * once the watermark proves no match can arrive. Outer results are
+    * the hard half of streaming joins — they exist only because state
+    * eviction is event-time-driven, so this gate is what proves the
+    * watermark actually closes unmatched state instead of holding (or
+    * dropping) it.
+    *
+    * Replay shape: file 1 = the real events (matched pairs emit here,
+    * both sides arriving in-batch); files 2 and 3 = watermark CARRIERS
+    * at M + 48h and M + 96h. A carrier must be one click row plus one
+    * purchase row under the reserved user_id −1 — NOT an out-of-band
+    * sentinel type: Catalyst pushes the event-type filter BELOW the
+    * EventTimeWatermark node (writing `withWatermark` before `.filter`
+    * does not survive optimization), so only rows that pass each side's
+    * filter can advance that side's watermark. The carriers share no
+    * user with real events (they join nothing) and are masked out of
+    * the batch-side rollup. TWO carrier files because eviction lags the
+    * watermark by one batch (the q183 spacer discipline / SPARK-24634):
+    * the M + 48h batch runs its eviction with file 1's watermark —
+    * still below the last clicks' windows — and only the M + 96h batch,
+    * carrying the M + 47h reading, provably flushes every unmatched
+    * click. The batch oracle is the same LEFT JOIN with the same
+    * interval bound as plain SQL; a hash-match proves matched
+    * multiplicity AND the unmatched complement survived exactly once.
+    *
+    * Scale posture: state is keyed by user and bounded by the watermark
+    * horizon (the q149 contract), and unmatched rows leave state exactly
+    * once — the property that keeps a production outer join's memory
+    * flat under unbounded input. */
+  val q187 = QueryDef(
+    "q187_streaming_outer_join_gate",
+    """WITH j AS (
+      |  SELECT c.user_id, p.ts AS p_ts
+      |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = c.user_id AND p.ts > c.ts
+      |   AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      |SELECT user_id, COUNT(*) AS n_rows,
+      |  COUNT(p_ts) AS n_matched,
+      |  CAST(COUNT(*) - COUNT(p_ts) AS BIGINT) AS n_unmatched
+      |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val mMicros = ev.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val hourUs = 3600L * 1000000L
+    // one click + one purchase carrier so BOTH sides' post-filter
+    // watermark domains observe the flush instant
+    def carriers(tsMicros: Long) = {
+      def row(id: Long, tp: String) = s.range(1).select(
+        lit(id).as("event_id"), timestamp_micros(lit(tsMicros)).as("ts"),
+        lit(-1L).as("user_id"), lit(tp).as("event_type"),
+        lit(0.0).as("value"))
+      row(-1L, "click").unionByName(row(-2L, "purchase"))
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-outer")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, modSec: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-outer-$name")
+      try {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = streamDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+        ()
+      } finally rmTree(tmp)
+    }
+    val sinkName = "q187_outer_sink"
+    try {
+      stage("a_events", ev, 0)
+      stage("b_flush", carriers(mMicros + 48 * hourUs), 10)
+      stage("c_flush", carriers(mMicros + 96 * hourUs), 20)
+
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      def side(tp: String, userAs: String, tsAs: String) =
+        s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+          .filter(col("event_type") === tp)
+          .select(col("user_id").as(userAs), col("ts").as(tsAs))
+          .withWatermark(tsAs, "1 hour")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // q149's state-store sizing
+      try {
+        val q = side("click", "c_user", "c_ts")
+          .join(side("purchase", "p_user", "p_ts"),
+            col("p_user") === col("c_user") &&
+              col("p_ts") > col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(sinkName).localCheckpoint(true)
+        .filter(col("c_user") =!= -1) // mask the watermark carriers
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_ts")).as("n_matched"),
+          (count(lit(1)) - count(col("p_ts"))).as("n_unmatched"))
+        .orderBy("user_id")
+    } finally {
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      rmTree(streamDir)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
-    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176, q179, q183)
+    q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176, q179, q183,
+    q187)
 }

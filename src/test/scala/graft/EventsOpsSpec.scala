@@ -45,6 +45,7 @@ class EventsOpsSpec extends SparkSpec {
     operators.EventsOps.q145.build(spark, dir).collect()
     operators.EventsOps.q183.build(spark, dir).collect()
     operators.EventsOps.q183.build(spark, dir).collect() // repeated run: no accumulation
+    operators.EventsOps.q187.build(spark, dir).collect()
     stageDirs() shouldBe before
   }
 
