@@ -65,11 +65,14 @@ object Bench {
     val fullQs = results.map { case (k, v) => s""""$k":${render(v, 3)}""" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_local_full.json"),
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","n_ok":${ok.size},"n_errors":${errored.size},"errors":${errored.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","n_ok":${ok.size},"n_errors":${errored.size},"errors":${errored.map(e => s""""$e"""").mkString("[", ",", "]")},${Provenance.jsonFields}}"""
         .getBytes)
-    val slow = results.sortBy(-_._2.getOrElse(Double.MaxValue)).take(25).sortBy(_._1)
+    // errored queries sort LAST here: they are already surfaced via
+    // n_errors/errors, and a -MaxValue key would let up to 25 "err"
+    // entries displace the genuinely slowest queries from the headline
+    val slow = results.sortBy(_._2.map(-_).getOrElse(Double.MaxValue)).take(25).sortBy(_._1)
       .map { case (k, v) => s""""$k":${render(v, 2)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errored.size},"full":"bench_local_full.json"}""")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errored.size},"full":"bench_local_full.json","commit":"${Provenance.commit}"}""")
     spark.stop()
   }
 }

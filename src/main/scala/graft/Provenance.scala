@@ -1,0 +1,33 @@
+package graft
+
+/** Run provenance stamped into every generated artifact (VERDICT r8 #4,
+  * driver ADVICE r7): a committed-but-stale artifact copy and a fresh
+  * re-run are otherwise indistinguishable. Never fails a run — git being
+  * unavailable degrades to "unknown". */
+object Provenance {
+
+  private def git(args: String*): Option[String] =
+    try {
+      val p = new ProcessBuilder(("git" +: args): _*)
+        .directory(new java.io.File(sys.props.getOrElse("user.dir", ".")))
+        .redirectErrorStream(true)
+        .start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Exception => None }
+
+  /** Short commit of the tree that produced the run, "-dirty" suffixed
+    * when uncommitted changes were present (an artifact generated from a
+    * dirty tree is NOT reproducible from its commit alone). */
+  lazy val commit: String = {
+    val sha = git("rev-parse", "--short", "HEAD").getOrElse("unknown")
+    val dirty = git("status", "--porcelain").exists(_.nonEmpty)
+    if (sha != "unknown" && dirty) s"$sha-dirty" else sha
+  }
+
+  def ts: String = java.time.Instant.now().toString
+
+  /** `"commit": "...", "ts": "..."` fragment for the hand-rolled JSON
+    * writers (Bench / ScaleBench / Verify). */
+  def jsonFields: String = s""""commit":"$commit","ts":"$ts""""
+}

@@ -185,12 +185,19 @@ object ScaleBench {
       println(s"[scale] $q ${num(tBase, 2)}s -> ${num(t10, 2)}s (${num(t10 / tBase, 2)}x)")
       (q, tBase, t10, t10 / tBase)
     }
+    // key names and the note both carry the REPLICA FACTOR (VERDICT r8
+    // wrong-#1): a 100x artifact whose note said "10x rows / target <=
+    // ~12" read 26.8x growth as a bar violation to anyone parsing the
+    // file alone. near-linear bar = ~1.2x per replica (constant-factor
+    // noise allowance, same framing as SCALE.md).
+    val scaledKey = s"x${Replicas}_sec"
     val body = rows.map { case (q, a, b, r) =>
-      s"""  "$q": {"sf0_1_sec": ${num(a, 3)}, "x10_sec": ${num(b, 3)}, "growth": ${num(r, 2)}}"""
+      s"""  "$q": {"sf0_1_sec": ${num(a, 3)}, "$scaledKey": ${num(b, 3)}, "growth": ${num(r, 2)}}"""
     }.mkString("{\n", ",\n", "\n}")
     val doc =
       s"""{"replicas": $Replicas, "base": "$base", "replica_dir": "$out",
-         | "note": "growth = x10_sec / sf0_1_sec for 10x rows; near-linear target <= ~12",
+         | ${Provenance.jsonFields},
+         | "note": "growth = $scaledKey / sf0_1_sec for ${Replicas}x rows; near-linear target <= ~${(Replicas * 1.2).round}",
          | "queries": $body}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact), doc.getBytes)
     val worst = rows.sortBy(-_._4).take(5)

@@ -11,8 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as long, converted
-      // to micros in graft.core.Tables.events.
+      // events.ts encoding has drifted across driver data regenerations
+      // (nanos-long -> TIMESTAMP_NTZ micros); graft.core.Tables
+      // .tsAsTimestamp normalizes every encoding at the loader. This
+      // config only matters for the nanos-long generation (a no-op on
+      // NTZ files) — SchemaDriftSpec pins the current encoding.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,6 +69,8 @@ object Verify {
     val errJson = errors.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/_provenance.json"),
+      s"{${Provenance.jsonFields}}")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED (see _errors.json)")
     spark.stop()

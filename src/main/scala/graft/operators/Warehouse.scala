@@ -127,7 +127,9 @@ object Warehouse {
       .withColumn("e2", lead(col("event_type"), 1).over(wS))
       .withColumn("e3", lead(col("event_type"), 2).over(wS))
       .filter(col("e2").isNotNull && col("e3").isNotNull)
-      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      // concat (not concat_ws): '||' in the oracle PROPAGATES null, so a
+      // null event_type must yield a NULL path here too, not ">e2>e3"
+      .select(concat(col("event_type"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)

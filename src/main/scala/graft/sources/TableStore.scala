@@ -159,6 +159,16 @@ final class TableStore(spark: SparkSession, root: String) {
         System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
       catch { case _: java.nio.file.NoSuchFileException => return false }
       if (age < leaseMs) false
+      // Re-check CURRENCY immediately before the delete: with a short
+      // explicit lease, a cross-process writer can flip v to committed
+      // between the currentVersion() read above and here — deleting then
+      // would remove a COMMITTED version's tombstone and silently break
+      // the "tombstones kept forever" invariant vacuum preserves (the
+      // flip/claim guards would still block the lost update, but only as
+      // the second line of defense). The window between this check and
+      // deleteIfExists is claim-protected: a writer advancing past v must
+      // first claim v+1, never re-touch v's file.
+      else if (currentVersion(name) + 1 != v) false
       else {
         inFlightClaims.remove(claimKey(name, v))
         Files.deleteIfExists(p)

@@ -37,7 +37,8 @@ class EventsOpsSpec extends SparkSpec {
       val s = java.nio.file.Files.list(tmp)
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late"))
+        .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late") ||
+          n.startsWith("graft-outer"))
         .toSet
       finally s.close()
     }

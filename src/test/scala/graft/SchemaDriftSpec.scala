@@ -19,7 +19,13 @@ package graft
   */
 class SchemaDriftSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  /** All three driver dirs, not just the smoke dir: Verify reads sf0.01
+    * and Bench sf0.1, and a regeneration can drift one dir's encoding
+    * without the others (VERDICT r8 missing-#2). Absent dirs skip —
+    * the canary must not fail a checkout without the full testdata. */
+  private val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(sf => sf -> s"/root/testdata/$sf")
+    .filter { case (_, d) => new java.io.File(d).isDirectory }
 
   /** table -> (column -> accepted dataType.simpleString values, in column
     * order). Multiple accepted types = encodings the loaders normalize
@@ -71,9 +77,9 @@ class SchemaDriftSpec extends SparkSpec {
       "vec_id" -> Set("bigint"), "embedding" -> Set("array<float>"),
       "label" -> Set("int")))
 
-  for ((table, cols) <- expected)
-    test(s"$table schema matches the encodings the engine normalizes") {
-      val schema = graft.core.Tables.load(spark, dir, table).schema
+  for ((table, cols) <- expected; (sf, sfDir) <- dirs)
+    test(s"$table schema matches the encodings the engine normalizes ($sf)") {
+      val schema = graft.core.Tables.load(spark, sfDir, table).schema
       withClue(s"$table columns drifted — driver regenerated the table " +
         s"with a new layout; extend the ${table} loader/queries, then " +
         "update this canary:\n") {
@@ -90,7 +96,8 @@ class SchemaDriftSpec extends SparkSpec {
       }
     }
 
-  test("events.ts normalizes to session-zone timestamp whatever the encoding") {
-    graft.core.Tables.events(spark, dir).schema("ts").dataType.simpleString shouldBe "timestamp"
-  }
+  for ((sf, sfDir) <- dirs)
+    test(s"events.ts normalizes to session-zone timestamp whatever the encoding ($sf)") {
+      graft.core.Tables.events(spark, sfDir).schema("ts").dataType.simpleString shouldBe "timestamp"
+    }
 }
