@@ -596,17 +596,37 @@ object Dedup {
     val prefix = ranked
       .filter(col("__r") <= col("__n") - expr("(__n * 4 + 4) div 5") + 1)
       .select(col("doc_id"), col("s"), col("__r").cast("long").as("__r"), col("__n"))
-    // Two further LOSSLESS prunes (PPJoin) — measured 8.9M → 0.9M
-    // candidates on a 10× corpus with heavy repeated-rare-shingle
-    // structure, the case where bare prefix filtering degrades:
+    // Three further LOSSLESS prunes, applied AT PAIR GENERATION so
+    // non-viable candidates die inside the self-join's codegen instead
+    // of forming a pair stream (r8 100× profile: 20.6M post-filter
+    // candidates for 24.7k true pairs flowed through a groupBy plus two
+    // sketch joins — ~half the 77 s wall):
     //  - size ratio: J ≥ 4/5 forces 5·min(n) ≥ 4·max(n);
     //  - positional: a shared prefix token at positions (ra, rb) bounds
     //    the overlap by 1 + min(na−ra, nb−rb), which must reach the
-    //    minimum overlap ceil(4(na+nb)/9) implied by J ≥ 4/5.
-    val a = prefix.select(col("doc_id").as("doc_a"), col("s"),
-      col("__r").as("ra"), col("__n").as("na"))
-    val b = prefix.select(col("doc_id").as("doc_b"), col("s"),
-      col("__r").as("rb"), col("__n").as("nb"))
+    //    minimum overlap ceil(4(na+nb)/9) implied by J ≥ 4/5;
+    //  - count-sketch bound: hashing each doc's shingle set into B
+    //    counters gives |A ∩ B| ≤ Σ_b min(cntA[b], cntB[b]) (every
+    //    shared shingle lands in the same bucket on both sides), so a
+    //    pair whose bound misses minOverlap cannot be a J ≥ 0.8 pair.
+    //    The sketch rides each prefix row (B ints, ~2 orders smaller
+    //    than the doc), and the bound is PAIR-CONSTANT — identical on
+    //    every row of a pair — so whole pairs survive or die and the
+    //    aggregated filter below keeps its losslessness argument.
+    //    Bucket hash is Spark-side only (the oracle never sees
+    //    candidates), so cross-engine hash parity is not in play.
+    val B = 32
+    val cnts = sh.withColumn("b", pmod(hash(col("s")), lit(B)))
+      .groupBy("doc_id")
+      .agg(array((0 until B).map(i =>
+        sum(when(col("b") === i, 1L).otherwise(0L)).cast("int")): _*).as("bcnt"))
+    // ranked is already hash-partitioned by doc_id (the window), so this
+    // equi-join only shuffles the per-doc sketch side
+    val withSketch = prefix.join(cnts, "doc_id")
+    val a = withSketch.select(col("doc_id").as("doc_a"), col("s"),
+      col("__r").as("ra"), col("__n").as("na"), col("bcnt").as("ca"))
+    val b = withSketch.select(col("doc_id").as("doc_b"), col("s"),
+      col("__r").as("rb"), col("__n").as("nb"), col("bcnt").as("cb"))
     // Per-row survivors are a PREFIX of each pair's shared tokens (the
     // positional bound is monotone decreasing in position), which makes
     // the aggregated filter below lossless: with c = count of surviving
@@ -623,45 +643,36 @@ object Dedup {
         lit(4L) * greatest(col("na"), col("nb")))
       .filter(lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
         minOverlap)
+      .filter(aggregate(zip_with(col("ca"), col("cb"), (x, y) => least(x, y)),
+        lit(0L), (acc, m) => acc + m) >= minOverlap)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"), max(col("ra")).as("ram"),
         max(col("rb")).as("rbm"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .filter(col("c") + least(col("na") - col("ram"), col("nb") - col("rbm")) >=
         minOverlap)
       .select("doc_a", "doc_b", "na", "nb")
-    // LOSSLESS pre-verify prune (the r6 100× fix): the aggregated prefix
-    // filters keep ~0.1%-true candidates on replica-heavy corpora (100×
-    // probe: 20.6M candidates, 24.7k real pairs), and the verify join
-    // then ships two ~|doc| string arrays per candidate — measured as
-    // ~85% of the 100× wall time. Before touching any full array, bound
-    // the overlap with a 32-bucket count sketch: hashing each doc's
-    // shingle set into B counters gives, for ANY pair,
-    //   |A ∩ B| ≤ Σ_b min(cntA[b], cntB[b])
-    // (every shared shingle lands in the same bucket on both sides), so
-    // dropping pairs whose bound misses the J ≥ 0.8 minimum overlap can
-    // never drop a true pair — while near-miss candidates (the 99.9%)
-    // die holding 32 ints instead of 65 strings. Bucket hash is
-    // Spark-side only (the oracle never sees candidates), so
-    // cross-engine hash parity is not in play.
-    val B = 32
-    val cnts = sh.withColumn("b", pmod(hash(col("s")), lit(B)))
+      // pinned: `cand` feeds BOTH the needed-docs semi-join and the
+      // verify join below — without the checkpoint the whole candidate
+      // generation would run twice (and it is output-bounded: ~pairs,
+      // not corpus)
+      .localCheckpoint(true)
+    // Exact verify as a per-pair array intersection. The arrays are
+    // built ONLY for documents that still appear in a surviving pair
+    // (a broadcast semi-join on the output-bounded doc list): the r8
+    // profile built sorted arrays for all 500k replica docs when ~40k
+    // were ever fetched — verify work must be Σ_candidates |doc|, not
+    // corpus-wide. The intersection itself runs inside codegen — no
+    // candidate × shingle row explosion, no post-join agg shuffle.
+    // no broadcast hint: `needed` is usually tiny (AQE sees the
+    // checkpointed cand's true size and plans the broadcast itself) but
+    // on a dup-saturated corpus it approaches the doc count, where a
+    // forced broadcast would OOM and a shuffled semi-join is correct
+    val needed = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val arrs = sh.join(needed, Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
-      .agg(array((0 until B).map(i =>
-        sum(when(col("b") === i, 1L).otherwise(0L)).cast("int")): _*).as("bcnt"))
-    val bounded = cand
-      .join(cnts.select(col("doc_id").as("doc_a"), col("bcnt").as("ca")), "doc_a")
-      .join(cnts.select(col("doc_id").as("doc_b"), col("bcnt").as("cb")), "doc_b")
-      .filter(aggregate(zip_with(col("ca"), col("cb"), (x, y) => least(x, y)),
-        lit(0L), (acc, m) => acc + m) >= minOverlap)
-      .select("doc_a", "doc_b", "na", "nb")
-    // Exact verify as a per-pair array intersection: each doc's shingle
-    // set is collected ONCE into a sorted array (bounded by document
-    // length), the bound's survivors fetch the two arrays by equi-join,
-    // and the intersection runs inside codegen — no candidate × shingle
-    // row explosion and no post-join aggregation shuffle.
-    val arrs = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("arr"))
-    bounded
+    cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
       .withColumn("i", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
