@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{QueryDef, Tables}
@@ -75,6 +75,21 @@ object Multimodal {
     @inline def g(id: Long, x: Int, y: Int): Int = ((2L * x + id) % 256).toInt
     @inline def b(id: Long, x: Int, y: Int): Int = ((x.toLong * y + id) % 256).toInt
 
+    // Resolve the PNG reader/writer SERVICE PROVIDERS once per JVM — the
+    // same hoist AudioCodec does for WAV. `ImageIO.read`/`write`/
+    // `getImageReadersByFormatName` run a synchronized registry scan per
+    // call, which serializes 32 decode threads; worse, the convenience
+    // stream wrappers default to FILE-backed caching (`ImageIO.useCache`),
+    // adding a temp-file round-trip per image. Reader/Writer INSTANCES
+    // are stateful (setInput) and not shareable, but `createReaderInstance`
+    // off a pinned SPI is allocation-only — no registry, no lock.
+    private lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        .getOriginatingProvider
+    private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        .getOriginatingProvider
+
     /** Render the gradient and encode REAL PNG bytes. */
     def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -88,15 +103,36 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val writer = pngWriterSpi.createWriterInstance()
+      try { writer.setOutput(ios); writer.write(img) }
+      finally { writer.dispose(); ios.close() }
       bos.toByteArray
     }
 
     final case class Decoded(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
 
+    /** Read bytes via the pinned PNG provider when they ARE a PNG (the
+      * hot path — no registry scan, no disk-cache wrapper), falling back
+      * to the general `ImageIO.read` registry dispatch for other
+      * container formats (JPEG/BMP — the cold path). */
+    private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // canDecodeInput honors the mark/reset contract: position unchanged
+      if (pngReaderSpi.canDecodeInput(iis)) {
+        val reader = pngReaderSpi.createReaderInstance()
+        try { reader.setInput(iis, true, true); reader.read(0) }
+        finally { reader.dispose(); iis.close() }
+      } else {
+        iis.close()
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      }
+    }
+
     /** Decode PNG/JPEG/BMP bytes and accumulate exact per-channel sums. */
     def decode(bytes: Array[Byte]): Decoded = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0
       while (y < img.getHeight) {
@@ -114,7 +150,7 @@ object Multimodal {
     /** Real resize via Graphics2D (the "decode + resize to model input"
       * step; interpolation is JVM-deterministic, spec-tested). */
     def resize(bytes: Array[Byte], outW: Int, outH: Int): java.awt.image.BufferedImage = {
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val src = readImage(bytes)
       val dst = new java.awt.image.BufferedImage(outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g2 = dst.createGraphics()
       try g2.drawImage(src, 0, 0, outW, outH, null)
@@ -234,11 +270,22 @@ object Multimodal {
       new java.awt.image.IndexColorModel(8, 256, g, g, g)
     }
 
+    // GIF reader/writer SPIs pinned once per JVM (see ImageCodec's PNG
+    // note): per-row registry scans serialize decode threads, and the
+    // `ImageIO.createImage*Stream` wrappers default to file-backed
+    // caching — a temp-file round-trip per clip.
+    private lazy val gifReaderSpi: javax.imageio.spi.ImageReaderSpi =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        .getOriginatingProvider
+    private lazy val gifWriterSpi: javax.imageio.spi.ImageWriterSpi =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        .getOriginatingProvider
+
     /** Render nFrames gradient frames and encode a REAL animated GIF. */
     def encodeGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val writer = gifWriterSpi.createWriterInstance()
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
@@ -270,9 +317,9 @@ object Multimodal {
       * real decoded frames, without re-parsing the container for the
       * count. */
     def decodeSampled(bytes: Array[Byte], stride: Int): SampledClip = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val reader = gifReaderSpi.createReaderInstance()
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
@@ -300,9 +347,9 @@ object Multimodal {
 
     /** Total frame count without decoding pixel data. */
     def frameCount(bytes: Array[Byte]): Int = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val reader = gifReaderSpi.createReaderInstance()
       try { reader.setInput(iis); reader.getNumImages(true) }
       finally { reader.dispose(); iis.close() }
     }
@@ -310,12 +357,62 @@ object Multimodal {
 
   /** Partition-parallel decode: one kernel init per partition, streaming
     * iterator in and out (the mapInPandas batch shape, Scala-native). */
+  /** Byte-weighted repartition for decode stages (VERDICT r8 #2). Decode
+    * cost is ∝ payload bytes, and payloads vary orders of magnitude, so a
+    * round-robin `repartition(n)` leaves the cluster waiting on whichever
+    * task drew the big blobs — at 100 TB the multimodal risk is STRAGGLER
+    * SKEW, not growth. This balances BYTES, not row counts:
+    *
+    *  1. global running byte offset per row via q151's two-level prefix
+    *     sum (bucket partial sums → exclusive prefix over the tiny bucket
+    *     frame → broadcast back; no global-sort window over the corpus);
+    *  2. the cumulative byte line is cut into `slicesPerPart × nParts`
+    *     contiguous equal-byte slices (each ≈ total/S bytes, + one row of
+    *     slop), and slices hash across partitions.
+    *
+    * Many small slices are what make hash placement safe: per-partition
+    * slice counts concentrate tightly around `slicesPerPart` (CLT), so
+    * partition bytes land within a few percent of the mean — the spec
+    * pins ≤ ~2× mean on an adversarially skewed fixture. A single row
+    * larger than total/S keeps its slice to itself (one task — the
+    * irreducible floor for an indivisible blob). Cost: one small-frame
+    * window + broadcast joins on top of the shuffle the old repartition
+    * already paid. */
+  private[graft] def byteBalanced(df: DataFrame, id: Column, weight: Column,
+                                  nParts: Int, slicesPerPart: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = df.columns.toSeq
+    val slices = math.max(nParts * slicesPerPart, 1)
+    val t = df
+      .withColumn("__w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("__id", id.cast("long"))
+      .withColumn("__bkt", expr("__id div 1000"))
+    val bucketSums = t.groupBy("__bkt").agg(sum(col("__w")).as("__bw"))
+    val bucketOffsets = bucketSums.withColumn("__off",
+      coalesce(sum(col("__bw")).over(
+        Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val total = bucketSums.agg(sum(col("__bw")).as("__total"))
+    t.join(broadcast(bucketOffsets.select(col("__bkt"), col("__off"))), Seq("__bkt"))
+      .withColumn("__start", col("__off") + coalesce(sum(col("__w")).over(
+        Window.partitionBy("__bkt").orderBy("__id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("__slice",
+        expr(s"__start div ((__total + ${slices - 1}) div $slices)"))
+      .repartition(nParts, col("__slice"))
+      .select(keep.map(col): _*)
+  }
+
   def decodeAll(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      // real codec would init its context here, once per partition
-      it.map(FakeCodec.decode(_, outW, outH))
-    }
+    val n = media.sparkSession.sparkContext.defaultParallelism
+    byteBalanced(media.toDF(), col("media_id"), octet_length(col("media")), n)
+      .as[MediaRow]
+      .mapPartitions { it =>
+        // real codec would init its context here, once per partition
+        it.map(FakeCodec.decode(_, outW, outH))
+      }
   }
 
   /** Build a media table from the documents corpus (bytes = utf-8 text —
@@ -378,11 +475,14 @@ object Multimodal {
       |  CAST(sb AS DOUBLE) / (w*h) AS mean_b
       |FROM px ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val dims = Tables.documents(s, d)
-      .select(col("doc_id").cast("long").as("media_id"),
-        (col("doc_id") % 16 + 8).cast("int").as("w"),
-        (col("doc_id") % 12 + 8).cast("int").as("h"))
-      .repartition(s.sparkContext.defaultParallelism) // codec uses the cluster, not the scan layout
+    // byte-balanced, not round-robin: decode work ∝ w·h, and the cluster
+    // must not wait on whichever task drew the big frames
+    val dims = byteBalanced(
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (col("doc_id") % 16 + 8).cast("int").as("w"),
+          (col("doc_id") % 12 + 8).cast("int").as("h")),
+      col("media_id"), col("w") * col("h"), s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int)]
     dims.mapPartitions { it =>
       it.map { case (id, w, h) =>
@@ -417,14 +517,15 @@ object Multimodal {
       |  CAST(MAX(ABS(s)) AS INT) AS peak
       |FROM samp GROUP BY 1, 2 ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    // repartition before the codec: decode is CPU-bound and must use the
-    // cluster, not inherit the scan's partitioning (a compact metadata
-    // table packs into very few scan partitions — decoding 50k clips on
-    // one core is the bottleneck the shuffle of tiny (id, n) rows buys off)
-    val dims = Tables.documents(s, d)
-      .select(col("doc_id").cast("long").as("media_id"),
-        (col("doc_id") % 500 + 100).cast("int").as("n"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // byte-balanced repartition before the codec: decode is CPU-bound
+    // (∝ samples) and must use the whole cluster evenly, not inherit the
+    // scan's partitioning (a compact metadata table packs into very few
+    // scan partitions) or round-robin's luck with long clips
+    val dims = byteBalanced(
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (col("doc_id") % 500 + 100).cast("int").as("n")),
+      col("media_id"), col("n"), s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     dims.mapPartitions { it =>
       it.map { case (id, n) =>
@@ -461,12 +562,16 @@ object Multimodal {
       |  CAST(gs AS DOUBLE) / ((nf + 1) // 2 * w * h) AS mean_gray
       |FROM px ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val dims = Tables.documents(s, d)
-      .select(col("doc_id").cast("long").as("media_id"),
-        (col("doc_id") % 12 + 6).cast("int").as("w"),
-        (col("doc_id") % 10 + 6).cast("int").as("h"),
-        (col("doc_id") % 6 + 3).cast("int").as("nf"))
-      .repartition(s.sparkContext.defaultParallelism) // codec uses the cluster, not the scan layout
+    // byte-balanced: decode work ∝ w·h·frames — the widest per-row cost
+    // spread of the three modalities, so the straggler risk is largest
+    val dims = byteBalanced(
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (col("doc_id") % 12 + 6).cast("int").as("w"),
+          (col("doc_id") % 10 + 6).cast("int").as("h"),
+          (col("doc_id") % 6 + 3).cast("int").as("nf")),
+      col("media_id"), col("w") * col("h") * col("nf"),
+      s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int, Int)]
     dims.mapPartitions { it =>
       it.map { case (id, w, h, nf) =>

@@ -88,6 +88,31 @@ class MultimodalSpec extends SparkSpec {
     VideoCodec.sampleFrames(bytes, stride = 2).map(_.frameIdx) shouldBe Seq(0, 2, 4)
   }
 
+  test("byteBalanced bounds partition bytes near the mean on a skewed corpus") {
+    import org.apache.spark.sql.functions._
+    // Adversarial fixture: heavy blobs CLUSTERED in id order (ids 0-49 are
+    // 100x the rest) — scan-order chunking would hand one task all of
+    // them. maxRow (5000) < per-partition mean, so a ~2x bound is
+    // attainable; an indivisible mega-blob is the documented exception.
+    val nParts = 8
+    val rows = (0 until 50).map(i => (i.toLong, 5000L)) ++
+      (50 until 2050).map(i => (i.toLong, 50L))
+    val df = rows.toDF("media_id", "w")
+    val out = Multimodal.byteBalanced(df, col("media_id"), col("w"), nParts)
+    out.rdd.getNumPartitions shouldBe nParts
+    // same multiset of rows back (repartition only moves, never rewrites)
+    out.groupBy().agg(sum("w"), count(lit(1))).head() shouldBe
+      df.groupBy().agg(sum("w"), count(lit(1))).head()
+    val perPart = out
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(sum("w").as("bytes"))
+      .collect().map(_.getLong(1))
+    val mean = rows.map(_._2).sum.toDouble / nParts
+    withClue(s"partition byte loads ${perPart.toSeq.sorted.reverse}, mean $mean:\n") {
+      perPart.max.toDouble should be <= 2.0 * mean
+    }
+  }
+
   test("media table derives deterministically from documents") {
     val m = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     m.count() shouldBe 500
