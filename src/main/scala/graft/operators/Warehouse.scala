@@ -185,5 +185,86 @@ object Warehouse {
       .orderBy("column_name")
   }
 
-  val all: Seq[QueryDef] = Seq(q184, q185, q186)
+  /** q188: INCREMENTAL SCD2 maintenance — q184's dimension kept current by
+    * MERGE instead of rebuilt from scratch. Batch-1 (the first 3/4 of the
+    * time range) builds the stored dimension once; batch-2 then refreshes
+    * it touching ONLY affected users: a user's intervals can change iff
+    * they have new purchases AND fewer than 3 stored tiers (tier is capped
+    * at 3, and a later purchase can only close the currently-open
+    * interval or append tiers — earlier closed intervals are immutable).
+    * The refresh never rescans batch-1: the stored tier rows themselves
+    * carry everything needed (the valid_from of each of the first ≤3
+    * purchases), so the per-user recompute is stored-rows ∪ new
+    * purchases, re-ranked, first 3 kept, valid_to re-derived by LEAD,
+    * and 3-clause-MERGEd back on (user_id, tier). At 100 TB this is the
+    * difference between a daily full-history window over every user and
+    * a job proportional to the day's batch plus the affected slice of a
+    * dimension that is orders of magnitude smaller than the fact.
+    *
+    * Correctness contract: the time split is STRICT (batch-2 ts > cut >
+    * every batch-1 ts), so appending batch-2 purchases after the stored
+    * ranks reproduces the global (ts, event_id) purchase order exactly;
+    * the oracle is the from-scratch SCD2 build over ALL events —
+    * incremental ≡ rebuild, hash-checked. */
+  val q188 = QueryDef(
+    "q188_scd2_incremental",
+    """WITH p AS (
+      |  SELECT user_id, ts,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      |  FROM events WHERE event_type = 'purchase'),
+      |ch AS (SELECT user_id, CAST(k AS INT) AS tier, ts AS valid_from
+      |       FROM p WHERE k <= 3)
+      |SELECT user_id, tier, valid_from,
+      |       LEAD(valid_from) OVER (PARTITION BY user_id
+      |                              ORDER BY valid_from, tier) AS valid_to
+      |FROM ch ORDER BY user_id, tier""".stripMargin) { (s, d) =>
+    import graft.sources.TableStore
+    val st = new TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-scd2").toString)
+    val ev = Tables.events(s, d)
+    val range = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cut = range.getLong(0) + (range.getLong(1) - range.getLong(0)) * 3 / 4
+    def dimOf(e: org.apache.spark.sql.DataFrame) = {
+      val wK = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ch = e.filter(col("event_type") === "purchase")
+        .withColumn("k", row_number().over(wK)).filter(col("k") <= 3)
+        .select(col("user_id"), col("k").cast("int").as("tier"),
+          col("ts").as("valid_from"))
+      val wDim = Window.partitionBy("user_id").orderBy("valid_from", "tier")
+      ch.withColumn("valid_to", lead(col("valid_from"), 1).over(wDim))
+    }
+    st.create("dim", dimOf(ev.filter(unix_micros(col("ts")) <= cut)),
+      Seq(graft.constraints.Constraints.PrimaryKey(Seq("user_id", "tier"))))
+    // the incremental refresh: batch-2 purchases only, affected users only
+    val batch2 = ev
+      .filter(unix_micros(col("ts")) > cut && col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val dim0 = st.table("dim")
+    val tiers = dim0.groupBy("user_id").agg(max("tier").as("c"))
+    val affected = batch2.select("user_id").distinct()
+      .join(tiers, Seq("user_id"), "left")
+      .filter(col("c").isNull || col("c") < 3)
+      .select(col("user_id"), coalesce(col("c"), lit(0)).as("c"))
+    // stored rows keep their rank (= tier); new purchases rank after them —
+    // exact, because the split is strict in ts (see contract above)
+    val existing = dim0.join(affected.select("user_id"), Seq("user_id"))
+      .select(col("user_id"), col("tier").as("rk"), col("valid_from"))
+    val wNew = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val fresh = batch2.join(affected, Seq("user_id"))
+      .withColumn("rk", (col("c") + row_number().over(wNew)).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("ts").as("valid_from"))
+    val wUpd = Window.partitionBy("user_id").orderBy("valid_from", "rk")
+    val upd = existing.unionByName(fresh)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wUpd))
+      .select(col("user_id"), col("rk").as("tier"), col("valid_from"),
+        col("valid_to"))
+    st.mergeInto("dim", upd, Seq("user_id", "tier"),
+      matchedUpdate = Map("valid_to" -> TableStore.src("valid_to")),
+      insertUnmatched = true)
+    st.table("dim").select("user_id", "tier", "valid_from", "valid_to")
+      .orderBy("user_id", "tier")
+  }
+
+  val all: Seq[QueryDef] = Seq(q184, q185, q186, q188)
 }
