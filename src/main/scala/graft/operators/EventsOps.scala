@@ -18,6 +18,13 @@ import graft.functions.Dec._
 object EventsOps {
 
   /** Recursively delete a temp tree (streaming staging dirs). */
+  /** Rows per staged replay file for q187's outer-join gate — sized so a
+    * bench-scale run stages ONE file (the minimal three-batch replay)
+    * while a 100×-replica run parallel-writes tens. Package-private so
+    * the spec can force the multi-file + padded-carrier-batch path at
+    * test scale; never mutated in production paths. */
+  private[graft] var OuterStageRowsPerFile = 2000000L
+
   private def rmTree(p: java.nio.file.Path): Unit = {
     val f = p.toFile
     if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
@@ -1109,7 +1116,21 @@ object EventsOps {
     * Scale posture: state is keyed by user and bounded by the watermark
     * horizon (the q149 contract), and unmatched rows leave state exactly
     * once — the property that keeps a production outer join's memory
-    * flat under unbounded input. */
+    * flat under unbounded input. Three replay mechanics scale with the
+    * corpus, not with the batch count, and each is sized by data volume:
+    * (1) events stage as ~2M-row parquet files written in parallel (ONE
+    * file at bench scale — identical to the original shape — tens at the
+    * 100× replica; a single coalesce(1) file would serialize the whole
+    * corpus through one task), with `maxFilesPerTrigger` = the staged
+    * file count and each carrier batch PADDED to that count with empty
+    * files so the three-batch discipline survives multi-file staging;
+    * (2) the join runs at 8 shuffle partitions only when staging is
+    * single-file (q149's state-store-commit sizing), else at the full
+    * session width; (3) the sink is `foreachBatch` reducing every batch
+    * to per-user count partials on the executors — the joined rows
+    * (∝ corpus) NEVER land on the driver, unlike a memory sink, which
+    * buffers them all. Counts are decomposable, so summing the partials
+    * afterwards is exact regardless of which batch emitted which row. */
   val q187 = QueryDef(
     "q187_streaming_outer_join_gate",
     """WITH j AS (
@@ -1124,7 +1145,11 @@ object EventsOps {
       |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val mMicros = ev.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val mn = ev.agg(max(expr("unix_micros(ts)")), count(lit(1))).head()
+    val mMicros = mn.getLong(0)
+    // ~2M rows per staged file: exactly one file (the original replay
+    // shape) at bench scale, parallel-written tens at the 100× replica
+    val nFiles = math.max(1L, math.min(32L, mn.getLong(1) / OuterStageRowsPerFile + 1)).toInt
     val hourUs = 3600L * 1000000L
     // one click + one purchase carrier so BOTH sides' post-filter
     // watermark domains observe the flush instant
@@ -1136,35 +1161,62 @@ object EventsOps {
       row(-1L, "click").unionByName(row(-2L, "purchase"))
     }
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-outer")
-    def stage(name: String, df: org.apache.spark.sql.DataFrame, modSec: Int): Unit = {
+    val partialsDir = java.nio.file.Files.createTempDirectory("graft-outer-partials")
+    // stage `df` as `parts` parquet files sharing one mod time: files with
+    // equal mod time land in the same micro-batch once maxFilesPerTrigger
+    // equals the per-batch file count
+    def stage(name: String, df: org.apache.spark.sql.DataFrame,
+              parts: Int, modSec: Int): Int = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-outer-$name")
       try {
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dst = streamDir.resolve(s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
-        ()
+        df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+        val files = tmp.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        files.zipWithIndex.foreach { case (f, i) =>
+          val dst = streamDir.resolve(f"$name%s_$i%03d.parquet")
+          java.nio.file.Files.move(f.toPath, dst)
+          dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+        }
+        files.length
       } finally rmTree(tmp)
     }
     val sinkName = "q187_outer_sink"
     try {
-      stage("a_events", ev, 0)
-      stage("b_flush", carriers(mMicros + 48 * hourUs), 10)
-      stage("c_flush", carriers(mMicros + 96 * hourUs), 20)
+      val nStaged = stage("a_events", ev, nFiles, 0)
+      // each carrier batch must contain exactly nStaged files so the
+      // three-batch boundary survives maxFilesPerTrigger = nStaged: the
+      // carrier itself plus (nStaged - 1) empty pad files
+      def stageCarrier(name: String, tsMicros: Long, modSec: Int): Unit = {
+        stage(name, carriers(tsMicros), 1, modSec)
+        if (nStaged > 1) {
+          val padTmp = java.nio.file.Files.createTempDirectory(s"graft-outer-pad")
+          try {
+            ev.limit(0).coalesce(1).write.mode("overwrite").parquet(padTmp.toString)
+            val pad = padTmp.toFile.listFiles()
+              .find(_.getName.endsWith(".parquet")).get.toPath
+            (1 until nStaged).foreach { i =>
+              val dst = streamDir.resolve(f"$name%s_pad_$i%03d.parquet")
+              java.nio.file.Files.copy(pad, dst)
+              dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+            }
+          } finally rmTree(padTmp)
+        }
+      }
+      stageCarrier("b_flush", mMicros + 48 * hourUs, 10)
+      stageCarrier("c_flush", mMicros + 96 * hourUs, 20)
 
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       def side(tp: String, userAs: String, tsAs: String) =
         s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", nStaged.toString)
           .parquet(streamDir.toString)
           .filter(col("event_type") === tp)
           .select(col("user_id").as(userAs), col("ts").as(tsAs))
           .withWatermark(tsAs, "1 hour")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // q149's state-store sizing
+      // q149's state-store-commit sizing when replay is single-file; the
+      // full session width once the corpus is big enough to multi-file
+      s.conf.set("spark.sql.shuffle.partitions", if (nStaged == 1) "8" else prevShuffle)
       try {
         val q = side("click", "c_user", "c_ts")
           .join(side("purchase", "p_user", "p_ts"),
@@ -1172,22 +1224,33 @@ object EventsOps {
               col("p_ts") > col("c_ts") &&
               col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
             "left_outer")
-          .writeStream.format("memory").queryName(sinkName)
+          .writeStream
+          .queryName(sinkName)
           .outputMode("append")
+          // executor-side reduction to per-user count partials: the joined
+          // rows themselves (∝ corpus) never reach the driver
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.filter(col("c_user") =!= -1) // mask the watermark carriers
+              .groupBy(col("c_user"))
+              .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"))
+              .write.mode("append").parquet(partialsDir.toString)
+            ()
+          }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(sinkName).localCheckpoint(true)
-        .filter(col("c_user") =!= -1) // mask the watermark carriers
+      s.read.parquet(partialsDir.toString)
         .groupBy(col("c_user").as("user_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          count(col("p_ts")).as("n_matched"),
-          (count(lit(1)) - count(col("p_ts"))).as("n_unmatched"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("n_matched")).as("n_matched"))
+        .select(col("user_id"), col("n_rows"), col("n_matched"),
+          (col("n_rows") - col("n_matched")).as("n_unmatched"))
         .orderBy("user_id")
+        .localCheckpoint(true) // pin: the staging dirs are deleted below
     } finally {
-      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       rmTree(streamDir)
+      rmTree(partialsDir)
     }
   }
 

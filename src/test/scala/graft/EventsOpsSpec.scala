@@ -50,6 +50,21 @@ class EventsOpsSpec extends SparkSpec {
     stageDirs() shouldBe before
   }
 
+  test("q187 multi-file replay (padded carrier batches) equals single-file replay") {
+    // force the 100×-replica staging shape at test scale: events split
+    // across several replay files, carrier batches padded with empty
+    // files — the outer-join output must be identical to the default
+    // single-file three-batch replay
+    val single = operators.EventsOps.q187.build(spark, dir).collect().toSeq
+    val prev = operators.EventsOps.OuterStageRowsPerFile
+    operators.EventsOps.OuterStageRowsPerFile = 100L // sf0.001 events ≫ 100 rows
+    try {
+      val multi = operators.EventsOps.q187.build(spark, dir).collect().toSeq
+      multi shouldBe single
+      single.size should be > 0
+    } finally operators.EventsOps.OuterStageRowsPerFile = prev
+  }
+
   test("q163 seasonal-naive eval agrees with a driver-side recount") {
     val rows = operators.EventsOps.q163.build(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
