@@ -460,7 +460,12 @@ object EventsOps {
     * Scale posture: dedup state is keyed by event_id and distributed
     * across the state store; production ingestion bounds it with
     * `dropDuplicatesWithinWatermark` (spec-covered in DedupIngestSpec) —
-    * the unwatermarked form here is the bounded-replay gate shape. */
+    * the unwatermarked form here is the bounded-replay gate shape. The
+    * sink is `foreachBatch` reducing each batch to per-type decimal
+    * partials on the executors (exact + associative, so batch splits
+    * cannot perturb the bits) — the deduped rows themselves (∝ corpus)
+    * never accumulate on the driver the way a memory sink would hold
+    * them. */
   val q148 = QueryDef(
     "q148_streaming_dedup_gate",
     """SELECT event_type, COUNT(*) AS n_events,
@@ -469,25 +474,36 @@ object EventsOps {
     import graft.functions.Dec._
     val raw = s.read.parquet(s"$d/events.parquet")
     val (streamPath, staged) = stagedEventsPath(d)
+    val partials = java.nio.file.Files.createTempDirectory("graft-stream-partials")
     try {
       def sourceOnce = s.readStream.schema(raw.schema).parquet(streamPath)
         .select(col("event_id"), col("event_type"), col("value"))
       val sinkName = "q148_dedup_sink"
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       val q = sourceOnce.unionByName(sourceOnce)
         .dropDuplicates("event_id")
-        .writeStream.format("memory").queryName(sinkName)
+        .writeStream
+        .queryName(sinkName)
         .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("vsum"))
+            .write.mode("append").parquet(partials.toString)
+          ()
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sinkName)
+      s.read.parquet(partials.toString)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(d4(col("value"))).cast("double").as("value_sum"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("vsum")).cast("double").as("value_sum"))
         .orderBy("event_type")
-    } finally staged.foreach(rmTree)
+        .localCheckpoint(true) // pin: the partials dir is deleted below
+    } finally {
+      staged.foreach(rmTree)
+      rmTree(partials)
+    }
   }
 
   /** Fourth streaming oracle gate — STREAM-STREAM JOIN, the hardest
@@ -502,7 +518,10 @@ object EventsOps {
     * a bounded file drops nothing), and both engines compare identical
     * whole-microsecond instants. Scale posture: state is keyed by user
     * and retained only inside the watermark horizon — bounded memory at
-    * any throughput, the q65/q82 range-join semantics moved to streams. */
+    * any throughput, the q65/q82 range-join semantics moved to streams;
+    * the sink is `foreachBatch` reducing each batch to per-user integer
+    * partials on the executors (exact + associative), so the matched
+    * pairs (∝ corpus) never accumulate on the driver. */
   val q149 = QueryDef(
     "q149_streaming_join_gate",
     """WITH pr AS (
@@ -515,6 +534,7 @@ object EventsOps {
       |FROM pr GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
     val raw = s.read.parquet(s"$d/events.parquet")
     val (streamPath, staged) = stagedEventsPath(d)
+    val partials = java.nio.file.Files.createTempDirectory("graft-stream-partials")
     try {
       val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
       def side(tp: String, userAs: String, tsAs: String) =
@@ -524,7 +544,6 @@ object EventsOps {
           .withWatermark(tsAs, "24 hours")
       val sinkName = "q149_join_sink"
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       // A stream-stream join materializes FOUR state stores per shuffle
       // partition, each paying per-micro-batch checkpoint commits — at the
       // session default (32) that fixed cost dwarfs the bounded replay's
@@ -541,18 +560,30 @@ object EventsOps {
             col("p_user") === col("c_user") &&
               col("p_ts") > col("c_ts") &&
               col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-          .writeStream.format("memory").queryName(sinkName)
+          .writeStream
+          .queryName(sinkName)
           .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.groupBy(col("c_user"))
+              .agg(count(lit(1)).as("n_pairs"),
+                sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("lag_us"))
+              .write.mode("append").parquet(partials.toString)
+            ()
+          }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(sinkName)
+      s.read.parquet(partials.toString)
         .groupBy(col("c_user").as("user_id"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("total_lag_us"))
+        .agg(sum(col("n_pairs")).as("n_pairs"),
+          sum(col("lag_us")).as("total_lag_us"))
         .orderBy("user_id")
-    } finally staged.foreach(rmTree)
+        .localCheckpoint(true) // pin: the partials dir is deleted below
+    } finally {
+      staged.foreach(rmTree)
+      rmTree(partials)
+    }
   }
 
   /** q153: time-series gap fill — a dense per-user hourly spine over each
