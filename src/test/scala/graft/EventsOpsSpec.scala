@@ -44,6 +44,8 @@ class EventsOpsSpec extends SparkSpec {
     }
     val before = stageDirs()
     operators.EventsOps.q145.build(spark, dir).collect()
+    operators.EventsOps.q148.build(spark, dir).collect() // partials dir cleaned
+    operators.EventsOps.q149.build(spark, dir).collect() // partials dir cleaned
     operators.EventsOps.q183.build(spark, dir).collect()
     operators.EventsOps.q183.build(spark, dir).collect() // repeated run: no accumulation
     operators.EventsOps.q187.build(spark, dir).collect()
