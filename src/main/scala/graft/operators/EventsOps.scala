@@ -546,14 +546,18 @@ object EventsOps {
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
       // A stream-stream join materializes FOUR state stores per shuffle
       // partition, each paying per-micro-batch checkpoint commits — at the
-      // session default (32) that fixed cost dwarfs the bounded replay's
-      // row work. 8 partitions keep the join distributed while cutting the
-      // commit fan-out 4×; the partition count is frozen into the (fresh,
-      // per-run) checkpoint, so this never mismatches resumed state.
-      // restored only after termination: the micro-batch thread reads the
-      // conf when it plans the first batch, which happens after start()
+      // session default (32) that fixed cost dwarfs a bench-scale replay's
+      // row work, so small corpora run at 8 partitions to cut the commit
+      // fan-out 4×. But the join also pays one state-store PUT per input
+      // row, which dominates once the corpus is large (the 100× replica
+      // measured 89× growth pinned at 8) — big corpora keep session width.
+      // The partition count is frozen into the (fresh, per-run) checkpoint,
+      // so this never mismatches resumed state; restored only after
+      // termination: the micro-batch thread reads the conf when it plans
+      // the first batch, which happens after start().
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        if (raw.count() <= OuterStageRowsPerFile) "8" else prevShuffle)
       try {
         val q = side("click", "c_user", "c_ts")
           .join(side("purchase", "p_user", "p_ts"),
