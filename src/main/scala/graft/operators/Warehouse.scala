@@ -266,5 +266,131 @@ object Warehouse {
       .orderBy("user_id", "tier")
   }
 
-  val all: Seq[QueryDef] = Seq(q184, q185, q186, q188)
+  /** q189: STREAMING SCD2 maintenance — q188's MERGE refresh driven by a
+    * Structured Streaming replay instead of a one-shot batch split. The
+    * event history replays as four strictly time-ordered micro-batches
+    * (quarter-range slices of the corpus, each staged as an equal number
+    * of parquet files so `maxFilesPerTrigger` = files-per-slice keeps the
+    * batch boundaries exact — the q187 staging discipline); a
+    * `foreachBatch` sink applies the SAME refresh to the stored dimension
+    * each batch: affected users only, stored tiers ∪ batch purchases
+    * re-ranked, valid_to re-derived, 3-clause MERGE on (user_id, tier).
+    * From an EMPTY dimension the first batch bootstraps it — every user
+    * is "new" — so the maintenance loop and the initial load are one code
+    * path, which is exactly how a production dimension consumes CDC.
+    *
+    * Correctness: the strict time slicing makes the q188 append-only
+    * rank argument inductive — every batch's purchases come after every
+    * stored tier's valid_from, so stored ranks stay exact; the oracle is
+    * the same from-scratch SCD2 rebuild, hash-≡ after four merges.
+    * Production epoch-idempotence (a restarted batch re-merging) is the
+    * store's exactly-once ledger pattern (ExactlyOnceSinkSpec), not
+    * exercised by this bounded replay.
+    *
+    * Scale posture: q188's refresh bound (batch + affected dim slice,
+    * measured 1.4× at 100×) now paid once per micro-batch; staging is
+    * parallel multi-file; nothing row-scale touches the driver. */
+  val q189 = QueryDef(
+    "q189_streaming_scd2_gate",
+    """WITH p AS (
+      |  SELECT user_id, ts,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      |  FROM events WHERE event_type = 'purchase'),
+      |ch AS (SELECT user_id, CAST(k AS INT) AS tier, ts AS valid_from
+      |       FROM p WHERE k <= 3)
+      |SELECT user_id, tier, valid_from,
+      |       LEAD(valid_from) OVER (PARTITION BY user_id
+      |                              ORDER BY valid_from, tier) AS valid_to
+      |FROM ch ORDER BY user_id, tier""".stripMargin) { (s, d) =>
+    import graft.sources.TableStore
+    val st = new TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString)
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      count(lit(1))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val nFiles = math.max(1L,
+      math.min(32L, r.getLong(2) / EventsOps.OuterStageRowsPerFile + 1)).toInt
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-stage")
+    try {
+      // four strict quarter-range slices; repartition(nFiles) writes each
+      // as EXACTLY nFiles parts, so every micro-batch is one whole slice
+      val cuts = Seq(Long.MinValue, lo + (hi - lo) / 4, lo + (hi - lo) / 2,
+        lo + (hi - lo) * 3 / 4, Long.MaxValue)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-scd2-slice$i")
+        try {
+          ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b)
+            .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+          tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, j) =>
+              val dst = streamDir.resolve(f"slice$i%d_$j%03d.parquet")
+              java.nio.file.Files.move(f.toPath, dst)
+              dst.toFile.setLastModified(1000000000000L + i * 10000L)
+            }
+        } finally {
+          val fl = tmp.toFile.listFiles(); if (fl != null) fl.foreach(_.delete())
+          java.nio.file.Files.deleteIfExists(tmp); ()
+        }
+      }
+      // empty dimension: the first refresh bootstraps it
+      st.create("dim", ev.limit(0).select(col("user_id"),
+          lit(1).cast("int").as("tier"), col("ts").as("valid_from"),
+          col("ts").as("valid_to")),
+        Seq(graft.constraints.Constraints.PrimaryKey(Seq("user_id", "tier"))))
+      // q188's refresh, verbatim in structure — affected users, append
+      // ranks, re-derive valid_to, MERGE
+      def refresh(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val p = batch.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        if (p.isEmpty) return
+        val dim0 = st.table("dim")
+        val tiers = dim0.groupBy("user_id").agg(max("tier").as("c"))
+        val affected = p.select("user_id").distinct()
+          .join(tiers, Seq("user_id"), "left")
+          .filter(col("c").isNull || col("c") < 3)
+          .select(col("user_id"), coalesce(col("c"), lit(0)).as("c"))
+        val existing = dim0.join(affected.select("user_id"), Seq("user_id"))
+          .select(col("user_id"), col("tier").as("rk"), col("valid_from"))
+        val wNew = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val fresh = p.join(affected, Seq("user_id"))
+          .withColumn("rk", (col("c") + row_number().over(wNew)).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("user_id"), col("rk"), col("ts").as("valid_from"))
+        val wUpd = Window.partitionBy("user_id").orderBy("valid_from", "rk")
+        val upd = existing.unionByName(fresh)
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wUpd))
+          .select(col("user_id"), col("rk").as("tier"), col("valid_from"),
+            col("valid_to"))
+        st.mergeInto("dim", upd, Seq("user_id", "tier"),
+          matchedUpdate = Map("valid_to" -> TableStore.src("valid_to")),
+          insertUnmatched = true)
+        ()
+      }
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", nFiles.toString)
+        .parquet(streamDir.toString)
+        .writeStream
+        .queryName("q189_scd2_sink")
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          refresh(batch)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      st.table("dim").select("user_id", "tier", "valid_from", "valid_to")
+        .orderBy("user_id", "tier")
+    } finally {
+      def rm(pth: java.nio.file.Path): Unit = {
+        val f = pth.toFile
+        if (f.isDirectory) { val l = f.listFiles(); if (l != null) l.foreach(c => rm(c.toPath)) }
+        java.nio.file.Files.deleteIfExists(pth); ()
+      }
+      rm(streamDir)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q184, q185, q186, q188, q189)
 }

@@ -38,7 +38,8 @@ class EventsOpsSpec extends SparkSpec {
       try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late") ||
-          n.startsWith("graft-outer"))
+          n.startsWith("graft-outer") || n.startsWith("graft-scd2-stage") ||
+          n.startsWith("graft-scd2-slice"))
         .toSet
       finally s.close()
     }
@@ -49,6 +50,7 @@ class EventsOpsSpec extends SparkSpec {
     operators.EventsOps.q183.build(spark, dir).collect()
     operators.EventsOps.q183.build(spark, dir).collect() // repeated run: no accumulation
     operators.EventsOps.q187.build(spark, dir).collect()
+    operators.Warehouse.q189.build(spark, dir).collect() // slice staging cleaned
     stageDirs() shouldBe before
   }
 

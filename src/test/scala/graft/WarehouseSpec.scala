@@ -35,6 +35,15 @@ class WarehouseSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("q189: streamed four-batch SCD2 maintenance equals the one-shot q188 result") {
+    // q188's result is itself pinned ≡ the from-scratch rebuild above, so
+    // transitively: streamed merges ≡ rebuild
+    val streamed = operators.Warehouse.q189.build(spark, sf).collect().toSeq
+    val oneShot = operators.Warehouse.q188.build(spark, sf).collect().toSeq
+    streamed.size should be > 0
+    streamed shouldBe oneShot
+  }
+
   test("q188: batch-2 actually changes the dimension (split is non-trivial)") {
     // guard against a degenerate cut that puts everything in batch-1 —
     // the incremental path must be exercised, not vacuously equal
