@@ -18,12 +18,62 @@ import graft.functions.Dec._
 object EventsOps {
 
   /** Recursively delete a temp tree (streaming staging dirs). */
-  /** Rows per staged replay file for q187's outer-join gate — sized so a
-    * bench-scale run stages ONE file (the minimal three-batch replay)
-    * while a 100×-replica run parallel-writes tens. Package-private so
-    * the spec can force the multi-file + padded-carrier-batch path at
-    * test scale; never mutated in production paths. */
+  /** Rows per staged replay file for the batch-boundary-sensitive
+    * streaming gates (q183/q187/q189) — sized so a bench-scale run stages
+    * ONE file per batch (the minimal replay) while a 100×-replica run
+    * parallel-writes tens. Package-private so the specs can force the
+    * multi-file aligned-batch path at test scale; never mutated in
+    * production paths. */
   private[graft] var OuterStageRowsPerFile = 2000000L
+
+  /** Stage each `(name, df, modSec)` replay batch into `streamDir` as an
+    * EQUAL number of parquet files and return that common width, which
+    * callers pass as `maxFilesPerTrigger` so file-count batch boundaries
+    * stay exact. Parts are written in parallel (`repartition(parts)`);
+    * narrower stages are padded with copies of an empty schema-bearing
+    * file — necessary because the parquet writer SKIPS empty partitions,
+    * so `repartition(n)` alone cannot guarantee n files (a 1-row sentinel
+    * yields one file, and a misaligned batch boundary silently merges a
+    * sentinel batch with its successor — caught by the q183 multi-file
+    * spec, where late rows slid into the spacer batch and were judged
+    * against a still-at-−∞ watermark). Stage names must be staged in
+    * replay order AND sort lexicographically in that order (mod time is
+    * the primary ordering; equal-second names keep ties deterministic). */
+  private[graft] def stageAligned(
+      streamDir: java.nio.file.Path,
+      stages: Seq[(String, org.apache.spark.sql.DataFrame, Int)],
+      parts: Int): Int = {
+    val staged = stages.map { case (name, df, modSec) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
+      df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+      val files = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      (name, modSec, tmp, files)
+    }
+    val width = staged.map(_._4.length).max
+    val padTmp = java.nio.file.Files.createTempDirectory("graft-stage-pad")
+    try {
+      stages.head._2.limit(0).coalesce(1).write.mode("overwrite").parquet(padTmp.toString)
+      val pad = padTmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      staged.foreach { case (name, modSec, tmp, files) =>
+        try {
+          files.zipWithIndex.foreach { case (f, j) =>
+            val dst = streamDir.resolve(f"$name%s_$j%03d.parquet")
+            java.nio.file.Files.move(f.toPath, dst)
+            dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+          }
+          (files.length until width).foreach { j =>
+            val dst = streamDir.resolve(f"$name%s_pad_$j%03d.parquet")
+            java.nio.file.Files.copy(pad, dst)
+            dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
+            ()
+          }
+        } finally rmTree(tmp)
+      }
+    } finally rmTree(padTmp)
+    width
+  }
 
   private def rmTree(p: java.nio.file.Path): Unit = {
     val f = p.toFile
@@ -1060,7 +1110,15 @@ object EventsOps {
       |FROM surv GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val mMicros = ev.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val mn = ev.agg(max(expr("unix_micros(ts)")), count(lit(1))).head()
+    val mMicros = mn.getLong(0)
+    // parallel multi-file staging via stageAligned: every replay batch
+    // lands as the same number of files (sentinels padded), and
+    // maxFilesPerTrigger = that width keeps the four-batch boundary
+    // exact. One file per batch at bench scale, identical to the
+    // original single-file replay.
+    val nFiles = math.max(1L,
+      math.min(32L, mn.getLong(1) / OuterStageRowsPerFile + 1)).toInt
     val hourUs = 3600L * 1000000L
     val isLate = col("event_id") % 7 === 0 &&
       expr("unix_micros(ts)") < mMicros - 4 * hourUs
@@ -1070,29 +1128,18 @@ object EventsOps {
       lit(0.0).as("value"))
 
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-late")
-    def stage(name: String, df: org.apache.spark.sql.DataFrame, modSec: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-late-$name")
-      try {
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dst = streamDir.resolve(s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
-        ()
-      } finally rmTree(tmp)
-    }
     val sinkName = "q183_late_sink"
     try {
-      stage("a_ontime", ev.filter(!isLate), 0)
-      stage("b_spacer", sentinel("__spacer", mMicros), 10)
-      stage("c_late", ev.filter(isLate), 20)
-      stage("d_flush", sentinel("__flush", mMicros + 10 * hourUs), 30)
+      val width = stageAligned(streamDir, Seq(
+        ("a_ontime", ev.filter(!isLate), 0),
+        ("b_spacer", sentinel("__spacer", mMicros), 10),
+        ("c_late", ev.filter(isLate), 20),
+        ("d_flush", sentinel("__flush", mMicros + 10 * hourUs), 30)), nFiles)
 
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", width.toString)
         .parquet(streamDir.toString)
         .withWatermark("ts", "2 hours")
         // group by the window STRUCT (not .getField("start") as in the
@@ -1197,53 +1244,20 @@ object EventsOps {
     }
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-outer")
     val partialsDir = java.nio.file.Files.createTempDirectory("graft-outer-partials")
-    // stage `df` as `parts` parquet files sharing one mod time: files with
-    // equal mod time land in the same micro-batch once maxFilesPerTrigger
-    // equals the per-batch file count
-    def stage(name: String, df: org.apache.spark.sql.DataFrame,
-              parts: Int, modSec: Int): Int = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-outer-$name")
-      try {
-        df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
-        val files = tmp.toFile.listFiles()
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        files.zipWithIndex.foreach { case (f, i) =>
-          val dst = streamDir.resolve(f"$name%s_$i%03d.parquet")
-          java.nio.file.Files.move(f.toPath, dst)
-          dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
-        }
-        files.length
-      } finally rmTree(tmp)
-    }
     val sinkName = "q187_outer_sink"
     try {
-      val nStaged = stage("a_events", ev, nFiles, 0)
-      // each carrier batch must contain exactly nStaged files so the
-      // three-batch boundary survives maxFilesPerTrigger = nStaged: the
-      // carrier itself plus (nStaged - 1) empty pad files
-      def stageCarrier(name: String, tsMicros: Long, modSec: Int): Unit = {
-        stage(name, carriers(tsMicros), 1, modSec)
-        if (nStaged > 1) {
-          val padTmp = java.nio.file.Files.createTempDirectory(s"graft-outer-pad")
-          try {
-            ev.limit(0).coalesce(1).write.mode("overwrite").parquet(padTmp.toString)
-            val pad = padTmp.toFile.listFiles()
-              .find(_.getName.endsWith(".parquet")).get.toPath
-            (1 until nStaged).foreach { i =>
-              val dst = streamDir.resolve(f"$name%s_pad_$i%03d.parquet")
-              java.nio.file.Files.copy(pad, dst)
-              dst.toFile.setLastModified(1000000000000L + modSec * 1000L)
-            }
-          } finally rmTree(padTmp)
-        }
-      }
-      stageCarrier("b_flush", mMicros + 48 * hourUs, 10)
-      stageCarrier("c_flush", mMicros + 96 * hourUs, 20)
+      // aligned staging: the carrier batches carry the same file count as
+      // the event batch (empty pads), so the three-batch boundary
+      // survives multi-file staging
+      val width = stageAligned(streamDir, Seq(
+        ("a_events", ev, 0),
+        ("b_flush", carriers(mMicros + 48 * hourUs), 10),
+        ("c_flush", carriers(mMicros + 96 * hourUs), 20)), nFiles)
 
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
       def side(tp: String, userAs: String, tsAs: String) =
         s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", nStaged.toString)
+          .option("maxFilesPerTrigger", width.toString)
           .parquet(streamDir.toString)
           .filter(col("event_type") === tp)
           .select(col("user_id").as(userAs), col("ts").as(tsAs))
@@ -1251,7 +1265,7 @@ object EventsOps {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // q149's state-store-commit sizing when replay is single-file; the
       // full session width once the corpus is big enough to multi-file
-      s.conf.set("spark.sql.shuffle.partitions", if (nStaged == 1) "8" else prevShuffle)
+      s.conf.set("spark.sql.shuffle.partitions", if (width == 1) "8" else prevShuffle)
       try {
         val q = side("click", "c_user", "c_ts")
           .join(side("purchase", "p_user", "p_ts"),

@@ -314,26 +314,18 @@ object Warehouse {
       math.min(32L, r.getLong(2) / EventsOps.OuterStageRowsPerFile + 1)).toInt
     val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-stage")
     try {
-      // four strict quarter-range slices; repartition(nFiles) writes each
-      // as EXACTLY nFiles parts, so every micro-batch is one whole slice
+      // four strict quarter-range slices, width-aligned by stageAligned
+      // (a slice whose rows fit fewer parquet parts — empty partitions
+      // are skipped by the writer — is padded, so maxFilesPerTrigger
+      // boundaries always put ONE whole slice per micro-batch)
       val cuts = Seq(Long.MinValue, lo + (hi - lo) / 4, lo + (hi - lo) / 2,
         lo + (hi - lo) * 3 / 4, Long.MaxValue)
-      cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-scd2-slice$i")
-        try {
-          ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b)
-            .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-          tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
-            .sortBy(_.getName).zipWithIndex.foreach { case (f, j) =>
-              val dst = streamDir.resolve(f"slice$i%d_$j%03d.parquet")
-              java.nio.file.Files.move(f.toPath, dst)
-              dst.toFile.setLastModified(1000000000000L + i * 10000L)
-            }
-        } finally {
-          val fl = tmp.toFile.listFiles(); if (fl != null) fl.foreach(_.delete())
-          java.nio.file.Files.deleteIfExists(tmp); ()
-        }
-      }
+      val width = EventsOps.stageAligned(streamDir,
+        cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+          (s"slice$i",
+            ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b),
+            i * 10)
+        }.toSeq, nFiles)
       // empty dimension: the first refresh bootstraps it
       st.create("dim", ev.limit(0).select(col("user_id"),
           lit(1).cast("int").as("tier"), col("ts").as("valid_from"),
@@ -369,7 +361,7 @@ object Warehouse {
         ()
       }
       val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", nFiles.toString)
+        .option("maxFilesPerTrigger", width.toString)
         .parquet(streamDir.toString)
         .writeStream
         .queryName("q189_scd2_sink")

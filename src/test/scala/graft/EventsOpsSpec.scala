@@ -39,7 +39,7 @@ class EventsOpsSpec extends SparkSpec {
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late") ||
           n.startsWith("graft-outer") || n.startsWith("graft-scd2-stage") ||
-          n.startsWith("graft-scd2-slice"))
+          n.startsWith("graft-scd2-slice") || n.startsWith("graft-stage"))
         .toSet
       finally s.close()
     }
@@ -52,6 +52,17 @@ class EventsOpsSpec extends SparkSpec {
     operators.EventsOps.q187.build(spark, dir).collect()
     operators.Warehouse.q189.build(spark, dir).collect() // slice staging cleaned
     stageDirs() shouldBe before
+  }
+
+  test("q183 multi-file replay (equal-width batches) equals single-file replay") {
+    val single = operators.EventsOps.q183.build(spark, dir).collect().toSeq
+    val prev = operators.EventsOps.OuterStageRowsPerFile
+    operators.EventsOps.OuterStageRowsPerFile = 100L
+    try {
+      val multi = operators.EventsOps.q183.build(spark, dir).collect().toSeq
+      multi shouldBe single
+      single.size should be > 0
+    } finally operators.EventsOps.OuterStageRowsPerFile = prev
   }
 
   test("q187 multi-file replay (padded carrier batches) equals single-file replay") {
