@@ -103,7 +103,19 @@ object AsofJoin {
     * Lossless: overlapping intervals share a day, and that day's cell is
     * registered by both. Pairs found in two shared cells are deduped by
     * the final DISTINCT-shaped aggregation; overlap_days is an exact
-    * integer date difference. */
+    * integer date difference.
+    *
+    * OUTPUT contract (the [[graft.operators.Dedup.MaxEditBlock]]
+    * discipline): pairwise overlap output is intrinsically QUADRATIC in
+    * per-(supplier, part, cell) interval density — n co-located
+    * same-window intervals are n²/2 true pairs, which no plan can beat.
+    * A density above [[MaxOverlapCell]] therefore fails fast with
+    * guidance instead of materializing a result set that can exhaust
+    * storage (the 100× replica, which multiplies same-key intervals
+    * verbatim, trips this guard by design — the scale route for dense
+    * contention is aggregating per key, not enumerating pairs). */
+  private[graft] var MaxOverlapCell = 2000L
+
   val q150 = QueryDef(
     "q150_interval_overlap_join",
     """WITH iv AS (
@@ -132,6 +144,12 @@ object AsofJoin {
         (col("l_quantity").cast("long") % 10 + 3).cast("int")).as("e"))
     val binned = iv.withColumn("cell",
       explode(sequence(cellOf(col("s")), cellOf(col("e")))))
+    val densest = binned.groupBy("sk", "pk", "cell")
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    require(densest <= MaxOverlapCell,
+      s"q150: densest (supplier, part, cell) group holds $densest intervals " +
+        s"(max $MaxOverlapCell); its pairwise overlap output is quadratic in " +
+        "that density — aggregate contention per key instead of enumerating pairs")
     val a = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_a"),
       col("ln").as("ln_a"), col("s").as("s_a"), col("e").as("e_a"))
     val b = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_b"),

@@ -94,4 +94,27 @@ class GuardsSpec extends SparkSpec {
     got.map(_.getLong(0)).toSet shouldBe Set(900L)
     got.length shouldBe 1
   }
+
+  test("q150 refuses quadratic interval density instead of enumerating pairs") {
+    // pairwise overlap output is n²/2 in per-(supplier, part, cell)
+    // interval density; above the cap the gate must fail fast with
+    // guidance, not fill storage (the 100× replica trips this by design).
+    // Craft a hot key: 12 same-day shipments of one (supplier, part).
+    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    (1 to 12).map(i => (i.toLong, i, 7L, 7L,
+        java.sql.Date.valueOf("2024-03-01"), 5L))
+      .toDF("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_shipdate", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val prev = operators.AsofJoin.MaxOverlapCell
+    operators.AsofJoin.MaxOverlapCell = 10L
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        operators.AsofJoin.q150.build(spark, dir).collect()
+      }
+      ex.getMessage should include("quadratic")
+    } finally operators.AsofJoin.MaxOverlapCell = prev
+    // under the real cap the same corpus enumerates its 66 true pairs
+    operators.AsofJoin.q150.build(spark, dir).count() shouldBe 66L
+  }
 }
