@@ -112,9 +112,9 @@ object AsofJoin {
     * A density above [[MaxOverlapCell]] therefore fails fast with
     * guidance instead of materializing a result set that can exhaust
     * storage (the 100× replica, which multiplies same-key intervals
-    * verbatim, trips this guard by design — the scale route for dense
-    * contention is aggregating per key, not enumerating pairs). */
-  private[graft] var MaxOverlapCell = 2000L
+    * verbatim, trips this guard by design — [[q190]] is the aggregated
+    * per-key alternative that stays linear at any density). */
+  private[graft] val MaxOverlapCell = 2000L
 
   val q150 = QueryDef(
     "q150_interval_overlap_join",
@@ -132,7 +132,12 @@ object AsofJoin {
       |  AND (a.l_orderkey < b.l_orderkey
       |       OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
       |  AND a.s <= b.e AND b.s <= a.e
-      |ORDER BY order_a, line_a, order_b, line_b""".stripMargin) { (s, d) =>
+      |ORDER BY order_a, line_a, order_b, line_b""".stripMargin)(q150Impl()(_, _))
+
+  /** q150 body; `maxCell` is the density cap (specs pass a tiny value to
+    * exercise the guard at test scale — no mutable global). */
+  private[graft] def q150Impl(maxCell: Long = MaxOverlapCell)(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val cellDays = 14L // > max interval span (13 days inclusive) ⇒ ≤ 2 cells
     def cellOf(c: org.apache.spark.sql.Column) =
       floor(datediff(c, lit("1970-01-01").cast("date")) / cellDays.toDouble).cast("long")
@@ -142,14 +147,20 @@ object AsofJoin {
       col("l_shipdate").cast("date").as("s"),
       date_add(col("l_shipdate").cast("date"),
         (col("l_quantity").cast("long") % 10 + 3).cast("int")).as("e"))
+    // materialized once (linear in intervals): the density guard and the
+    // self-join both read the checkpointed frame, so the guard no longer
+    // doubles the gate's input work with a second scan + explode
     val binned = iv.withColumn("cell",
       explode(sequence(cellOf(col("s")), cellOf(col("e")))))
-    val densest = binned.groupBy("sk", "pk", "cell")
-      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
-    require(densest <= MaxOverlapCell,
+      .localCheckpoint(true)
+    val densestRow = binned.groupBy("sk", "pk", "cell")
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+    val densest = if (densestRow.isNullAt(0)) 0L else densestRow.getLong(0)
+    require(densest <= maxCell,
       s"q150: densest (supplier, part, cell) group holds $densest intervals " +
-        s"(max $MaxOverlapCell); its pairwise overlap output is quadratic in " +
-        "that density — aggregate contention per key instead of enumerating pairs")
+        s"(max $maxCell); its pairwise overlap output is quadratic in " +
+        "that density — use q190_interval_contention, which aggregates " +
+        "per-key overlap statistics (count, peak concurrency) in linear time")
     val a = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_a"),
       col("ln").as("ln_a"), col("s").as("s_a"), col("e").as("e_a"))
     val b = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_b"),
@@ -169,5 +180,77 @@ object AsofJoin {
       .orderBy("order_a", "line_a", "order_b", "line_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q65, q82, q150)
+  /** q190: per-key interval CONTENTION aggregate — the documented scale
+    * route for corpora q150's density guard refuses. Instead of
+    * enumerating overlap pairs (quadratic in per-key density), a +1/−1
+    * sweep over interval endpoints yields, per (supplier, part): the
+    * interval count, the PEAK number of simultaneously-open shipment
+    * windows, and the number of days with ≥2 open windows — linear in
+    * intervals at ANY density, so the hot keys that trip q150 are
+    * exactly where this stays cheap.
+    *
+    * Scale posture: endpoint deltas collapse by (key, day) in one
+    * map-side-combinable aggregate (2 rows per interval in, ≤ span-days
+    * rows per key out); the running sum and LEAD ride one per-key window
+    * (state bounded by distinct active days per key, never global); the
+    * final stats/count join is per-key-bounded. No self-join, no pair
+    * stream, no density cap needed. */
+  val q190 = QueryDef(
+    "q190_interval_contention",
+    """WITH iv AS (
+      |  SELECT l_suppkey, l_partkey, CAST(l_shipdate AS DATE) AS s,
+      |    CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS BIGINT) % 10 + 3 AS INT) AS e
+      |  FROM lineitem),
+      |ev AS (
+      |  SELECT l_suppkey, l_partkey, d, SUM(delta) AS delta FROM (
+      |    SELECT l_suppkey, l_partkey, s AS d, 1 AS delta FROM iv
+      |    UNION ALL
+      |    SELECT l_suppkey, l_partkey, e + 1 AS d, -1 AS delta FROM iv) u
+      |  GROUP BY 1, 2, 3),
+      |sw AS (
+      |  SELECT l_suppkey, l_partkey, d,
+      |    SUM(delta) OVER (PARTITION BY l_suppkey, l_partkey ORDER BY d
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+      |    LEAD(d) OVER (PARTITION BY l_suppkey, l_partkey ORDER BY d) AS nd
+      |  FROM ev),
+      |stats AS (
+      |  SELECT l_suppkey, l_partkey, CAST(MAX(conc) AS INT) AS peak_concurrency,
+      |    CAST(SUM(CASE WHEN conc >= 2 AND nd IS NOT NULL
+      |             THEN date_diff('day', d, nd) ELSE 0 END) AS BIGINT) AS contention_days
+      |  FROM sw GROUP BY 1, 2),
+      |counts AS (SELECT l_suppkey, l_partkey, COUNT(*) AS n_intervals
+      |           FROM iv GROUP BY 1, 2)
+      |SELECT c.l_suppkey, c.l_partkey, c.n_intervals,
+      |       s.peak_concurrency, s.contention_days
+      |FROM counts c JOIN stats s USING (l_suppkey, l_partkey)
+      |ORDER BY l_suppkey, l_partkey""".stripMargin) { (s, d) =>
+    val iv = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
+      col("l_shipdate").cast("date").as("s"),
+      date_add(col("l_shipdate").cast("date"),
+        (col("l_quantity").cast("long") % 10 + 3).cast("int")).as("e"))
+    val deltas = iv
+      .select(col("sk"), col("pk"), col("s").as("d"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("sk"), col("pk"),
+        date_add(col("e"), 1).as("d"), lit(-1L).as("delta")))
+      .groupBy("sk", "pk", "d").agg(sum(col("delta")).as("delta"))
+    val wRun = Window.partitionBy("sk", "pk").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("sk", "pk").orderBy("d")
+    val sw = deltas
+      .withColumn("conc", sum(col("delta")).over(wRun))
+      .withColumn("nd", lead(col("d"), 1).over(wLead))
+    val stats = sw.groupBy("sk", "pk").agg(
+      max(col("conc")).cast("int").as("peak_concurrency"),
+      sum(when(col("conc") >= 2 && col("nd").isNotNull,
+        datediff(col("nd"), col("d")).cast("long")).otherwise(0L))
+        .as("contention_days"))
+    val counts = iv.groupBy("sk", "pk").agg(count(lit(1)).as("n_intervals"))
+    counts.join(stats, Seq("sk", "pk"))
+      .select(col("sk").as("l_suppkey"), col("pk").as("l_partkey"),
+        col("n_intervals"), col("peak_concurrency"), col("contention_days"))
+      .orderBy("l_suppkey", "l_partkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q65, q82, q150, q190)
 }

@@ -88,6 +88,14 @@ object Dedup {
     * whose candidates are bucket-bounded. */
   private[graft] val MaxGroundTruthDocs = 20000L
 
+  /** q112: corpus size below which the count-sketch candidate filter is
+    * skipped — its fixed build cost (B counters per doc + sketch-bearing
+    * prefix rows) needs a candidate flood to amortize, and floods need
+    * corpora (the r8 profile hit 20.6M candidates at 500k docs; sf0.1's
+    * 5k docs peak at thousands). The other prunes remain active and
+    * lossless at every size, so this only moves work, never answers. */
+  private[graft] val SketchMinDocs = 100000L
+
   private[graft] def assertGroundTruthScale(nDocs: Long): Unit =
     require(nDocs <= MaxGroundTruthDocs,
       s"ngram-Jaccard ground truth is quadratic; corpus has $nDocs docs " +
@@ -615,14 +623,28 @@ object Dedup {
     //    aggregated filter below keeps its losslessness argument.
     //    Bucket hash is Spark-side only (the oracle never sees
     //    candidates), so cross-engine hash parity is not in play.
+    // The sketch build (B counters per doc) plus the sketch-bearing
+    // prefix rows are a FIXED cost ∝ corpus that only pays off when the
+    // candidate flood it kills can exist (the r8 100× profile: 20.6M
+    // post-filter candidates at 500k docs). A bench-scale corpus cannot
+    // produce that flood, so the sketch is gated on doc count — below
+    // [[SketchMinDocs]] the size-ratio + positional + aggregated-prefix
+    // filters (all still lossless on their own) carry the pruning and
+    // the ~1.3 s constant sketch overhead disappears from the sf0.1
+    // wall. The probe is a parquet count (row-group metadata only).
+    val useSketch = Tables.documents(s, d).count() >= SketchMinDocs
     val B = 32
-    val cnts = sh.withColumn("b", pmod(hash(col("s")), lit(B)))
-      .groupBy("doc_id")
-      .agg(array((0 until B).map(i =>
-        sum(when(col("b") === i, 1L).otherwise(0L)).cast("int")): _*).as("bcnt"))
+    val cnts =
+      if (!useSketch) null
+      else sh.withColumn("b", pmod(hash(col("s")), lit(B)))
+        .groupBy("doc_id")
+        .agg(array((0 until B).map(i =>
+          sum(when(col("b") === i, 1L).otherwise(0L)).cast("int")): _*).as("bcnt"))
     // ranked is already hash-partitioned by doc_id (the window), so this
     // equi-join only shuffles the per-doc sketch side
-    val withSketch = prefix.join(cnts, "doc_id")
+    val withSketch =
+      if (useSketch) prefix.join(cnts, "doc_id")
+      else prefix.withColumn("bcnt", lit(null).cast("array<int>"))
     val a = withSketch.select(col("doc_id").as("doc_a"), col("s"),
       col("__r").as("ra"), col("__n").as("na"), col("bcnt").as("ca"))
     val b = withSketch.select(col("doc_id").as("doc_b"), col("s"),
@@ -643,8 +665,9 @@ object Dedup {
         lit(4L) * greatest(col("na"), col("nb")))
       .filter(lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
         minOverlap)
-      .filter(aggregate(zip_with(col("ca"), col("cb"), (x, y) => least(x, y)),
-        lit(0L), (acc, m) => acc + m) >= minOverlap)
+      .filter(if (!useSketch) lit(true)
+        else aggregate(zip_with(col("ca"), col("cb"), (x, y) => least(x, y)),
+          lit(0L), (acc, m) => acc + m) >= minOverlap)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"), max(col("ra")).as("ram"),
         max(col("rb")).as("rbm"), max(col("na")).as("na"), max(col("nb")).as("nb"))

@@ -17,14 +17,13 @@ import graft.functions.Dec._
   */
 object EventsOps {
 
-  /** Recursively delete a temp tree (streaming staging dirs). */
   /** Rows per staged replay file for the batch-boundary-sensitive
     * streaming gates (q183/q187/q189) — sized so a bench-scale run stages
     * ONE file per batch (the minimal replay) while a 100×-replica run
-    * parallel-writes tens. Package-private so the specs can force the
-    * multi-file aligned-batch path at test scale; never mutated in
-    * production paths. */
-  private[graft] var OuterStageRowsPerFile = 2000000L
+    * parallel-writes tens. The gates take it as a defaulted parameter on
+    * their `*Impl` builders (the specs pass a tiny value to force the
+    * multi-file aligned-batch path at test scale) — no mutable global. */
+  private[graft] val OuterStageRowsPerFile = 2000000L
 
   /** Stage each `(name, df, modSec)` replay batch into `streamDir` as an
     * EQUAL number of parquet files and return that common width, which
@@ -43,12 +42,20 @@ object EventsOps {
       streamDir: java.nio.file.Path,
       stages: Seq[(String, org.apache.spark.sql.DataFrame, Int)],
       parts: Int): Int = {
-    val staged = stages.map { case (name, df, modSec) =>
+    // register each stage's temp dir BEFORE writing it, so a mid-loop
+    // failure (disk full, write error) still removes every dir created so
+    // far instead of leaking stages 1..N-1
+    val staged = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, java.nio.file.Path, Array[java.io.File])]
+    try stages.foreach { case (name, df, modSec) =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
+      staged += ((name, modSec, tmp, Array.empty[java.io.File]))
       df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
       val files = tmp.toFile.listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      (name, modSec, tmp, files)
+      staged(staged.length - 1) = (name, modSec, tmp, files)
+    } catch {
+      case e: Throwable => staged.foreach(t => rmTree(t._3)); throw e
     }
     val width = staged.map(_._4.length).max
     val padTmp = java.nio.file.Files.createTempDirectory("graft-stage-pad")
@@ -75,7 +82,9 @@ object EventsOps {
     width
   }
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
+  /** Recursively delete a temp tree (streaming staging dirs; also used by
+    * the Warehouse streaming gates for their store roots). */
+  private[graft] def rmTree(p: java.nio.file.Path): Unit = {
     val f = p.toFile
     if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
     java.nio.file.Files.deleteIfExists(p)
@@ -528,6 +537,15 @@ object EventsOps {
     try {
       def sourceOnce = s.readStream.schema(raw.schema).parquet(streamPath)
         .select(col("event_id"), col("event_type"), col("value"))
+      // one reduction shape shared by the sink and the final read: reading
+      // the partials with the reduction's STATIC schema lets a zero-row
+      // replay degrade to an empty result instead of failing parquet
+      // schema inference on an empty directory
+      def reduceBatch(b: org.apache.spark.sql.DataFrame) =
+        b.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("vsum"))
+      val partialsSchema =
+        reduceBatch(raw.select(col("event_id"), col("event_type"), col("value")).limit(0)).schema
       val sinkName = "q148_dedup_sink"
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
       val q = sourceOnce.unionByName(sourceOnce)
@@ -536,15 +554,13 @@ object EventsOps {
         .queryName(sinkName)
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.groupBy("event_type")
-            .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("vsum"))
-            .write.mode("append").parquet(partials.toString)
+          reduceBatch(batch).write.mode("append").parquet(partials.toString)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(partials.toString)
+      s.read.schema(partialsSchema).parquet(partials.toString)
         .groupBy("event_type")
         .agg(sum(col("n_events")).as("n_events"),
           sum(col("vsum")).cast("double").as("value_sum"))
@@ -594,6 +610,15 @@ object EventsOps {
           .withWatermark(tsAs, "24 hours")
       val sinkName = "q149_join_sink"
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      // the sink reduction, shared with the final read so the partials can
+      // be read with a STATIC schema (a zero-row replay degrades to an
+      // empty result, not a schema-inference error on an empty dir)
+      def reduceBatch(b: org.apache.spark.sql.DataFrame) =
+        b.groupBy(col("c_user"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("lag_us"))
+      val partialsSchema = reduceBatch(raw.select(col("user_id").as("c_user"),
+        tsCol.as("c_ts"), tsCol.as("p_ts")).limit(0)).schema
       // A stream-stream join materializes FOUR state stores per shuffle
       // partition, each paying per-micro-batch checkpoint commits — at the
       // session default (32) that fixed cost dwarfs a bench-scale replay's
@@ -601,13 +626,29 @@ object EventsOps {
       // fan-out 4×. But the join also pays one state-store PUT per input
       // row, which dominates once the corpus is large (the 100× replica
       // measured 89× growth pinned at 8) — big corpora keep session width.
+      // Small-vs-big comes FREE from the replay shape (the q187 rule): the
+      // driver's test tables stage as ONE parquet file, a Spark-written
+      // replica is already a multi-file directory — no extra count job.
       // The partition count is frozen into the (fresh, per-run) checkpoint,
       // so this never mismatches resumed state; restored only after
       // termination: the micro-batch thread reads the conf when it plans
       // the first batch, which happens after start().
+      val nSrcFiles = Option(new java.io.File(streamPath).listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      val large = nSrcFiles > 1
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        if (raw.count() <= OuterStageRowsPerFile) "8" else prevShuffle)
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.shuffle.partitions", if (large) prevShuffle else "8")
+      // Large corpora also switch the state store to RocksDB: the
+      // HDFS-backed provider holds every put as JVM objects in a
+      // per-partition map and snapshots it at commit — at corpus-scale
+      // state (one put per input row on both join sides) that is GC
+      // pressure plus a full-state serialization; RocksDB keeps state
+      // off-heap in native memtables/SSTs with incremental compaction.
+      // The provider is frozen into the fresh per-run checkpoint, so
+      // this never mismatches resumed state.
+      if (large) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val q = side("click", "c_user", "c_ts")
           .join(side("purchase", "p_user", "p_ts"),
@@ -618,17 +659,20 @@ object EventsOps {
           .queryName(sinkName)
           .outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.groupBy(col("c_user"))
-              .agg(count(lit(1)).as("n_pairs"),
-                sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("lag_us"))
-              .write.mode("append").parquet(partials.toString)
+            reduceBatch(batch).write.mode("append").parquet(partials.toString)
             ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(partials.toString)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.schema(partialsSchema).parquet(partials.toString)
         .groupBy(col("c_user").as("user_id"))
         .agg(sum(col("n_pairs")).as("n_pairs"),
           sum(col("lag_us")).as("total_lag_us"))
@@ -1107,7 +1151,12 @@ object EventsOps {
       |SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
-      |FROM surv GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+      |FROM surv GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)(q183Impl()(_, _))
+
+  /** q183 body; `rowsPerFile` sizes the staged replay files (specs pass a
+    * tiny value to force the multi-file aligned-batch path at test scale). */
+  private[graft] def q183Impl(rowsPerFile: Long = OuterStageRowsPerFile)(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val mn = ev.agg(max(expr("unix_micros(ts)")), count(lit(1))).head()
@@ -1118,7 +1167,7 @@ object EventsOps {
     // exact. One file per batch at bench scale, identical to the
     // original single-file replay.
     val nFiles = math.max(1L,
-      math.min(32L, mn.getLong(1) / OuterStageRowsPerFile + 1)).toInt
+      math.min(32L, mn.getLong(1) / rowsPerFile + 1)).toInt
     val hourUs = 3600L * 1000000L
     val isLate = col("event_id") % 7 === 0 &&
       expr("unix_micros(ts)") < mMicros - 4 * hourUs
@@ -1224,14 +1273,19 @@ object EventsOps {
       |SELECT user_id, COUNT(*) AS n_rows,
       |  COUNT(p_ts) AS n_matched,
       |  CAST(COUNT(*) - COUNT(p_ts) AS BIGINT) AS n_unmatched
-      |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin)(q187Impl()(_, _))
+
+  /** q187 body; `rowsPerFile` sizes the staged replay files (specs pass a
+    * tiny value to force the multi-file padded-carrier path at test scale). */
+  private[graft] def q187Impl(rowsPerFile: Long = OuterStageRowsPerFile)(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val mn = ev.agg(max(expr("unix_micros(ts)")), count(lit(1))).head()
     val mMicros = mn.getLong(0)
     // ~2M rows per staged file: exactly one file (the original replay
     // shape) at bench scale, parallel-written tens at the 100× replica
-    val nFiles = math.max(1L, math.min(32L, mn.getLong(1) / OuterStageRowsPerFile + 1)).toInt
+    val nFiles = math.max(1L, math.min(32L, mn.getLong(1) / rowsPerFile + 1)).toInt
     val hourUs = 3600L * 1000000L
     // one click + one purchase carrier so BOTH sides' post-filter
     // watermark domains observe the flush instant
@@ -1262,10 +1316,24 @@ object EventsOps {
           .filter(col("event_type") === tp)
           .select(col("user_id").as(userAs), col("ts").as(tsAs))
           .withWatermark(tsAs, "1 hour")
+      // sink reduction shared with the final read (static partials schema:
+      // an all-filtered replay degrades to an empty result, never a
+      // schema-inference error on the empty partials dir)
+      def reduceBatch(b: org.apache.spark.sql.DataFrame) =
+        b.filter(col("c_user") =!= -1) // mask the watermark carriers
+          .groupBy(col("c_user"))
+          .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"))
+      val partialsSchema = reduceBatch(ev.select(col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("ts").as("p_ts")).limit(0)).schema
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       // q149's state-store-commit sizing when replay is single-file; the
       // full session width once the corpus is big enough to multi-file
       s.conf.set("spark.sql.shuffle.partitions", if (width == 1) "8" else prevShuffle)
+      // q149's RocksDB arm (see there): corpus-scale state off-heap
+      // instead of JVM maps snapshotted per commit
+      if (width > 1) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val q = side("click", "c_user", "c_ts")
           .join(side("purchase", "p_user", "p_ts"),
@@ -1279,17 +1347,20 @@ object EventsOps {
           // executor-side reduction to per-user count partials: the joined
           // rows themselves (∝ corpus) never reach the driver
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.filter(col("c_user") =!= -1) // mask the watermark carriers
-              .groupBy(col("c_user"))
-              .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"))
-              .write.mode("append").parquet(partialsDir.toString)
+            reduceBatch(batch).write.mode("append").parquet(partialsDir.toString)
             ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(partialsDir.toString)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.schema(partialsSchema).parquet(partialsDir.toString)
         .groupBy(col("c_user").as("user_id"))
         .agg(sum(col("n_rows")).as("n_rows"),
           sum(col("n_matched")).as("n_matched"))

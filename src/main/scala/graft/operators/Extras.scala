@@ -14,17 +14,33 @@ object Extras {
 
   /** Memoized co-purchase graph per (session, dir) — the (order, part)
     * distinct projection and the distinct undirected edge list (u < v),
-    * both localCheckpoint-materialized ONCE and shared by the five graph
-    * queries (q141 affinity, q154 PageRank, q160 rules, q161 triangles,
-    * q164 k-core). Without the memo each query re-runs the two largest
-    * shuffles of the family (fact distinct + within-order self-join
-    * distinct). Weak session keys, same contract as Dedup.lshVerifiedPairs:
-    * inputs are immutable driver-generated parquet, so no invalidation
-    * beyond session lifetime is needed. */
+    * both materialized ONCE as PARQUET in a memo temp dir and shared by
+    * the five graph queries (q141 affinity, q154 PageRank, q160 rules,
+    * q161 triangles, q164 k-core). Without the memo each query re-runs
+    * the two largest shuffles of the family (fact distinct + within-order
+    * self-join distinct).
+    *
+    * Parquet, not localCheckpoint (r9 watch item): block-manager blocks
+    * for a 100×-corpus edge list sit in MEMORY_AND_DISK executor storage
+    * and made the cold q141 probe swing 12.8–22.8× run to run
+    * (GC/eviction noise); a parquet round-trip costs one extra encode but
+    * reads back through the scan path with sized splits and ZERO
+    * long-lived JVM storage — deterministic cost, and release is a
+    * directory delete. Weak session keys, same contract as
+    * Dedup.lshVerifiedPairs: inputs are immutable driver-generated
+    * parquet, so no invalidation beyond session lifetime is needed. */
   private val graphMemo = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
     scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
-                                          org.apache.spark.sql.DataFrame, Set[Int])]]()
+                                          org.apache.spark.sql.DataFrame,
+                                          java.nio.file.Path)]]()
+
+  /** Memo parquet dir for `dir` in session `s`, if built (spec hook). */
+  private[graft] def graphMemoDir(s: org.apache.spark.sql.SparkSession,
+      d: String): Option[java.nio.file.Path] =
+    graphMemo.synchronized {
+      Option(graphMemo.get(s)).flatMap(_.get(d)).map(_._3)
+    }
 
   private def copurchase(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
@@ -34,35 +50,33 @@ object Extras {
         if (cur != null) cur
         else {
           val m = scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
-                                                        org.apache.spark.sql.DataFrame, Set[Int])]()
+                                                        org.apache.spark.sql.DataFrame,
+                                                        java.nio.file.Path)]()
           graphMemo.put(s, m); m
         }
       }
       val (items, edges, _) = perDir.getOrElseUpdate(d, {
-        // record which persistent RDDs this build registers so
-        // releaseGraphMemo can unpersist exactly those blocks (builds are
-        // serialized under the memo lock, so the diff is attributable)
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val items = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-          .distinct().localCheckpoint(true)
-        val edges = items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
+        val memoDir = java.nio.file.Files.createTempDirectory("graft-graph-memo")
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .distinct().write.mode("overwrite").parquet(s"$memoDir/items.parquet")
+        val items = s.read.parquet(s"$memoDir/items.parquet")
+        items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
           .filter(col("u") < col("v")).select("u", "v").distinct()
-          .localCheckpoint(true)
-        (items, edges, (s.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+          .write.mode("overwrite").parquet(s"$memoDir/edges.parquet")
+        (items, s.read.parquet(s"$memoDir/edges.parquet"), memoDir)
       })
       (items, edges)
     }
 
   /** Drop the memoized co-purchase graph for `dir` (all sessions) and
-    * unpersist its checkpointed blocks — the lifecycle hook a long-lived
+    * delete its parquet memo dir — the lifecycle hook a long-lived
     * service session calls when done with a corpus; without it the edge
-    * list lives in executor storage for the session lifetime. */
+    * list occupies local disk for the session lifetime. */
   private[graft] def releaseGraphMemo(dir: String): Unit =
     graphMemo.synchronized {
       import scala.jdk.CollectionConverters._
-      for (perDir <- graphMemo.values.asScala; (items, _, ids) <- perDir.remove(dir);
-           sc = items.sparkSession.sparkContext; id <- ids)
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true))
+      for (perDir <- graphMemo.values.asScala; (_, _, memoDir) <- perDir.remove(dir))
+        EventsOps.rmTree(memoDir)
     }
 
   /** Release every memoized corpus graph (session-shutdown hygiene). */

@@ -219,38 +219,64 @@ object Warehouse {
       |                              ORDER BY valid_from, tier) AS valid_to
       |FROM ch ORDER BY user_id, tier""".stripMargin) { (s, d) =>
     import graft.sources.TableStore
-    val st = new TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft-scd2").toString)
-    val ev = Tables.events(s, d)
-    val range = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val cut = range.getLong(0) + (range.getLong(1) - range.getLong(0)) * 3 / 4
-    def dimOf(e: org.apache.spark.sql.DataFrame) = {
-      val wK = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val ch = e.filter(col("event_type") === "purchase")
-        .withColumn("k", row_number().over(wK)).filter(col("k") <= 3)
-        .select(col("user_id"), col("k").cast("int").as("tier"),
-          col("ts").as("valid_from"))
-      val wDim = Window.partitionBy("user_id").orderBy("valid_from", "tier")
-      ch.withColumn("valid_to", lead(col("valid_from"), 1).over(wDim))
-    }
-    st.create("dim", dimOf(ev.filter(unix_micros(col("ts")) <= cut)),
-      Seq(graft.constraints.Constraints.PrimaryKey(Seq("user_id", "tier"))))
-    // the incremental refresh: batch-2 purchases only, affected users only
-    val batch2 = ev
-      .filter(unix_micros(col("ts")) > cut && col("event_type") === "purchase")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-scd2")
+    try {
+      val st = new TableStore(s, storeRoot.toString)
+      val ev = Tables.events(s, d)
+      val range = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val cut = range.getLong(0) + (range.getLong(1) - range.getLong(0)) * 3 / 4
+      def dimOf(e: org.apache.spark.sql.DataFrame) = {
+        val wK = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ch = e.filter(col("event_type") === "purchase")
+          .withColumn("k", row_number().over(wK)).filter(col("k") <= 3)
+          .select(col("user_id"), col("k").cast("int").as("tier"),
+            col("ts").as("valid_from"))
+        val wDim = Window.partitionBy("user_id").orderBy("valid_from", "tier")
+        ch.withColumn("valid_to", lead(col("valid_from"), 1).over(wDim))
+      }
+      st.create("dim", dimOf(ev.filter(unix_micros(col("ts")) <= cut)),
+        Seq(graft.constraints.Constraints.PrimaryKey(Seq("user_id", "tier"))))
+      // the incremental refresh: batch-2 purchases only, affected users
+      // only — the same recompute q189 runs per micro-batch
+      scd2Refresh(st, "dim")(
+        ev.filter(unix_micros(col("ts")) > cut), epoch = 0L)
+      // pin: the store root (which the frame would lazily re-read) is
+      // deleted in the finally below
+      st.table("dim").select("user_id", "tier", "valid_from", "valid_to")
+        .orderBy("user_id", "tier")
+        .localCheckpoint(true)
+    } finally EventsOps.rmTree(storeRoot)
+  }
+
+  /** The SCD2 refresh shared by q188 (one-shot batch) and q189 (per
+    * micro-batch CDC consumer): affected users only — stored tiers ∪ the
+    * batch's purchases re-ranked, valid_to re-derived by LEAD, 3-clause
+    * MERGE on (user_id, tier). Routed through the store's exactly-once
+    * epoch ledger ([[graft.sources.TableStore.mergeBatch]]), so a
+    * RESTARTED micro-batch re-offering a committed epoch id no-ops
+    * instead of re-merging — the production CDC restart contract,
+    * exercised by WarehouseSpec's kill-and-restart test. A batch with no
+    * purchases skips the merge entirely; replaying it is trivially
+    * idempotent. */
+  private[graft] def scd2Refresh(st: graft.sources.TableStore, table: String)(
+      batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
+    import graft.sources.TableStore
+    val p = batch.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
-    val dim0 = st.table("dim")
+    if (p.isEmpty) return
+    val dim0 = st.table(table)
     val tiers = dim0.groupBy("user_id").agg(max("tier").as("c"))
-    val affected = batch2.select("user_id").distinct()
+    val affected = p.select("user_id").distinct()
       .join(tiers, Seq("user_id"), "left")
       .filter(col("c").isNull || col("c") < 3)
       .select(col("user_id"), coalesce(col("c"), lit(0)).as("c"))
     // stored rows keep their rank (= tier); new purchases rank after them —
-    // exact, because the split is strict in ts (see contract above)
+    // exact, because replay slices are strict in ts (see the q188/q189
+    // contracts above)
     val existing = dim0.join(affected.select("user_id"), Seq("user_id"))
       .select(col("user_id"), col("tier").as("rk"), col("valid_from"))
     val wNew = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val fresh = batch2.join(affected, Seq("user_id"))
+    val fresh = p.join(affected, Seq("user_id"))
       .withColumn("rk", (col("c") + row_number().over(wNew)).cast("int"))
       .filter(col("rk") <= 3)
       .select(col("user_id"), col("rk"), col("ts").as("valid_from"))
@@ -259,12 +285,19 @@ object Warehouse {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wUpd))
       .select(col("user_id"), col("rk").as("tier"), col("valid_from"),
         col("valid_to"))
-    st.mergeInto("dim", upd, Seq("user_id", "tier"),
+    st.mergeBatch(table, epoch, upd, Seq("user_id", "tier"),
       matchedUpdate = Map("valid_to" -> TableStore.src("valid_to")),
       insertUnmatched = true)
-    st.table("dim").select("user_id", "tier", "valid_from", "valid_to")
-      .orderBy("user_id", "tier")
+    ()
   }
+
+  /** Create the empty SCD2 dimension q189 bootstraps from. */
+  private[graft] def scd2CreateDim(st: graft.sources.TableStore, table: String,
+      ev: org.apache.spark.sql.DataFrame): Unit =
+    st.create(table, ev.limit(0).select(col("user_id"),
+        lit(1).cast("int").as("tier"), col("ts").as("valid_from"),
+        col("ts").as("valid_to")),
+      Seq(graft.constraints.Constraints.PrimaryKey(Seq("user_id", "tier"))))
 
   /** q189: STREAMING SCD2 maintenance — q188's MERGE refresh driven by a
     * Structured Streaming replay instead of a one-shot batch split. The
@@ -301,19 +334,25 @@ object Warehouse {
       |SELECT user_id, tier, valid_from,
       |       LEAD(valid_from) OVER (PARTITION BY user_id
       |                              ORDER BY valid_from, tier) AS valid_to
-      |FROM ch ORDER BY user_id, tier""".stripMargin) { (s, d) =>
+      |FROM ch ORDER BY user_id, tier""".stripMargin)(q189Impl()(_, _))
+
+  /** q189 body; `rowsPerFile` sizes the staged replay files (specs pass a
+    * tiny value to force the multi-file aligned-batch path at test scale). */
+  private[graft] def q189Impl(rowsPerFile: Long = EventsOps.OuterStageRowsPerFile)(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import graft.sources.TableStore
-    val st = new TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString)
-    val ev = Tables.events(s, d)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
-      count(lit(1))).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val nFiles = math.max(1L,
-      math.min(32L, r.getLong(2) / EventsOps.OuterStageRowsPerFile + 1)).toInt
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-stage")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-scd2-ckpt")
     try {
+      val st = new TableStore(s, storeRoot.toString)
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        count(lit(1))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val nFiles = math.max(1L,
+        math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
       // four strict quarter-range slices, width-aligned by stageAligned
       // (a slice whose rows fit fewer parquet parts — empty partitions
       // are skipped by the writer — is padded, so maxFilesPerTrigger
@@ -327,60 +366,30 @@ object Warehouse {
             i * 10)
         }.toSeq, nFiles)
       // empty dimension: the first refresh bootstraps it
-      st.create("dim", ev.limit(0).select(col("user_id"),
-          lit(1).cast("int").as("tier"), col("ts").as("valid_from"),
-          col("ts").as("valid_to")),
-        Seq(graft.constraints.Constraints.PrimaryKey(Seq("user_id", "tier"))))
-      // q188's refresh, verbatim in structure — affected users, append
-      // ranks, re-derive valid_to, MERGE
-      def refresh(batch: org.apache.spark.sql.DataFrame): Unit = {
-        val p = batch.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("event_id"))
-        if (p.isEmpty) return
-        val dim0 = st.table("dim")
-        val tiers = dim0.groupBy("user_id").agg(max("tier").as("c"))
-        val affected = p.select("user_id").distinct()
-          .join(tiers, Seq("user_id"), "left")
-          .filter(col("c").isNull || col("c") < 3)
-          .select(col("user_id"), coalesce(col("c"), lit(0)).as("c"))
-        val existing = dim0.join(affected.select("user_id"), Seq("user_id"))
-          .select(col("user_id"), col("tier").as("rk"), col("valid_from"))
-        val wNew = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val fresh = p.join(affected, Seq("user_id"))
-          .withColumn("rk", (col("c") + row_number().over(wNew)).cast("int"))
-          .filter(col("rk") <= 3)
-          .select(col("user_id"), col("rk"), col("ts").as("valid_from"))
-        val wUpd = Window.partitionBy("user_id").orderBy("valid_from", "rk")
-        val upd = existing.unionByName(fresh)
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(wUpd))
-          .select(col("user_id"), col("rk").as("tier"), col("valid_from"),
-            col("valid_to"))
-        st.mergeInto("dim", upd, Seq("user_id", "tier"),
-          matchedUpdate = Map("valid_to" -> TableStore.src("valid_to")),
-          insertUnmatched = true)
-        ()
-      }
+      scd2CreateDim(st, "dim", ev)
+      // q188's refresh per micro-batch, epoch-ledgered (see scd2Refresh):
+      // a restarted batch re-offering its id no-ops instead of re-merging
       val q = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", width.toString)
         .parquet(streamDir.toString)
         .writeStream
         .queryName("q189_scd2_sink")
         .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          refresh(batch)
+        .option("checkpointLocation", ckptDir.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          scd2Refresh(st, "dim")(batch, epoch)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // pin: the store root is deleted in the finally below
       st.table("dim").select("user_id", "tier", "valid_from", "valid_to")
         .orderBy("user_id", "tier")
+        .localCheckpoint(true)
     } finally {
-      def rm(pth: java.nio.file.Path): Unit = {
-        val f = pth.toFile
-        if (f.isDirectory) { val l = f.listFiles(); if (l != null) l.foreach(c => rm(c.toPath)) }
-        java.nio.file.Files.deleteIfExists(pth); ()
-      }
-      rm(streamDir)
+      EventsOps.rmTree(streamDir)
+      EventsOps.rmTree(ckptDir)
+      EventsOps.rmTree(storeRoot)
     }
   }
 

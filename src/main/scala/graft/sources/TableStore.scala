@@ -348,6 +348,25 @@ final class TableStore(spark: SparkSession, root: String) {
     withBatch(batchId) { upsert(name, rows) }
   }
 
+  /** Exactly-once streaming MERGE (the CDC-consumer foreachBatch sink —
+    * the q189 SCD2 refresh shape): apply [[mergeInto]] under `batchId`
+    * atomically with the version flip; a replayed epoch — a restarted
+    * micro-batch whose MERGE committed but whose checkpoint marker did
+    * not — is a no-op (same monotone-id ledger contract as
+    * [[appendBatch]], see there). Returns whether the batch applied. */
+  def mergeBatch(name: String, batchId: Long, source: DataFrame, on: Seq[String],
+                 matchedUpdate: Map[String, Column],
+                 insertUnmatched: Boolean = true): Boolean = {
+    val v0 = currentVersion(name)
+    require(v0 >= 0, s"no such table: $name")
+    if (committedMaxBatch(name, v0).exists(batchId <= _)) return false
+    withBatch(batchId) {
+      mergeInto(name, source, on, matchedUpdate = matchedUpdate,
+        insertUnmatched = insertUnmatched)
+    }
+    true
+  }
+
   // ------------------------------------------------------------------
   // File-level min/max data skipping: every version write records
   // per-file column stats (parquet footer reads — metadata only) in a

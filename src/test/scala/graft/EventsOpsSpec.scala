@@ -38,8 +38,8 @@ class EventsOpsSpec extends SparkSpec {
       try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late") ||
-          n.startsWith("graft-outer") || n.startsWith("graft-scd2-stage") ||
-          n.startsWith("graft-scd2-slice") || n.startsWith("graft-stage"))
+          n.startsWith("graft-outer") || n.startsWith("graft-scd2") ||
+          n.startsWith("graft-stage"))
         .toSet
       finally s.close()
     }
@@ -50,19 +50,17 @@ class EventsOpsSpec extends SparkSpec {
     operators.EventsOps.q183.build(spark, dir).collect()
     operators.EventsOps.q183.build(spark, dir).collect() // repeated run: no accumulation
     operators.EventsOps.q187.build(spark, dir).collect()
-    operators.Warehouse.q189.build(spark, dir).collect() // slice staging cleaned
+    operators.Warehouse.q188.build(spark, dir).collect() // store root cleaned
+    operators.Warehouse.q189.build(spark, dir).collect() // staging + ckpt + store cleaned
     stageDirs() shouldBe before
   }
 
   test("q183 multi-file replay (equal-width batches) equals single-file replay") {
     val single = operators.EventsOps.q183.build(spark, dir).collect().toSeq
-    val prev = operators.EventsOps.OuterStageRowsPerFile
-    operators.EventsOps.OuterStageRowsPerFile = 100L
-    try {
-      val multi = operators.EventsOps.q183.build(spark, dir).collect().toSeq
-      multi shouldBe single
-      single.size should be > 0
-    } finally operators.EventsOps.OuterStageRowsPerFile = prev
+    val multi = operators.EventsOps.q183Impl(rowsPerFile = 100L)(spark, dir)
+      .collect().toSeq
+    multi shouldBe single
+    single.size should be > 0
   }
 
   test("q187 multi-file replay (padded carrier batches) equals single-file replay") {
@@ -71,13 +69,10 @@ class EventsOpsSpec extends SparkSpec {
     // files — the outer-join output must be identical to the default
     // single-file three-batch replay
     val single = operators.EventsOps.q187.build(spark, dir).collect().toSeq
-    val prev = operators.EventsOps.OuterStageRowsPerFile
-    operators.EventsOps.OuterStageRowsPerFile = 100L // sf0.001 events ≫ 100 rows
-    try {
-      val multi = operators.EventsOps.q187.build(spark, dir).collect().toSeq
-      multi shouldBe single
-      single.size should be > 0
-    } finally operators.EventsOps.OuterStageRowsPerFile = prev
+    val multi = operators.EventsOps.q187Impl(rowsPerFile = 100L)(spark, dir)
+      .collect().toSeq // sf0.001 events ≫ 100 rows
+    multi shouldBe single
+    single.size should be > 0
   }
 
   test("q163 seasonal-naive eval agrees with a driver-side recount") {

@@ -106,15 +106,35 @@ class GuardsSpec extends SparkSpec {
       .toDF("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
         "l_shipdate", "l_quantity")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val prev = operators.AsofJoin.MaxOverlapCell
-    operators.AsofJoin.MaxOverlapCell = 10L
-    try {
-      val ex = intercept[IllegalArgumentException] {
-        operators.AsofJoin.q150.build(spark, dir).collect()
-      }
-      ex.getMessage should include("quadratic")
-    } finally operators.AsofJoin.MaxOverlapCell = prev
+    val ex = intercept[IllegalArgumentException] {
+      operators.AsofJoin.q150Impl(maxCell = 10L)(spark, dir).collect()
+    }
+    ex.getMessage should include("quadratic")
+    // the guard's guidance names the linear aggregated alternative
+    ex.getMessage should include("q190_interval_contention")
     // under the real cap the same corpus enumerates its 66 true pairs
     operators.AsofJoin.q150.build(spark, dir).count() shouldBe 66L
+  }
+
+  test("q190 contention aggregate stays linear where q150's guard refuses") {
+    // the same hot key that trips q150 at maxCell=10 must flow through
+    // q190: 12 identical same-day intervals → one key row with
+    // peak_concurrency 12, n_intervals 12, contention_days = the shared
+    // 9-day span ([s, s+8] from quantity 5 → transit 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-contention").toString
+    import spark.implicits._
+    (1 to 12).map(i => (i.toLong, i, 7L, 7L,
+        java.sql.Date.valueOf("2024-03-01"), 5L))
+      .toDF("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_shipdate", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    an[IllegalArgumentException] should be thrownBy
+      operators.AsofJoin.q150Impl(maxCell = 10L)(spark, dir).collect()
+    val rows = operators.AsofJoin.q190.build(spark, dir).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getLong(2) shouldBe 12L // n_intervals
+    r.getInt(3) shouldBe 12   // peak_concurrency
+    r.getLong(4) shouldBe 9L  // contention_days: [2024-03-01, 2024-03-09]
   }
 }
