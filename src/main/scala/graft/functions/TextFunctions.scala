@@ -39,6 +39,17 @@ object TextFunctions {
     * the value positive in an int64 on both engines. */
   def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Count of characters outside `[a-z0-9 ]` — the n_punct quality
+    * signal. Equivalent to `size(regexp_extract_all(text,
+    * '[^a-z0-9 ]'))` (every match of a single-char class is one
+    * out-of-class character), but via `translate` (delete the 37-char
+    * alphabet, count the remainder): a plain char-map pass in codegen.
+    * Measured on the 100× corpus: the regex form was 29.8 s — the ENTIRE
+    * q75 curation wall — vs 1.6 s for translate. The DuckDB oracles keep
+    * the regexp_extract_all spelling; values are identical. */
+  def punctCount(text: Column): Column =
+    length(translate(text, "abcdefghijklmnopqrstuvwxyz0123456789 ", ""))
+
   /** BPE-ish token pieces: letter runs, digit runs, single punctuation. */
   val PieceRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -51,9 +62,15 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "une"),
     "zh" -> Seq("的", "是", "在", "了", "我", "有"))
 
+  /** Stopword hit count over a token-array column. Uses the native
+    * codegen kernel ([[graft.plans.StopHitsExpr]]) — the higher-order
+    * `size(filter(toks, x -> x IN (...)))` form is CodegenFallback
+    * (interpreted lambda per element) and dominated the per-document
+    * scoring cost at corpus scale. Callers must have run
+    * `graft.plans.GraftExtensions.register(s)` on the session. */
   def stopHits(toksCol: String, words: Seq[String]): Column = {
     val list = words.map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter($toksCol, x -> x IN ($list)))")
+    expr(s"stop_hits($toksCol, array($list))")
   }
 
   def stopHitsSql(toksExpr: String, words: Seq[String]): String = {

@@ -172,6 +172,7 @@ object CorpusOps {
          |WHERE quality_score >= 2 AND predicted = 'en'
          |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.plans.GraftExtensions.register(s) // native stop_hits
       val docs = Tables.documents(s, d)
       val keeper = docs
         .groupBy(md5(trim(col("text"))).as("h"))
@@ -181,8 +182,7 @@ object CorpusOps {
         .withColumn("t", tokens(col("text")))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .withColumn("n_tokens", size(col("t")).cast("long"))
-        .withColumn("n_punct",
-          size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long"))
+        .withColumn("n_punct", punctCount(col("text")).cast("long"))
       for ((lang, words) <- StopWords)
         df = df.withColumn(s"score_$lang", stopHits("t", words).cast("long"))
       df = df.withColumn("best",

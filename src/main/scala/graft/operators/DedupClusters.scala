@@ -212,7 +212,7 @@ object DedupClusters {
   private def qualityCol: org.apache.spark.sql.Column =
     when(length(col("text")).between(100, 500), 1).otherwise(0) +
       when(size(split(trim(col("text")), " ")) >= 15, 1).otherwise(0) +
-      when(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))) * 10
+      when(graft.functions.TextFunctions.punctCount(col("text")) * 10
           <= size(split(trim(col("text")), " ")), 1).otherwise(0)
 
   val q156 = {

@@ -25,6 +25,16 @@ object EventsOps {
     * multi-file aligned-batch path at test scale) — no mutable global. */
   private[graft] val OuterStageRowsPerFile = 2000000L
 
+  /** Target slice duration (hours) for the stream-stream join gates'
+    * time-sliced large-corpus replay (q149/q187). Each micro-batch costs
+    * a fixed commit/planning toll (~seconds at local[32] with 4 state
+    * stores × session-width partitions), while per-user join state — and
+    * the per-input PROBE over it — grows with slice duration, so this
+    * knob trades batch count against state size; measured on the 100×
+    * replica (SCALE.md r10: 240h ≈ 4 slices beat 2/7/13/30-slice and
+    * single-batch replays with the bucketed join key). */
+  private[graft] val StreamSliceHours = 240L
+
   /** Stage each `(name, df, modSec)` replay batch into `streamDir` as an
     * EQUAL number of parquet files and return that common width, which
     * callers pass as `maxFilesPerTrigger` so file-count batch boundaries
@@ -554,7 +564,9 @@ object EventsOps {
         .queryName(sinkName)
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          reduceBatch(batch).write.mode("append").parquet(partials.toString)
+          // the reduced frame is per-type-bounded — one task, one file
+          // per batch, instead of session-width tiny files + commit dance
+          reduceBatch(batch).coalesce(1).write.mode("append").parquet(partials.toString)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -580,12 +592,25 @@ object EventsOps {
     * hash-match the batch range join in DuckDB.
     *
     * Determinism: inner stream-stream joins emit exactly the matching
-    * pairs (the watermark only bounds state retention; AvailableNow over
-    * a bounded file drops nothing), and both engines compare identical
-    * whole-microsecond instants. Scale posture: state is keyed by user
-    * and retained only inside the watermark horizon — bounded memory at
-    * any throughput, the q65/q82 range-join semantics moved to streams;
-    * the sink is `foreachBatch` reducing each batch to per-user integer
+    * pairs (the watermark only bounds state retention; the strictly
+    * time-ordered replay slices below mean no row ever arrives behind the
+    * watermark, so nothing is late-dropped), and both engines compare
+    * identical whole-microsecond instants.
+    *
+    * Scale posture — the replay is TIME-SLICED, which is what makes the
+    * probe cost honest: a symmetric hash join keeps per-USER lists and
+    * every purchase probes ALL of its user's stored clicks, so replaying
+    * the whole corpus as one batch makes probe work quadratic in per-user
+    * event density (the r9 100× profile: ~1.3k stored clicks per user ×
+    * 2M purchases ≈ 2.7G predicate evals — 54 s of wall). Strict ~24h
+    * slices advance the watermark between batches, so state carries only
+    * the horizon (~25h) plus the slice in flight — the shape an unbounded
+    * production stream actually has. Slicing is lossless here: every
+    * batch's rows come after every prior batch's, so no input is ever
+    * below the watermark, and a click's candidate purchases (≤ 1h later)
+    * arrive before any watermark that could evict it. Only the two joined
+    * types are staged (3 columns) — replay IO ∝ join input, not corpus.
+    * The sink is `foreachBatch` reducing each batch to per-user integer
     * partials on the executors (exact + associative), so the matched
     * pairs (∝ corpus) never accumulate on the driver. */
   val q149 = QueryDef(
@@ -597,80 +622,114 @@ object EventsOps {
       |   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
       |  CAST(SUM(lag_us) AS BIGINT) AS total_lag_us
-      |FROM pr GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      |FROM pr GROUP BY 1 ORDER BY user_id""".stripMargin)(q149Impl()(_, _))
+
+  /** q149 body; `rowsPerFile` sizes the staged replay (specs pass a tiny
+    * value to force the multi-slice path at test scale); `sliceHours` is
+    * the target slice duration — each micro-batch costs a fixed
+    * state-store commit/planning toll, so slice duration trades that
+    * per-batch toll against per-user state (and with it probe) size. */
+  private[graft] def q149Impl(rowsPerFile: Long = OuterStageRowsPerFile,
+      sliceHours: Long = StreamSliceHours)(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val raw = s.read.parquet(s"$d/events.parquet")
-    val (streamPath, staged) = stagedEventsPath(d)
+    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
+    val ev = raw.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), tsCol.as("ts"), col("event_type"))
+    val mn = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      count(lit(1))).head()
+    // the sink reduction, shared with the final read so the partials can
+    // be read with a STATIC schema (a zero-row replay degrades to an
+    // empty result, not a schema-inference error on an empty dir)
+    def reduceBatch(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy(col("c_user"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("lag_us"))
+    val partialsSchema = reduceBatch(ev.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("ts").as("p_ts")).limit(0)).schema
     val partials = java.nio.file.Files.createTempDirectory("graft-stream-partials")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-join")
     try {
-      val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
-      def side(tp: String, userAs: String, tsAs: String) =
-        s.readStream.schema(raw.schema).parquet(streamPath)
-          .filter(col("event_type") === tp)
-          .select(col("user_id").as(userAs), tsCol.as(tsAs))
-          .withWatermark(tsAs, "24 hours")
-      val sinkName = "q149_join_sink"
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      // the sink reduction, shared with the final read so the partials can
-      // be read with a STATIC schema (a zero-row replay degrades to an
-      // empty result, not a schema-inference error on an empty dir)
-      def reduceBatch(b: org.apache.spark.sql.DataFrame) =
-        b.groupBy(col("c_user"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("lag_us"))
-      val partialsSchema = reduceBatch(raw.select(col("user_id").as("c_user"),
-        tsCol.as("c_ts"), tsCol.as("p_ts")).limit(0)).schema
-      // A stream-stream join materializes FOUR state stores per shuffle
-      // partition, each paying per-micro-batch checkpoint commits — at the
-      // session default (32) that fixed cost dwarfs a bench-scale replay's
-      // row work, so small corpora run at 8 partitions to cut the commit
-      // fan-out 4×. But the join also pays one state-store PUT per input
-      // row, which dominates once the corpus is large (the 100× replica
-      // measured 89× growth pinned at 8) — big corpora keep session width.
-      // Small-vs-big comes FREE from the replay shape (the q187 rule): the
-      // driver's test tables stage as ONE parquet file, a Spark-written
-      // replica is already a multi-file directory — no extra count job.
-      // The partition count is frozen into the (fresh, per-run) checkpoint,
-      // so this never mismatches resumed state; restored only after
-      // termination: the micro-batch thread reads the conf when it plans
-      // the first batch, which happens after start().
-      val nSrcFiles = Option(new java.io.File(streamPath).listFiles())
-        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
-      val large = nSrcFiles > 1
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.shuffle.partitions", if (large) prevShuffle else "8")
-      // Large corpora also switch the state store to RocksDB: the
-      // HDFS-backed provider holds every put as JVM objects in a
-      // per-partition map and snapshots it at commit — at corpus-scale
-      // state (one put per input row on both join sides) that is GC
-      // pressure plus a full-state serialization; RocksDB keeps state
-      // off-heap in native memtables/SSTs with incremental compaction.
-      // The provider is frozen into the fresh per-run checkpoint, so
-      // this never mismatches resumed state.
-      if (large) s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = side("click", "c_user", "c_ts")
-          .join(side("purchase", "p_user", "p_ts"),
-            col("p_user") === col("c_user") &&
-              col("p_ts") > col("c_ts") &&
-              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-          .writeStream
-          .queryName(sinkName)
-          .outputMode("append")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            reduceBatch(batch).write.mode("append").parquet(partials.toString)
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        prevProvider match {
-          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      if (mn.getLong(2) > 0L) {
+        val (lo, hi) = (mn.getLong(0), mn.getLong(1))
+        // ONE whole-corpus batch at bench scale (the minimal replay); a
+        // corpus past rowsPerFile slices into strict time ranges — see
+        // the scale-posture note above
+        val hourUs = 3600L * 1000000L
+        val slices = if (mn.getLong(2) / rowsPerFile < 1) 1
+          else math.min(32L, math.max(2L, (hi - lo) / (sliceHours * hourUs) + 1)).toInt
+        val filesPerSlice = math.max(1L,
+          math.min(32L, mn.getLong(2) / rowsPerFile / slices + 1)).toInt
+        val cuts = (0 to slices).map {
+          case 0 => Long.MinValue
+          case k if k == slices => Long.MaxValue
+          case k => lo + (hi - lo) * k / slices
         }
+        val width = stageAligned(streamDir,
+          cuts.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+            (f"slice$i%02d",
+              ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b),
+              i * 10)
+          }, filesPerSlice)
+        def side(tp: String, userAs: String, tsAs: String) =
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", width.toString)
+            .parquet(streamDir.toString)
+            .filter(col("event_type") === tp)
+            .select(col("user_id").as(userAs), col("ts").as(tsAs))
+            .withWatermark(tsAs, "24 hours")
+        // BUCKETED join key (q82's binned range join, streamed): state is
+        // keyed by the equi-join key only, so a user-keyed join probes
+        // EVERY stored click of that user per purchase — quadratic in
+        // per-user density (the r9 100× floor). Adding the click's hour
+        // bucket to the key, with purchases exploded to their bucket and
+        // its predecessor, bounds each probe to ONE hour of one user's
+        // clicks. Lossless and duplicate-free: a qualifying pair has
+        // p_ts ∈ (c_ts, c_ts + 1h] ⇒ bucket(p) ∈ {bucket(c),
+        // bucket(c) + 1} ⇒ exactly ONE of the two exploded purchase rows
+        // carries bucket(c). Bucket arithmetic is exact (positive epochs,
+        // integer div).
+        val hourBucket = (c: String) => expr(s"unix_micros($c) div ${hourUs}L")
+        val clicks = side("click", "c_user", "c_ts")
+          .withColumn("c_b", hourBucket("c_ts"))
+        val purchases = side("purchase", "p_user", "p_ts")
+          .withColumn("p_b",
+            explode(array(hourBucket("p_ts"), hourBucket("p_ts") - 1)))
+        val sinkName = "q149_join_sink"
+        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        // A stream-stream join materializes FOUR state stores per shuffle
+        // partition, each paying per-micro-batch checkpoint commits — at
+        // the session default (32) that fixed cost dwarfs a bench-scale
+        // replay's row work, so the single-slice single-file replay runs
+        // at 8 partitions to cut the commit fan-out 4×; sliced replays
+        // keep session width for put/probe parallelism. The partition
+        // count is frozen into the (fresh, per-run) checkpoint, so this
+        // never mismatches resumed state; restored only after
+        // termination: the micro-batch thread reads the conf when it
+        // plans the first batch, which happens after start().
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          if (slices == 1 && width == 1) "8" else prevShuffle)
+        try {
+          val q = clicks
+            .join(purchases,
+              col("p_user") === col("c_user") &&
+                col("p_b") === col("c_b") &&
+                col("p_ts") > col("c_ts") &&
+                col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+            .writeStream
+            .queryName(sinkName)
+            .outputMode("append")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              // per-user-bounded reduced frame: one task per batch — at
+              // sliced replay the per-batch write commit is a real toll
+              reduceBatch(batch).coalesce(1).write.mode("append").parquet(partials.toString)
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.read.schema(partialsSchema).parquet(partials.toString)
         .groupBy(col("c_user").as("user_id"))
@@ -679,7 +738,7 @@ object EventsOps {
         .orderBy("user_id")
         .localCheckpoint(true) // pin: the partials dir is deleted below
     } finally {
-      staged.foreach(rmTree)
+      rmTree(streamDir)
       rmTree(partials)
     }
   }
@@ -1226,39 +1285,42 @@ object EventsOps {
     * watermark actually closes unmatched state instead of holding (or
     * dropping) it.
     *
-    * Replay shape: file 1 = the real events (matched pairs emit here,
-    * both sides arriving in-batch); files 2 and 3 = watermark CARRIERS
-    * at M + 48h and M + 96h. A carrier must be one click row plus one
-    * purchase row under the reserved user_id −1 — NOT an out-of-band
-    * sentinel type: Catalyst pushes the event-type filter BELOW the
-    * EventTimeWatermark node (writing `withWatermark` before `.filter`
-    * does not survive optimization), so only rows that pass each side's
-    * filter can advance that side's watermark. The carriers share no
-    * user with real events (they join nothing) and are masked out of
-    * the batch-side rollup. TWO carrier files because eviction lags the
-    * watermark by one batch (the q183 spacer discipline / SPARK-24634):
-    * the M + 48h batch runs its eviction with file 1's watermark —
-    * still below the last clicks' windows — and only the M + 96h batch,
-    * carrying the M + 47h reading, provably flushes every unmatched
-    * click. The batch oracle is the same LEFT JOIN with the same
-    * interval bound as plain SQL; a hash-match proves matched
-    * multiplicity AND the unmatched complement survived exactly once.
+    * Replay shape: the real events as strictly time-ordered slices (ONE
+    * whole-corpus slice at bench scale), then two watermark CARRIER
+    * batches at M + 48h and M + 96h. A carrier must be one click row
+    * plus one purchase row under the reserved user_id −1 — NOT an
+    * out-of-band sentinel type: Catalyst pushes the event-type filter
+    * BELOW the EventTimeWatermark node (writing `withWatermark` before
+    * `.filter` does not survive optimization), so only rows that pass
+    * each side's filter can advance that side's watermark. The carriers
+    * share no user with real events (they join nothing) and are masked
+    * out of the batch-side rollup. TWO carrier batches because eviction
+    * lags the watermark by one batch (the q183 spacer discipline /
+    * SPARK-24634): the M + 48h batch runs its eviction with the last
+    * slice's watermark — still below the last clicks' windows — and
+    * only the M + 96h batch, carrying the M + 47h reading, provably
+    * flushes every remaining unmatched click. The batch oracle is the
+    * same LEFT JOIN with the same interval bound as plain SQL; a
+    * hash-match proves matched multiplicity AND the unmatched
+    * complement survived exactly once.
     *
     * Scale posture: state is keyed by user and bounded by the watermark
-    * horizon (the q149 contract), and unmatched rows leave state exactly
-    * once — the property that keeps a production outer join's memory
-    * flat under unbounded input. Three replay mechanics scale with the
-    * corpus, not with the batch count, and each is sized by data volume:
-    * (1) events stage as ~2M-row parquet files written in parallel (ONE
-    * file at bench scale — identical to the original shape — tens at the
-    * 100× replica; a single coalesce(1) file would serialize the whole
-    * corpus through one task), with `maxFilesPerTrigger` = the staged
-    * file count and each carrier batch PADDED to that count with empty
-    * files so the three-batch discipline survives multi-file staging;
-    * (2) the join runs at 8 shuffle partitions only when staging is
-    * single-file (q149's state-store-commit sizing), else at the full
-    * session width; (3) the sink is `foreachBatch` reducing every batch
-    * to per-user count partials on the executors — the joined rows
+    * horizon, and unmatched rows leave state exactly once — the property
+    * that keeps a production outer join's memory flat under unbounded
+    * input. Large corpora replay as STRICT time slices (the q149
+    * contract and losslessness argument, with the carrier pair appended
+    * after the last slice): intermediate slices advance the watermark,
+    * so per-user state — and with it the per-purchase PROBE over the
+    * user's stored clicks, the quadratic-in-density term a single-batch
+    * replay pays — stays inside the horizon, and unmatched clicks flush
+    * PROGRESSIVELY instead of all at the end. Further mechanics: only
+    * the two joined types are staged (3 columns, replay IO ∝ join
+    * input); each slice is parallel-written and carrier batches are
+    * PADDED to the common file width so `maxFilesPerTrigger` boundaries
+    * stay exact; the single-slice single-file replay runs at 8 shuffle
+    * partitions (state-store-commit sizing), sliced replays at session
+    * width; and the sink is `foreachBatch` reducing every batch to
+    * per-user count partials on the executors — the joined rows
     * (∝ corpus) NEVER land on the driver, unlike a memory sink, which
     * buffers them all. Counts are decomposable, so summing the partials
     * afterwards is exact regardless of which batch emitted which row. */
@@ -1276,46 +1338,33 @@ object EventsOps {
       |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin)(q187Impl()(_, _))
 
   /** q187 body; `rowsPerFile` sizes the staged replay files (specs pass a
-    * tiny value to force the multi-file padded-carrier path at test scale). */
-  private[graft] def q187Impl(rowsPerFile: Long = OuterStageRowsPerFile)(
+    * tiny value to force the multi-file padded-carrier path at test
+    * scale); `sliceHours` trades per-batch toll against state size (see
+    * [[StreamSliceHours]]). */
+  private[graft] def q187Impl(rowsPerFile: Long = OuterStageRowsPerFile,
+      sliceHours: Long = StreamSliceHours)(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val ev = Tables.events(s, d)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    val mn = ev.agg(max(expr("unix_micros(ts)")), count(lit(1))).head()
-    val mMicros = mn.getLong(0)
-    // ~2M rows per staged file: exactly one file (the original replay
-    // shape) at bench scale, parallel-written tens at the 100× replica
-    val nFiles = math.max(1L, math.min(32L, mn.getLong(1) / rowsPerFile + 1)).toInt
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val tsCol = Tables.tsAsTimestamp(raw.schema("ts").dataType)
+    // only the two joined types are staged (3 columns): replay IO is
+    // ∝ join input, not corpus
+    val ev = raw.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), tsCol.as("ts"), col("event_type"))
+    val mn = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      count(lit(1))).head()
     val hourUs = 3600L * 1000000L
     // one click + one purchase carrier so BOTH sides' post-filter
     // watermark domains observe the flush instant
     def carriers(tsMicros: Long) = {
-      def row(id: Long, tp: String) = s.range(1).select(
-        lit(id).as("event_id"), timestamp_micros(lit(tsMicros)).as("ts"),
-        lit(-1L).as("user_id"), lit(tp).as("event_type"),
-        lit(0.0).as("value"))
-      row(-1L, "click").unionByName(row(-2L, "purchase"))
+      def row(tp: String) = s.range(1).select(
+        lit(-1L).as("user_id"), timestamp_micros(lit(tsMicros)).as("ts"),
+        lit(tp).as("event_type"))
+      row("click").unionByName(row("purchase"))
     }
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-outer")
     val partialsDir = java.nio.file.Files.createTempDirectory("graft-outer-partials")
     val sinkName = "q187_outer_sink"
     try {
-      // aligned staging: the carrier batches carry the same file count as
-      // the event batch (empty pads), so the three-batch boundary
-      // survives multi-file staging
-      val width = stageAligned(streamDir, Seq(
-        ("a_events", ev, 0),
-        ("b_flush", carriers(mMicros + 48 * hourUs), 10),
-        ("c_flush", carriers(mMicros + 96 * hourUs), 20)), nFiles)
-
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      def side(tp: String, userAs: String, tsAs: String) =
-        s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", width.toString)
-          .parquet(streamDir.toString)
-          .filter(col("event_type") === tp)
-          .select(col("user_id").as(userAs), col("ts").as(tsAs))
-          .withWatermark(tsAs, "1 hour")
       // sink reduction shared with the final read (static partials schema:
       // an all-filtered replay degrades to an empty result, never a
       // schema-inference error on the empty partials dir)
@@ -1325,40 +1374,78 @@ object EventsOps {
           .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"))
       val partialsSchema = reduceBatch(ev.select(col("user_id").as("c_user"),
         col("ts").as("c_ts"), col("ts").as("p_ts")).limit(0)).schema
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      // q149's state-store-commit sizing when replay is single-file; the
-      // full session width once the corpus is big enough to multi-file
-      s.conf.set("spark.sql.shuffle.partitions", if (width == 1) "8" else prevShuffle)
-      // q149's RocksDB arm (see there): corpus-scale state off-heap
-      // instead of JVM maps snapshotted per commit
-      if (width > 1) s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = side("click", "c_user", "c_ts")
-          .join(side("purchase", "p_user", "p_ts"),
-            col("p_user") === col("c_user") &&
-              col("p_ts") > col("c_ts") &&
-              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
-            "left_outer")
-          .writeStream
-          .queryName(sinkName)
-          .outputMode("append")
-          // executor-side reduction to per-user count partials: the joined
-          // rows themselves (∝ corpus) never reach the driver
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            reduceBatch(batch).write.mode("append").parquet(partialsDir.toString)
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        prevProvider match {
-          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      if (mn.getLong(2) > 0L) {
+        val (lo, hi) = (mn.getLong(0), mn.getLong(1))
+        // q149's strict time slicing (ONE whole-corpus slice at bench
+        // scale), with the two flush carriers appended after the last
+        // slice; aligned staging pads every batch to the common file
+        // width so the batch boundaries survive multi-file staging
+        val slices = if (mn.getLong(2) / rowsPerFile < 1) 1
+          else math.min(32L, math.max(2L, (hi - lo) / (sliceHours * hourUs) + 1)).toInt
+        val filesPerSlice = math.max(1L,
+          math.min(32L, mn.getLong(2) / rowsPerFile / slices + 1)).toInt
+        val cuts = (0 to slices).map {
+          case 0 => Long.MinValue
+          case k if k == slices => Long.MaxValue
+          case k => lo + (hi - lo) * k / slices
         }
+        val width = stageAligned(streamDir,
+          cuts.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+            (f"a_slice$i%02d",
+              ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b),
+              i * 10)
+          } ++ Seq(
+            ("b_flush", carriers(hi + 48 * hourUs), slices * 10),
+            ("c_flush", carriers(hi + 96 * hourUs), slices * 10 + 10)),
+          filesPerSlice)
+
+        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        def side(tp: String, userAs: String, tsAs: String) =
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", width.toString)
+            .parquet(streamDir.toString)
+            .filter(col("event_type") === tp)
+            .select(col("user_id").as(userAs), col("ts").as(tsAs))
+            .withWatermark(tsAs, "1 hour")
+        // q149's bucketed join key (see there): bounds each probe to one
+        // hour-bucket of one user's clicks. For the OUTER join the left
+        // (click) side stays un-exploded, so null-extension multiplicity
+        // is untouched: a click matches exactly the purchases it matched
+        // on the unbucketed key (one exploded row carries its bucket),
+        // and an unmatched click still emits exactly one null row.
+        val hourBucket = (c: String) => expr(s"unix_micros($c) div ${hourUs}L")
+        val clicks = side("click", "c_user", "c_ts")
+          .withColumn("c_b", hourBucket("c_ts"))
+        val purchases = side("purchase", "p_user", "p_ts")
+          .withColumn("p_b",
+            explode(array(hourBucket("p_ts"), hourBucket("p_ts") - 1)))
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        // q149's state-store-commit sizing for the minimal replay; the
+        // full session width once the corpus slices
+        s.conf.set("spark.sql.shuffle.partitions",
+          if (slices == 1 && width == 1) "8" else prevShuffle)
+        try {
+          val q = clicks
+            .join(purchases,
+              col("p_user") === col("c_user") &&
+                col("p_b") === col("c_b") &&
+                col("p_ts") > col("c_ts") &&
+                col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+              "left_outer")
+            .writeStream
+            .queryName(sinkName)
+            .outputMode("append")
+            // executor-side reduction to per-user count partials: the joined
+            // rows themselves (∝ corpus) never reach the driver
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              // per-user-bounded reduced frame: one task per batch
+              reduceBatch(batch).coalesce(1).write.mode("append").parquet(partialsDir.toString)
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.read.schema(partialsSchema).parquet(partialsDir.toString)
         .groupBy(col("c_user").as("user_id"))

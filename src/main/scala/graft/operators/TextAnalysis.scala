@@ -56,6 +56,7 @@ object TextAnalysis {
          |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
          |  CASE $caseChain END AS predicted
          |FROM best ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.plans.GraftExtensions.register(s) // native stop_hits
       var df = Tables.documents(s, d).withColumn("t", tokens(col("text")))
       for ((lang, words) <- StopWords)
         df = df.withColumn(s"score_$lang", stopHits("t", words).cast("long"))
@@ -93,12 +94,13 @@ object TextAnalysis {
       |   + CASE WHEN n_tokens >= 15 THEN 1 ELSE 0 END
       |   + CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) AS quality_score
       |FROM feat ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.plans.GraftExtensions.register(s) // native stop_hits
     Tables.documents(s, d)
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_measured"),
         size(col("t")).cast("long").as("n_tokens"),
-        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_punct"),
+        punctCount(col("text")).cast("long").as("n_punct"),
         stopHits("t", Seq("the", "a", "of", "and", "to", "in")).cast("long").as("n_stop"))
       .select(col("doc_id"), col("n_chars_measured"), col("n_tokens"), col("n_punct"), col("n_stop"),
         ((col("n_stop") * 100).cast("double") / col("n_tokens").cast("double")).as("stop_pct"),
@@ -585,6 +587,7 @@ object TextAnalysis {
          |LEFT JOIN col_t c ON c.predicted = r.lang
          |LEFT JOIN diag g ON g.lang = r.lang
          |ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.plans.GraftExtensions.register(s) // native stop_hits
       var df = Tables.documents(s, d).withColumn("t", tokens(col("text")))
       for ((lang, words) <- StopWords)
         df = df.withColumn(s"score_$lang", stopHits("t", words).cast("long"))

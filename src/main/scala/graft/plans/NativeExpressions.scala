@@ -50,6 +50,28 @@ object GraftKernels {
     }
     acc
   }
+
+  /** Count of token-array elements equal to any of `words` (tiny constant
+    * list, linear probe). Semantics of `size(filter(toks, x -> x IN
+    * (words)))`: null elements never match; duplicates all count. */
+  def stopHits(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+               words: Array[UTF8String]): Int = {
+    var hits = 0
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var j = 0
+        while (j < words.length) {
+          if (words(j).equals(t)) { hits += 1; j = words.length }
+          else j += 1
+        }
+      }
+      i += 1
+    }
+    hits
+  }
 }
 
 /** SQL `uuid5(namespace, key)` — deterministic surrogate keys, replacing
@@ -89,6 +111,37 @@ case class DotF64Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** SQL `stop_hits(array<string>, array('w1', ...))` — the stopword-count
+  * kernel behind language ID / quality scoring (q43/q44/q75/q170).
+  * Replaces `size(filter(toks, x -> x IN (...)))`: Spark's higher-order
+  * functions are CodegenFallback (interpreted lambda per element), which
+  * made the per-document scoring loop the dominant cost of the corpus
+  * curation pipeline at scale — this is a single static call inside
+  * WholeStageCodegen. The word list is a constructor constant (literal at
+  * every call site), referenced once from generated code, not rebuilt per
+  * row. */
+case class StopHitsExpr(child: Expression, words: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stop_hits"
+
+  @transient private lazy val wordArr: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(toks: Any): Any =
+    GraftKernels.stopHits(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], wordArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopWords", wordArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, a => s"graft.plans.GraftKernels.stopHits($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopHitsExpr =
+    copy(child = newChild)
+}
+
 /** Registration: both as a `SparkSessionExtensions` injector (for
   * `spark.sql.extensions=graft.plans.GraftExtensions`) and as an
   * idempotent on-session registrar for sessions the driver already built. */
@@ -96,6 +149,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.uuid5Fn)
     ext.injectFunction(GraftExtensions.dotF64Fn)
+    ext.injectFunction(GraftExtensions.stopHitsFn)
   }
 }
 
@@ -109,6 +163,21 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotF64Expr].getName, "dot_f64"),
     (children: Seq[Expression]) => DotF64Expr(children(0), children(1)))
 
+  /** The word list must be a literal array — it is folded once at plan
+    * time into the expression's constant word table. */
+  private def mkStopHits(children: Seq[Expression]): StopHitsExpr = {
+    require(children(1).foldable,
+      "stop_hits: the word list must be a literal array('w1', 'w2', ...)")
+    val arr = children(1).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    StopHitsExpr(children(0),
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+  }
+  private val stopHitsFn = (
+    FunctionIdentifier("stop_hits"),
+    new ExpressionInfo(classOf[StopHitsExpr].getName, "stop_hits"),
+    (children: Seq[Expression]) => mkStopHits(children))
+
   /** Register the native functions on an existing session (idempotent).
     *
     * Besides the graft kernels this exposes Spark's own (non-public-API)
@@ -121,6 +190,7 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5Expr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_f64", es => DotF64Expr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("stop_hits", es => mkStopHits(es), "built-in")
     reg.createOrReplaceTempFunction("bloom_agg",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1)),
       "built-in")

@@ -63,6 +63,18 @@ class EventsOpsSpec extends SparkSpec {
     single.size should be > 0
   }
 
+  test("q149 time-sliced replay (strict ~24h batches) equals the single-batch replay") {
+    // force the 100×-replica shape at test scale: ~30 strict time slices,
+    // watermark advancing (and state evicting) between batches — the
+    // inner-join output must be identical to the whole-corpus-in-one-batch
+    // replay, proving slicing loses no pairs and drops nothing as late
+    val single = operators.EventsOps.q149.build(spark, dir).collect().toSeq
+    val multi = operators.EventsOps.q149Impl(rowsPerFile = 100L)(spark, dir)
+      .collect().toSeq
+    multi shouldBe single
+    single.size should be > 0
+  }
+
   test("q187 multi-file replay (padded carrier batches) equals single-file replay") {
     // force the 100×-replica staging shape at test scale: events split
     // across several replay files, carrier batches padded with empty
