@@ -11,7 +11,7 @@ class ChunkingPropertySpec extends SparkSpec {
   import spark.implicits._
 
   private def writeDocs(docs: Seq[(Long, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("chunkprop").toString
+    val dir = tempDir("chunkprop").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", expr("length(text)"))
@@ -66,7 +66,7 @@ class ChunkingPropertySpec extends SparkSpec {
       val qty = 1.0 + rnd.nextInt(9)
       (i.toLong, flag, price, qty)
     }
-    val dir = java.nio.file.Files.createTempDirectory("wqprop").toString
+    val dir = tempDir("wqprop").toString
     rows.toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity")
       .withColumn("l_partkey", lit(1L)).withColumn("l_suppkey", lit(1L))
       .withColumn("l_linenumber", lit(1)).withColumn("l_discount", lit(0.0))

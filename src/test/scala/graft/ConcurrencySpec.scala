@@ -15,7 +15,7 @@ class ConcurrencySpec extends SparkSpec {
   import spark.implicits._
 
   private def freshStore() =
-    new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+    new TableStore(spark, tempDir("graft-store").toString)
 
   test("two writers from one snapshot: exactly one commits, the other aborts, no lost update") {
     val st = freshStore()

@@ -11,7 +11,7 @@ import graft.schema.AmazonFresh
 class CsvIngestSpec extends SparkSpec {
 
   test("CSV lands all-string, conforms through the pipeline") {
-    val dir = Files.createTempDirectory("graft-csv")
+    val dir = tempDir("graft-csv")
     Files.writeString(dir.resolve("customers.csv"),
       """customerid,name,age,gender,city,state,country,signupdate,primemember
         |898ca408-050f-4a22-9b07-6e5ed27ab101,  Alice  , 30 ,F,Springfield,IL,USA,1/5/2024,Yes

@@ -13,7 +13,7 @@ class DataSkippingSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshStore() =
-    new TableStore(spark, Files.createTempDirectory("graft-skip").toString)
+    new TableStore(spark, tempDir("graft-skip").toString)
 
   test("selective range reads only overlapping files; result matches full filter") {
     val st = freshStore()

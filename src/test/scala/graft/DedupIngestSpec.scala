@@ -17,13 +17,13 @@ class DedupIngestSpec extends SparkSpec {
 
   test("stream dedupes within batches and against the published corpus") {
     implicit val sqlCtx = spark.sqlContext
-    val st = new TableStore(spark, Files.createTempDirectory("graft-ingest").toString)
+    val st = new TableStore(spark, tempDir("graft-ingest").toString)
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     st.create("corpus", empty)
     Dedup.buildSignatureStore(st, empty)
 
     val input = MemoryStream[(Long, String)]
-    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val ckpt = tempDir("graft-ingest-ckpt").toString
     val q = input.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch(DedupIngest.dedupIngestSink(st))
@@ -62,7 +62,7 @@ class DedupIngestSpec extends SparkSpec {
   }
 
   test("replay of a partially committed epoch converges (corpus+shh done, sig missing)") {
-    val st = new TableStore(spark, Files.createTempDirectory("graft-ingest2").toString)
+    val st = new TableStore(spark, tempDir("graft-ingest2").toString)
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     st.create("corpus", empty)
     Dedup.buildSignatureStore(st, empty)

@@ -20,7 +20,7 @@ class EndToEndSpec extends SparkSpec {
   private val c2 = "898ca408-050f-4a22-9b07-6e5ed27ab102"
 
   test("ingest -> store -> analytics -> audit, idempotent under re-ingest") {
-    val dir = Files.createTempDirectory("graft-e2e")
+    val dir = tempDir("graft-e2e")
     Files.writeString(dir.resolve("customers.csv"),
       s"""customerid,name,age,gender,city,state,country,signupdate,primemember
          |$c1,Alice,30,F,Springfield,IL,USA,1/5/2024,Yes
@@ -57,7 +57,7 @@ class EndToEndSpec extends SparkSpec {
     orders.quarantined.count() shouldBe 1
 
     // constrained store
-    val st = new TableStore(spark, Files.createTempDirectory("graft-e2e-store").toString)
+    val st = new TableStore(spark, tempDir("graft-e2e-store").toString)
     st.create("customers", customers.clean, Seq(PrimaryKey(Seq("customerid"))))
     st.create("orders", orders.clean, Seq(PrimaryKey(Seq("orderid")),
       ForeignKey(Seq("customerid"), "customers", Seq("customerid"), Cascade)))

@@ -13,7 +13,7 @@ class ExactlyOnceSinkSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshStore() =
-    new TableStore(spark, Files.createTempDirectory("graft-eos").toString)
+    new TableStore(spark, tempDir("graft-eos").toString)
 
   test("appendBatch is idempotent per epoch and O(batch) via manifest reuse") {
     val st = freshStore()
@@ -127,7 +127,7 @@ class ExactlyOnceSinkSpec extends SparkSpec {
 
     val input = MemoryStream[(Timestamp, String, Double)]
     val events = input.toDF().toDF("ts", "event_type", "value")
-    val ckpt = Files.createTempDirectory("graft-eos-agg-ckpt").toString
+    val ckpt = tempDir("graft-eos-agg-ckpt").toString
     val q = EventStream.hourlyRollup(events).writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)
@@ -160,8 +160,8 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     // (the cold-JVM equivalent: nothing in memory survives).
     val st1 = freshStore()
     st1.create("ev", Seq.empty[(Long, Double)].toDF("id", "value"))
-    val srcDir = Files.createTempDirectory("graft-crash-src").toString
-    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    val srcDir = tempDir("graft-crash-src").toString
+    val ckpt = tempDir("graft-crash-ckpt").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
@@ -214,7 +214,7 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     st.create("ev", Seq.empty[(Timestamp, Long, Double)].toDF("ts", "user_id", "value"))
 
     val input = MemoryStream[(Timestamp, Long, Double)]
-    val ckpt = Files.createTempDirectory("graft-eos-ckpt").toString
+    val ckpt = tempDir("graft-eos-ckpt").toString
     val q = input.toDF().toDF("ts", "user_id", "value").writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch(EventStream.exactlyOnceSink(st, "ev"))

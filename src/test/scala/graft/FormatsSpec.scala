@@ -11,7 +11,7 @@ class FormatsSpec extends SparkSpec with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
   private val tmpDirs = scala.collection.mutable.Buffer[java.nio.file.Path]()
   private def tmp(prefix: String) = {
-    val p = Files.createTempDirectory(prefix)
+    val p = tempDir(prefix)
     tmpDirs += p
     p.toString
   }

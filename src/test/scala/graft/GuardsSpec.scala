@@ -79,7 +79,7 @@ class GuardsSpec extends SparkSpec {
   test("q97 drops oversized prefix blocks instead of going quadratic on them") {
     // synthesize a corpus: one hot block (MaxEditBlock+6 near-identical
     // docs sharing an 8-char prefix) plus one small block with a true pair
-    val dir = java.nio.file.Files.createTempDirectory("graft-editblock").toString
+    val dir = tempDir("graft-editblock").toString
     val hot = (0 until (Dedup.MaxEditBlock + 6).toInt).map { i =>
       (i.toLong, s"boilerpl common opening line variant $i", "en", "src0", 40L)
     }
@@ -100,7 +100,7 @@ class GuardsSpec extends SparkSpec {
     // interval density; above the cap the gate must fail fast with
     // guidance, not fill storage (the 100× replica trips this by design).
     // Craft a hot key: 12 same-day shipments of one (supplier, part).
-    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    val dir = tempDir("graft-overlap").toString
     (1 to 12).map(i => (i.toLong, i, 7L, 7L,
         java.sql.Date.valueOf("2024-03-01"), 5L))
       .toDF("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
@@ -121,7 +121,7 @@ class GuardsSpec extends SparkSpec {
     // q190: 12 identical same-day intervals → one key row with
     // peak_concurrency 12, n_intervals 12, contention_days = the shared
     // 9-day span ([s, s+8] from quantity 5 → transit 8)
-    val dir = java.nio.file.Files.createTempDirectory("graft-contention").toString
+    val dir = tempDir("graft-contention").toString
     import spark.implicits._
     (1 to 12).map(i => (i.toLong, i, 7L, 7L,
         java.sql.Date.valueOf("2024-03-01"), 5L))

@@ -16,7 +16,7 @@ class IncrementalDedupSpec extends SparkSpec {
   private def mkDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
 
   test("batch near-dups are found against stored signatures and within the batch") {
-    val st = new TableStore(spark, Files.createTempDirectory("graft-sig").toString)
+    val st = new TableStore(spark, tempDir("graft-sig").toString)
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = mkDocs(Seq(
       1L -> base,
@@ -38,7 +38,7 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("the delta plan scans only the signature store, never corpus text") {
-    val st = new TableStore(spark, Files.createTempDirectory("graft-sig2").toString)
+    val st = new TableStore(spark, tempDir("graft-sig2").toString)
     Dedup.buildSignatureStore(st, mkDocs(Seq(1L -> "alpha beta gamma delta epsilon zeta")))
     val batch = mkDocs(Seq(10L -> "alpha beta gamma delta epsilon zeta"))
     val result = Dedup.incrementalLshPairs(spark, st, batch)

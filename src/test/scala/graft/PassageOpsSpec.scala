@@ -19,7 +19,7 @@ class PassageOpsSpec extends SparkSpec {
   }
 
   private def run = {
-    val dir = java.nio.file.Files.createTempDirectory("psg").toString
+    val dir = tempDir("psg").toString
     corpus.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", expr("length(text)"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -35,7 +35,7 @@ class PassageOpsSpec extends SparkSpec {
       val n = 1 + rnd.nextInt(30)
       (i, (0 until n).map(j => s"d${i}w$j").mkString(" "))
     }
-    val dir = java.nio.file.Files.createTempDirectory("psg-prop").toString
+    val dir = tempDir("psg-prop").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", expr("length(text)"))

@@ -318,7 +318,7 @@ class PlanSpec extends SparkSpec {
     // the stats working.
     import org.apache.spark.sql.functions.{col, concat, lit, md5}
     val st = new graft.sources.TableStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-cbo").toString)
+      tempDir("graft-cbo").toString)
     val dim = spark.range(4000).select(col("id").as("key"),
       (col("id") % 40).as("grp"),
       md5(concat(col("id").cast("string"), lit("pad"))).as("pad"))

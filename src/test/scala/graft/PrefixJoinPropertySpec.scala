@@ -56,7 +56,7 @@ class PrefixJoinPropertySpec extends SparkSpec {
 
   test("prefix-filter join ≡ brute force on randomized near-dup corpora (4 seeds)") {
     for (seed <- Seq(1, 2, 3, 4)) {
-      val dir = Files.createTempDirectory(s"graft-ppjoin$seed").toString
+      val dir = tempDir(s"graft-ppjoin$seed").toString
       corpus(seed).map { case (id, text) =>
         (id, text, "en", "src0", text.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -45,7 +45,7 @@ class Scd2PropertySpec extends SparkSpec {
 
   for (seed <- Seq(7, 42, 1001)) {
     test(s"seed $seed: one-shot and streamed SCD2 maintenance equal the rebuild") {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-scd2-prop$seed")
+      val dir = tempDir(s"graft-scd2-prop$seed")
       try {
         val ev = corpus(seed)
         ev.write.mode("overwrite").parquet(s"$dir/events.parquet")

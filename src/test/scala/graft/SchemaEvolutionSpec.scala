@@ -13,7 +13,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshStore() =
-    new TableStore(spark, Files.createTempDirectory("graft-evolve").toString)
+    new TableStore(spark, tempDir("graft-evolve").toString)
 
   private def parquetFiles(dir: String): Seq[Path] = {
     import scala.jdk.CollectionConverters._

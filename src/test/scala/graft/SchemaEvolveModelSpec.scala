@@ -20,7 +20,7 @@ class SchemaEvolveModelSpec extends SparkSpec {
 
   private def run(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val st = new TableStore(spark, Files.createTempDirectory(s"graft-evmodel$seed").toString)
+    val st = new TableStore(spark, tempDir(s"graft-evmodel$seed").toString)
     var cols = Vector("c0") // non-PK columns, all BIGINT
     var nextCol = 1
     val model = scala.collection.mutable.Map[Long, scala.collection.mutable.Map[String, Long]]()

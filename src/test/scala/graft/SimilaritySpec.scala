@@ -43,7 +43,7 @@ class SimilaritySpec extends SparkSpec {
     val a = Array.fill(64)(0.1f)
     val b = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
     val rows = Seq((0L, a, 0), (1L, a, 0), (2L, a, 0), (3L, a, 1), (4L, b, 0))
-    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val dir = tempDir("semdedup").toString
     import spark.implicits._
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

@@ -10,7 +10,7 @@ import graft.core.Tables
 class SinkSpec extends SparkSpec {
 
   test("partitioned write + partition-pruned read-back") {
-    val dir = Files.createTempDirectory("graft-sink").toString
+    val dir = tempDir("graft-sink").toString
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     orders.write.mode("overwrite")
       .partitionBy("o_orderstatus")
@@ -30,7 +30,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("CTAS materialization round-trips exactly (S4)") {
-    val dir = Files.createTempDirectory("graft-ctas").toString
+    val dir = tempDir("graft-ctas").toString
     val agg = Tables.orders(spark, "/root/testdata/sf0.001")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))

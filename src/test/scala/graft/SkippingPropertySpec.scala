@@ -15,7 +15,7 @@ class SkippingPropertySpec extends SparkSpec {
 
   private def checkEquivalence(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val st = new TableStore(spark, Files.createTempDirectory(s"graft-prop$seed").toString)
+    val st = new TableStore(spark, tempDir(s"graft-prop$seed").toString)
     val n = 500 + rnd.nextInt(1500)
     val rows = (0 until n).map { i =>
       val id = rnd.nextInt(1000).toLong

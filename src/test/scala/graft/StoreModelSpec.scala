@@ -15,7 +15,7 @@ class StoreModelSpec extends SparkSpec {
 
   private def run(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val st = new TableStore(spark, Files.createTempDirectory(s"graft-model$seed").toString)
+    val st = new TableStore(spark, tempDir(s"graft-model$seed").toString)
     val model = scala.collection.mutable.Map[Long, (String, Double)]()
 
     def rows(k: Int) = (0 until k).map { _ =>

@@ -73,7 +73,7 @@ class StreamGatePropertySpec extends SparkSpec {
   }
 
   private def writeDir(ev: DataFrame, tag: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-gateprop-$tag")
+    val dir = tempDir(s"graft-gateprop-$tag")
     ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }

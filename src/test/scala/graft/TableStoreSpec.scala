@@ -9,7 +9,7 @@ class TableStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshStore() =
-    new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+    new TableStore(spark, tempDir("graft-store").toString)
 
   test("create/table round-trip and versioned atomic updates") {
     val st = freshStore()
@@ -243,7 +243,7 @@ class TableStoreSpec extends SparkSpec {
   }
 
   test("key constraints survive a store reopen: upsert by PK and FK cascade work") {
-    val root = Files.createTempDirectory("graft-reopen").toString
+    val root = tempDir("graft-reopen").toString
     val st1 = new TableStore(spark, root)
     st1.create("parents", Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
       Seq(PrimaryKey(Seq("id"))))
@@ -269,7 +269,7 @@ class TableStoreSpec extends SparkSpec {
   }
 
   test("a failed CREATE leaves no phantom catalog entry") {
-    val root = Files.createTempDirectory("graft-phantom").toString
+    val root = tempDir("graft-phantom").toString
     val st1 = new TableStore(spark, root)
     st1.create("parents", Seq((1L, "a")).toDF("id", "v"), Seq(PrimaryKey(Seq("id"))))
     // this CREATE fails at write time (ANSI cast of a non-numeric string)

@@ -54,9 +54,9 @@ class WarehouseSpec extends SparkSpec {
     import org.apache.spark.sql.DataFrame
     val ev = core.Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val storeRoot = java.nio.file.Files.createTempDirectory("graft-scd2-restart")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-scd2-restart-src")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-restart-ckpt")
+    val storeRoot = tempDir("graft-scd2-restart")
+    val srcDir = tempDir("graft-scd2-restart-src")
+    val ckpt = tempDir("graft-scd2-restart-ckpt")
     try {
       val st = new graft.sources.TableStore(spark, storeRoot.toString)
       operators.Warehouse.scd2CreateDim(st, "dim", ev)
