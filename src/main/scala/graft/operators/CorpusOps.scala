@@ -403,6 +403,123 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q191: per-source token budget for the streaming admission gate —
+    * small enough to bite at every test scale (per-source corpora are
+    * ≥ ~1.1k tokens from sf0.001 up), so the cut lands mid-stream and the
+    * oracle actually exercises the carried-state arithmetic. */
+  private[graft] val AdmissionBudgetTokens = 800L
+
+  /** q191: STREAMING corpus admission control — q111's token-budget
+    * selection in ARRIVAL order, the form an unbounded ingest actually
+    * runs: an infinite stream cannot be re-ranked by quality first, so
+    * admission is first-come within each source until that source's
+    * token budget fills. The corpus replays as four strictly
+    * doc_id-ordered micro-batches (the q189 staging discipline); a
+    * `foreachBatch` sink computes each batch's within-batch running
+    * totals (one partitioned window — distributed), folds in the carried
+    * per-source totals via a broadcast join, appends the admitted rows to
+    * executor-written partials, and carries forward ONLY per-source
+    * BIGINT totals — state is O(#sources), independent of corpus size
+    * (the bounded-collect class: one ≤#sources-row aggregate per batch).
+    *
+    * Correctness: strict doc_id slicing makes carried + within-batch
+    * cumsum ≡ the global per-source cumulative sum in doc_id order —
+    * exact BIGINT arithmetic both engines share, so the cut lands
+    * bit-identically. Restart idempotence of the partials append is the
+    * store's epoch-ledger pattern (q189/ExactlyOnceSinkSpec), not
+    * exercised by this bounded replay.
+    *
+    * Scale posture: token counting happens ONCE, before staging, so text
+    * bytes never replay — staged rows are (doc_id, source, ntok); each
+    * batch costs one window over the batch plus a broadcast join against
+    * ≤ #sources carried totals; nothing row-scale touches the driver. */
+  val q191 = QueryDef(
+    "q191_streaming_admission_gate",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, ntok,
+      |    CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, ntok, cum_tokens
+      |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin)(q191Impl()(_, _))
+
+  /** q191 body; `rowsPerFile` sizes the staged replay files (specs pass a
+    * tiny value to force the multi-file aligned-batch path at test
+    * scale); `budget` is the per-source admission cap. */
+  private[graft] def q191Impl(rowsPerFile: Long = EventsOps.OuterStageRowsPerFile,
+      budget: Long = AdmissionBudgetTokens)(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+    val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val partialsSchema = docs.limit(0).withColumn("cum_tokens", lit(0L))
+      .select("doc_id", "source", "ntok", "cum_tokens").schema
+    val partials = java.nio.file.Files.createTempDirectory("graft-admit-partials")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-admit-stage")
+    try {
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val nFiles = math.max(1L,
+          math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
+        val cuts = Seq(Long.MinValue, lo + (hi - lo) / 4, lo + (hi - lo) / 2,
+          lo + (hi - lo) * 3 / 4, Long.MaxValue)
+        val width = EventsOps.stageAligned(streamDir,
+          cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+            (s"slice$i",
+              docs.filter(col("doc_id") > a && col("doc_id") <= b), i * 10)
+          }.toSeq, nFiles)
+        // carried per-source totals — the ONLY cross-batch state; read and
+        // written solely by the (sequential) micro-batch thread
+        var carried = Map.empty[String, Long]
+        val sinkName = "q191_admit_sink"
+        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", width.toString)
+          .parquet(streamDir.toString)
+          .writeStream
+          .queryName(sinkName)
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            import s.implicits._
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("source").orderBy("doc_id")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)
+            val carriedDf = carried.toSeq.toDF("source", "prior")
+            val admitted = batch
+              .withColumn("run", sum(col("ntok")).over(w))
+              .join(broadcast(carriedDf), Seq("source"), "left")
+              .withColumn("cum_tokens", col("run") + coalesce(col("prior"), lit(0L)))
+              .filter(col("cum_tokens") <= budget)
+              .select("doc_id", "source", "ntok", "cum_tokens")
+            // admitted rows are budget-bounded per source — one file per batch
+            admitted.coalesce(1).write.mode("append").parquet(partials.toString)
+            carried = batch.groupBy("source").agg(sum("ntok").as("t")).collect()
+              .foldLeft(carried) { (m, row) =>
+                m.updated(row.getString(0),
+                  m.getOrElse(row.getString(0), 0L) + row.getLong(1))
+              }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // pin the result before the finally removes the partials dir
+      s.read.schema(partialsSchema).parquet(partials.toString)
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      EventsOps.rmTree(streamDir)
+      EventsOps.rmTree(partials)
+    }
+  }
+
   /** Bloom-pruned decontamination — q63's semantics at the 100 TB shape:
     * at scale the corpus side is petabytes of shingles and even a
     * broadcast-hash join visits every corpus row; a bloom sketch over the
@@ -525,5 +642,5 @@ object CorpusOps {
   }
 
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157, q168)
+    q130, q151, q157, q168, q191)
 }

@@ -39,7 +39,7 @@ class EventsOpsSpec extends SparkSpec {
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late") ||
           n.startsWith("graft-outer") || n.startsWith("graft-scd2") ||
-          n.startsWith("graft-stage"))
+          n.startsWith("graft-stage") || n.startsWith("graft-admit"))
         .toSet
       finally s.close()
     }
@@ -52,6 +52,7 @@ class EventsOpsSpec extends SparkSpec {
     operators.EventsOps.q187.build(spark, dir).collect()
     operators.Warehouse.q188.build(spark, dir).collect() // store root cleaned
     operators.Warehouse.q189.build(spark, dir).collect() // staging + ckpt + store cleaned
+    operators.CorpusOps.q191.build(spark, dir).collect() // staging + partials cleaned
     stageDirs() shouldBe before
   }
 
@@ -72,6 +73,31 @@ class EventsOpsSpec extends SparkSpec {
     val multi = operators.EventsOps.q149Impl(rowsPerFile = 100L)(spark, dir)
       .collect().toSeq
     multi shouldBe single
+    single.size should be > 0
+  }
+
+  test("q191 sliced admission replay equals single-batch replay and the batch cumsum") {
+    // the carried per-source totals must make sliced admission identical
+    // to admitting the whole corpus in one batch — and both must equal a
+    // plain batch cumulative-sum selection (the oracle's form)
+    val docsDir = "/root/testdata/sf0.001"
+    val single = operators.CorpusOps.q191.build(spark, docsDir).collect().toSeq
+    val multi = operators.CorpusOps.q191Impl(rowsPerFile = 50L)(spark, docsDir)
+      .collect().toSeq
+    multi shouldBe single
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = graft.core.Tables.documents(spark, docsDir)
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(split(trim(col("text")), " "))
+          .cast("long").as("ntok"))
+      .withColumn("cum_tokens", sum(col("ntok")).over(w))
+      .filter(col("cum_tokens") <= operators.CorpusOps.AdmissionBudgetTokens)
+      .orderBy("doc_id").collect().toSeq
+    single shouldBe batch
     single.size should be > 0
   }
 
