@@ -14,11 +14,19 @@ object Extras {
 
   /** Memoized co-purchase graph per (session, dir) — the (order, part)
     * distinct projection and the distinct undirected edge list (u < v),
-    * both materialized ONCE as PARQUET in a memo temp dir and shared by
+    * each materialized ONCE as PARQUET in a memo temp dir and shared by
     * the five graph queries (q141 affinity, q154 PageRank, q160 rules,
     * q161 triangles, q164 k-core). Without the memo each query re-runs
     * the two largest shuffles of the family (fact distinct + within-order
     * self-join distinct).
+    *
+    * The two components build INDEPENDENTLY, on first demand: q141/q160
+    * aggregate within-order pairs directly off `items` and never touch
+    * the distinct edge list, so a cold q141 was paying the edge
+    * self-join — the single most expensive shuffle of the family — for a
+    * frame it never read (the r10 100× probes' worst residual row).
+    * Edges imply items (they are derived from it), so the dependency
+    * only ever runs one way.
     *
     * Parquet, not localCheckpoint (r9 watch item): block-manager blocks
     * for a 100×-corpus edge list sit in MEMORY_AND_DISK executor storage
@@ -29,43 +37,64 @@ object Extras {
     * directory delete. Weak session keys, same contract as
     * Dedup.lshVerifiedPairs: inputs are immutable driver-generated
     * parquet, so no invalidation beyond session lifetime is needed. */
+  private final class GraphMemoEntry(val memoDir: java.nio.file.Path) {
+    var items: Option[org.apache.spark.sql.DataFrame] = None
+    var edges: Option[org.apache.spark.sql.DataFrame] = None
+  }
+
   private val graphMemo = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
-                                          org.apache.spark.sql.DataFrame,
-                                          java.nio.file.Path)]]()
+    scala.collection.mutable.Map[String, GraphMemoEntry]]()
 
   /** Memo parquet dir for `dir` in session `s`, if built (spec hook). */
   private[graft] def graphMemoDir(s: org.apache.spark.sql.SparkSession,
       d: String): Option[java.nio.file.Path] =
     graphMemo.synchronized {
-      Option(graphMemo.get(s)).flatMap(_.get(d)).map(_._3)
+      Option(graphMemo.get(s)).flatMap(_.get(d)).map(_.memoDir)
     }
 
-  private def copurchase(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    graphMemo.synchronized {
-      val perDir = {
-        val cur = graphMemo.get(s)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map[String, (org.apache.spark.sql.DataFrame,
-                                                        org.apache.spark.sql.DataFrame,
-                                                        java.nio.file.Path)]()
-          graphMemo.put(s, m); m
-        }
+  private def memoEntry(s: org.apache.spark.sql.SparkSession, d: String): GraphMemoEntry = {
+    val perDir = {
+      val cur = graphMemo.get(s)
+      if (cur != null) cur
+      else {
+        val m = scala.collection.mutable.Map[String, GraphMemoEntry]()
+        graphMemo.put(s, m); m
       }
-      val (items, edges, _) = perDir.getOrElseUpdate(d, {
-        val memoDir = java.nio.file.Files.createTempDirectory("graft-graph-memo")
+    }
+    perDir.getOrElseUpdate(d,
+      new GraphMemoEntry(java.nio.file.Files.createTempDirectory("graft-graph-memo")))
+  }
+
+  /** Distinct (order, part) market baskets — what q141/q160 aggregate. */
+  private def copurchaseItems(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graphMemo.synchronized {
+      val e = memoEntry(s, d)
+      e.items.getOrElse {
         Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-          .distinct().write.mode("overwrite").parquet(s"$memoDir/items.parquet")
-        val items = s.read.parquet(s"$memoDir/items.parquet")
+          .distinct().write.mode("overwrite").parquet(s"${e.memoDir}/items.parquet")
+        val df = s.read.parquet(s"${e.memoDir}/items.parquet")
+        e.items = Some(df)
+        df
+      }
+    }
+
+  /** Distinct undirected co-purchase edges (u < v) — what the iterative
+    * graph queries (q154/q161/q164) traverse. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graphMemo.synchronized {
+      val e = memoEntry(s, d)
+      e.edges.getOrElse {
+        val items = copurchaseItems(s, d) // reentrant lock; builds if cold
         items.toDF("k", "u").join(items.toDF("k", "v"), Seq("k"))
           .filter(col("u") < col("v")).select("u", "v").distinct()
-          .write.mode("overwrite").parquet(s"$memoDir/edges.parquet")
-        (items, s.read.parquet(s"$memoDir/edges.parquet"), memoDir)
-      })
-      (items, edges)
+          .write.mode("overwrite").parquet(s"${e.memoDir}/edges.parquet")
+        val df = s.read.parquet(s"${e.memoDir}/edges.parquet")
+        e.edges = Some(df)
+        df
+      }
     }
 
   /** Drop the memoized co-purchase graph for `dir` (all sessions) and
@@ -75,8 +104,8 @@ object Extras {
   private[graft] def releaseGraphMemo(dir: String): Unit =
     graphMemo.synchronized {
       import scala.jdk.CollectionConverters._
-      for (perDir <- graphMemo.values.asScala; (_, _, memoDir) <- perDir.remove(dir))
-        EventsOps.rmTree(memoDir)
+      for (perDir <- graphMemo.values.asScala; e <- perDir.remove(dir))
+        EventsOps.rmTree(e.memoDir)
     }
 
   /** Release every memoized corpus graph (session-shutdown hygiene). */
@@ -614,7 +643,7 @@ object Extras {
       |SELECT part_a, part_b, support, CAST(rk AS INT) AS rk FROM (
       |  SELECT *, ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b) AS rk
       |  FROM p) WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
-    val items = copurchase(s, d)._1
+    val items = copurchaseItems(s, d)
     items.toDF("l_orderkey", "part_a")
       .join(items.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
       .filter(col("part_a") < col("part_b"))
@@ -768,7 +797,7 @@ object Extras {
          |${iterCte("pr3", "pr2")}
          |SELECT node AS part_key, deg, CAST(pr AS BIGINT) AS pr_e12
          |FROM pr3 ORDER BY part_key""".stripMargin) { (s, d) =>
-      val und = copurchase(s, d)._2
+      val und = copurchaseEdges(s, d)
       val e = und.select(col("u").as("s"), col("v").as("t"))
         .unionByName(und.select(col("v").as("s"), col("u").as("t")))
       val deg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
@@ -886,7 +915,7 @@ object Extras {
       |  CAST((n_pair * nb.n_baskets * 1000000) // (n_a * n_b) AS BIGINT) AS lift_ppm
       |FROM f CROSS JOIN nb
       |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
-    val items = copurchase(s, d)._1
+    val items = copurchaseItems(s, d)
     val nBaskets = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
     val item = items.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
     val pairs = items.toDF("l_orderkey", "part_a")
@@ -943,7 +972,7 @@ object Extras {
       |  CAST((3 * tri.n_tri * 1000000) // greatest(agg.n_wedges, 1) AS BIGINT)
       |    AS clustering_ppm
       |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin) { (s, d) =>
-    val e0 = copurchase(s, d)._2 // memo-materialized: orientation, closure, count
+    val e0 = copurchaseEdges(s, d) // memo-materialized: orientation, closure, count
     val deg = e0.select(col("u").as("node"))
       .unionByName(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -1062,7 +1091,7 @@ object Extras {
          |SELECT s6.node AS part_key, CAST(s6.c AS BIGINT) AS core_deg,
          |  (SELECT COUNT(*) FROM s6) = (SELECT COUNT(*) FROM s5) AS converged
          |FROM s6 ORDER BY part_key""".stripMargin) { (s, d) =>
-      val e0 = copurchase(s, d)._2
+      val e0 = copurchaseEdges(s, d)
       val ed = e0.select(col("u").as("s"), col("v").as("t"))
         .unionByName(e0.select(col("v").as("s"), col("u").as("t")))
         .localCheckpoint(true) // feeds every peel round

@@ -45,4 +45,19 @@ class MemoLifecycleSpec extends SparkSpec {
     Extras.releaseGraphMemo(sf)
     Extras.graphMemoDir(spark, sf) shouldBe None
   }
+
+  test("graph memo components are lazy: cold q141 builds items but NOT the edge self-join") {
+    Extras.clearGraphMemo()
+    Extras.q141.build(spark, sf).count() should be > 0L
+    val memoDir = Extras.graphMemoDir(spark, sf)
+    memoDir should not be None
+    java.nio.file.Files.exists(memoDir.get.resolve("items.parquet")) shouldBe true
+    // q141 aggregates within-order pairs directly off items; paying the
+    // distinct-edge shuffle for it was the r10 100x probes' worst row
+    java.nio.file.Files.exists(memoDir.get.resolve("edges.parquet")) shouldBe false
+    // an edge consumer then builds edges into the SAME memo dir
+    Extras.q161.build(spark, sf).count() should be > 0L
+    java.nio.file.Files.exists(memoDir.get.resolve("edges.parquet")) shouldBe true
+    Extras.releaseGraphMemo(sf)
+  }
 }
