@@ -1246,22 +1246,33 @@ object EventsOps {
 
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-      val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", width.toString)
-        .parquet(streamDir.toString)
-        .withWatermark("ts", "2 hours")
-        // group by the window STRUCT (not .getField("start") as in the
-        // Complete-mode gates): append mode requires the watermark-tagged
-        // event-time window column in the grouping key
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
-        .select(col("window.start").as("hour_start"), col("event_type"),
-          col("n_events"), col("value_sum"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // The four-batch replay pays one state-store commit per shuffle
+      // partition per batch; at session width (32) that fixed fan-out
+      // dwarfs a bench-scale batch's row work (the q149 rule). Single-
+      // file-width replays run the stateful agg at 8 partitions; staged
+      // multi-file corpora keep session width. Frozen into the fresh
+      // per-run checkpoint; restored only after termination.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        if (width == 1) "8" else prevShuffle)
+      try {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", width.toString)
+          .parquet(streamDir.toString)
+          .withWatermark("ts", "2 hours")
+          // group by the window STRUCT (not .getField("start") as in the
+          // Complete-mode gates): append mode requires the watermark-tagged
+          // event-time window column in the grouping key
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("value_sum"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n_events"), col("value_sum"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // localCheckpoint detaches the result from the memory sink, so the
       // view and the staged files can be torn down before the caller
       // evaluates it — repeated verify/bench runs leave /tmp flat.
