@@ -715,8 +715,12 @@ final class TableStore(spark: SparkSession, root: String) {
     require(on.nonEmpty, "mergeInto requires join keys")
     val srcFull = source.select(cur.columns.map(col).toSeq: _*).cache()
     try {
-      val nSrc = srcFull.count()
-      val nDistinct = srcFull.select(on.map(col): _*).distinct().count()
+      // one aggregate job for size + key uniqueness (a struct is non-null
+      // even when every field is, so count_distinct over it counts null
+      // keys exactly as the former select-distinct-count did)
+      val chk = srcFull.agg(count(lit(1)),
+        count_distinct(struct(on.map(col): _*))).head()
+      val (nSrc, nDistinct) = (chk.getLong(0), chk.getLong(1))
       require(nDistinct == nSrc,
         s"merge source carries ${nSrc - nDistinct} duplicate key rows; " +
           "MERGE cannot touch the same target row twice")
@@ -740,11 +744,15 @@ final class TableStore(spark: SparkSession, root: String) {
         if (insertUnmatched) srcFull.join(cur.select(on.map(col): _*), on, "left_anti")
         else cur.limit(0)
       // stats from the source perspective: matched rows split by delete
-      // condition evaluated on the (target ⋈ source) row
+      // condition evaluated on the (target ⋈ source) row — one aggregate
+      // job for both counts (each MERGE statement's driver-side jobs are
+      // pure scheduling toll at small batch sizes)
       val matchedRows = cur.join(broadcast(marked), on, "inner")
-      val nDeleted = matchedDelete.map(c =>
-        matchedRows.filter(coalesce(c, lit(false))).count()).getOrElse(0L)
-      val nMatched = matchedRows.count()
+      val mr = matchedRows.agg(count(lit(1)),
+        sum(when(coalesce(matchedDelete.getOrElse(lit(false)), lit(false)), 1L)
+          .otherwise(0L))).head()
+      val nMatched = mr.getLong(0)
+      val nDeleted = if (mr.isNullAt(1)) 0L else mr.getLong(1)
       // count the INSERT leg directly: nSrc - nMatched would mix units
       // when the TARGET carries duplicate join keys (nMatched counts
       // target rows, nSrc counts source rows) and can go negative
