@@ -26,12 +26,21 @@ object Provenance {
     * modifications made every in-tree regeneration permanently "-dirty"
     * (VERDICT r9 What's-wrong #3) — the stamp exists to flag unreproducible
     * SOURCE, not the artifact being refreshed. */
+  // match on the path suffix, not the two status columns: git() trims
+  // the captured output, which strips the leading space from the first
+  // porcelain line's status field
+  private val regenerable =
+    "(^|[ /])(scale_[^/ ]*[.]json|BENCH[^/ ]*[.]json|EXPLAIN[.]md)$".r
+
+  /** True when `git status --porcelain` output contains anything BEYOND
+    * regenerable artifacts (spec-tested: ProvenanceSpec). */
+  private[graft] def isSourceDirt(porcelain: String): Boolean =
+    porcelain.linesIterator.map(_.stripTrailing).filter(_.nonEmpty)
+      .exists(l => regenerable.findFirstIn(l).isEmpty)
+
   lazy val commit: String = {
     val sha = git("rev-parse", "--short", "HEAD").getOrElse("unknown")
-    val regenerable = "^.. (scale_[^/]*[.]json|BENCH[^/]*[.]json|EXPLAIN[.]md)$".r
-    val dirty = git("status", "--porcelain").exists(
-      _.linesIterator.map(_.stripTrailing).filter(_.nonEmpty)
-        .exists(l => regenerable.findFirstIn(l).isEmpty))
+    val dirty = git("status", "--porcelain").exists(isSourceDirt)
     if (sha != "unknown" && dirty) s"$sha-dirty" else sha
   }
 
