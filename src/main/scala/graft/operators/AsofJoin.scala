@@ -147,13 +147,13 @@ object AsofJoin {
       col("l_shipdate").cast("date").as("s"),
       date_add(col("l_shipdate").cast("date"),
         (col("l_quantity").cast("long") % 10 + 3).cast("int")).as("e"))
-    // materialized once (linear in intervals): the density guard and the
-    // self-join both read the checkpointed frame, so the guard no longer
-    // doubles the gate's input work with a second scan + explode
-    val binned = iv.withColumn("cell",
+    val binnedPlan = iv.withColumn("cell",
       explode(sequence(cellOf(col("s")), cellOf(col("e")))))
-      .localCheckpoint(true)
-    val densestRow = binned.groupBy("sk", "pk", "cell")
+    // the guard aggregates the LAZY frame: a refused corpus (the very
+    // case the guard exists for) pays one streaming scan and stores
+    // nothing — materializing first would pin a corpus-scale frame in
+    // executor storage only to throw it away
+    val densestRow = binnedPlan.groupBy("sk", "pk", "cell")
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
     val densest = if (densestRow.isNullAt(0)) 0L else densestRow.getLong(0)
     require(densest <= maxCell,
@@ -161,6 +161,10 @@ object AsofJoin {
         s"(max $maxCell); its pairwise overlap output is quadratic in " +
         "that density — use q190_interval_contention, which aggregates " +
         "per-key overlap statistics (count, peak concurrency) in linear time")
+    // accepted corpora materialize once for the self-join's two sides;
+    // the second explode the guard costs them is linear and tiny next to
+    // the join — the refusal path staying storage-free wins the trade
+    val binned = binnedPlan.localCheckpoint(true)
     val a = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_a"),
       col("ln").as("ln_a"), col("s").as("s_a"), col("e").as("e_a"))
     val b = binned.select(col("sk"), col("pk"), col("cell"), col("ok").as("ok_b"),

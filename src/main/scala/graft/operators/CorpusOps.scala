@@ -466,13 +466,9 @@ object CorpusOps {
         val (lo, hi) = (r.getLong(0), r.getLong(1))
         val nFiles = math.max(1L,
           math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
-        val cuts = Seq(Long.MinValue, lo + (hi - lo) / 4, lo + (hi - lo) / 2,
-          lo + (hi - lo) * 3 / 4, Long.MaxValue)
+        // four strict doc_id quarter-range slices (the q189 staging shape)
         val width = EventsOps.stageAligned(streamDir,
-          cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
-            (s"slice$i",
-              docs.filter(col("doc_id") > a && col("doc_id") <= b), i * 10)
-          }.toSeq, nFiles)
+          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, 4), nFiles)
         // carried per-source totals — the ONLY cross-batch state; read and
         // written solely by the (sequential) micro-batch thread
         var carried = Map.empty[String, Long]
@@ -491,19 +487,25 @@ object CorpusOps {
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                 org.apache.spark.sql.expressions.Window.currentRow)
             val carriedDf = carried.toSeq.toDF("source", "prior")
-            val admitted = batch
-              .withColumn("run", sum(col("ntok")).over(w))
-              .join(broadcast(carriedDf), Seq("source"), "left")
-              .withColumn("cum_tokens", col("run") + coalesce(col("prior"), lit(0L)))
-              .filter(col("cum_tokens") <= budget)
-              .select("doc_id", "source", "ntok", "cum_tokens")
-            // admitted rows are budget-bounded per source — one file per batch
-            admitted.coalesce(1).write.mode("append").parquet(partials.toString)
-            carried = batch.groupBy("source").agg(sum("ntok").as("t")).collect()
-              .foldLeft(carried) { (m, row) =>
-                m.updated(row.getString(0),
-                  m.getOrElse(row.getString(0), 0L) + row.getLong(1))
-              }
+            // one pass over the staged files: the windowed frame feeds
+            // BOTH the admitted write and the state update (per-source
+            // max of the running sum == the batch's per-source total)
+            val scored = batch
+              .withColumn("run", sum(col("ntok")).over(w)).persist()
+            try {
+              val admitted = scored
+                .join(broadcast(carriedDf), Seq("source"), "left")
+                .withColumn("cum_tokens", col("run") + coalesce(col("prior"), lit(0L)))
+                .filter(col("cum_tokens") <= budget)
+                .select("doc_id", "source", "ntok", "cum_tokens")
+              // admitted rows are budget-bounded per source — one file per batch
+              admitted.coalesce(1).write.mode("append").parquet(partials.toString)
+              carried = scored.groupBy("source").agg(max("run").as("t")).collect()
+                .foldLeft(carried) { (m, row) =>
+                  m.updated(row.getString(0),
+                    m.getOrElse(row.getString(0), 0L) + row.getLong(1))
+                }
+            } finally { scored.unpersist(); () }
             ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -88,15 +88,64 @@ object EventsOps {
           }
         } finally rmTree(tmp)
       }
+    } catch {
+      // a pad-write or move failure (disk full) leaves later stages'
+      // temp dirs unvisited — remove them all (rmTree on an
+      // already-removed dir is a no-op), same discipline as the staging
+      // loop above
+      case e: Throwable => staged.foreach(t => rmTree(t._3)); throw e
     } finally rmTree(padTmp)
     width
   }
+
+  /** Linear strict cuts over [lo, hi]: cut 0 = −∞, cut `slices` = +∞, so
+    * the half-open ranges (cuts(k), cuts(k+1)] partition the key space
+    * and every later slice's keys strictly exceed every earlier
+    * slice's — the property the sliced gates' losslessness arguments
+    * rest on. */
+  private def strictCuts(lo: Long, hi: Long, slices: Int): Seq[Long] =
+    (0 to slices).map {
+      case 0 => Long.MinValue
+      case k if k == slices => Long.MaxValue
+      case k => lo + (hi - lo) * k / slices
+    }
+
+  /** The strict-sliced replay stages shared by the sliced gates
+    * (q149/q187/q189/q191): one `(name, filtered df, modSec)` stage per
+    * half-open cut range of `key`, in replay order. `prefix` keeps the
+    * stage names lexicographically ordered relative to appended carrier
+    * stages (q187). One shared implementation so a staging change can
+    * never silently diverge the gates' replay shapes. */
+  private[graft] def slicedStages(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column, lo: Long, hi: Long, slices: Int,
+      prefix: String = ""): Seq[(String, org.apache.spark.sql.DataFrame, Int)] =
+    strictCuts(lo, hi, slices).sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        (f"$prefix%sslice$i%02d", df.filter(key > a && key <= b), i * 10)
+      case _ => throw new IllegalStateException("sliding(2) invariant")
+    }
+
+  /** Slice count for a replay over a corpus spanning [lo, hi] µs: ONE
+    * whole-corpus batch when the corpus stages as a single file (the
+    * minimal bench-scale replay), else one slice per `sliceHours`,
+    * clamped to [2, 32]. */
+  private[graft] def sliceCount(rows: Long, rowsPerFile: Long,
+      lo: Long, hi: Long, sliceHours: Long): Int =
+    if (rows / rowsPerFile < 1) 1
+    else math.min(32L, math.max(2L,
+      (hi - lo) / (sliceHours * 3600L * 1000000L) + 1)).toInt
 
   /** Recursively delete a temp tree (streaming staging dirs; also used by
     * the Warehouse streaming gates for their store roots). */
   private[graft] def rmTree(p: java.nio.file.Path): Unit = {
     val f = p.toFile
-    if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+    if (f.isDirectory) {
+      // listFiles is null when the dir vanished between the isDirectory
+      // check and the list (concurrent cleanup, tmp reaper) — rmTree runs
+      // inside finally blocks, where an NPE would mask the real failure
+      val l = f.listFiles()
+      if (l != null) l.foreach(c => rmTree(c.toPath))
+    }
     java.nio.file.Files.deleteIfExists(p)
     ()
   }
@@ -602,10 +651,12 @@ object EventsOps {
     * every purchase probes ALL of its user's stored clicks, so replaying
     * the whole corpus as one batch makes probe work quadratic in per-user
     * event density (the r9 100× profile: ~1.3k stored clicks per user ×
-    * 2M purchases ≈ 2.7G predicate evals — 54 s of wall). Strict ~24h
-    * slices advance the watermark between batches, so state carries only
-    * the horizon (~25h) plus the slice in flight — the shape an unbounded
-    * production stream actually has. Slicing is lossless here: every
+    * 2M purchases ≈ 2.7G predicate evals — 54 s of wall). Strict time
+    * slices ([[StreamSliceHours]] = 240h, the measured optimum of the
+    * slice-duration/batch-toll trade) advance the watermark between
+    * batches, so state carries at most one slice plus the 24h horizon
+    * (~264h of events) instead of the whole corpus — the bounded-state
+    * shape an unbounded production stream actually has. Slicing is lossless here: every
     * batch's rows come after every prior batch's, so no input is ever
     * below the watermark, and a click's candidate purchases (≤ 1h later)
     * arrive before any watermark that could evict it. Only the two joined
@@ -656,21 +707,12 @@ object EventsOps {
         // corpus past rowsPerFile slices into strict time ranges — see
         // the scale-posture note above
         val hourUs = 3600L * 1000000L
-        val slices = if (mn.getLong(2) / rowsPerFile < 1) 1
-          else math.min(32L, math.max(2L, (hi - lo) / (sliceHours * hourUs) + 1)).toInt
+        val slices = sliceCount(mn.getLong(2), rowsPerFile, lo, hi, sliceHours)
         val filesPerSlice = math.max(1L,
           math.min(32L, mn.getLong(2) / rowsPerFile / slices + 1)).toInt
-        val cuts = (0 to slices).map {
-          case 0 => Long.MinValue
-          case k if k == slices => Long.MaxValue
-          case k => lo + (hi - lo) * k / slices
-        }
         val width = stageAligned(streamDir,
-          cuts.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
-            (f"slice$i%02d",
-              ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b),
-              i * 10)
-          }, filesPerSlice)
+          slicedStages(ev, unix_micros(col("ts")), lo, hi, slices),
+          filesPerSlice)
         def side(tp: String, userAs: String, tsAs: String) =
           s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", width.toString)
@@ -1391,21 +1433,11 @@ object EventsOps {
         // scale), with the two flush carriers appended after the last
         // slice; aligned staging pads every batch to the common file
         // width so the batch boundaries survive multi-file staging
-        val slices = if (mn.getLong(2) / rowsPerFile < 1) 1
-          else math.min(32L, math.max(2L, (hi - lo) / (sliceHours * hourUs) + 1)).toInt
+        val slices = sliceCount(mn.getLong(2), rowsPerFile, lo, hi, sliceHours)
         val filesPerSlice = math.max(1L,
           math.min(32L, mn.getLong(2) / rowsPerFile / slices + 1)).toInt
-        val cuts = (0 to slices).map {
-          case 0 => Long.MinValue
-          case k if k == slices => Long.MaxValue
-          case k => lo + (hi - lo) * k / slices
-        }
         val width = stageAligned(streamDir,
-          cuts.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
-            (f"a_slice$i%02d",
-              ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b),
-              i * 10)
-          } ++ Seq(
+          slicedStages(ev, unix_micros(col("ts")), lo, hi, slices, prefix = "a_") ++ Seq(
             ("b_flush", carriers(hi + 48 * hourUs), slices * 10),
             ("c_flush", carriers(hi + 96 * hourUs), slices * 10 + 10)),
           filesPerSlice)

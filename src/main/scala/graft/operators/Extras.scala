@@ -46,6 +46,17 @@ object Extras {
     org.apache.spark.sql.SparkSession,
     scala.collection.mutable.Map[String, GraphMemoEntry]]()
 
+  /** Every memo dir ever created, independent of the session map — the
+    * JVM-exit safety net. The lifecycle API ([[releaseGraphMemo]]) is
+    * for long-lived service sessions; Bench/Verify/test JVMs never call
+    * it, and a parquet memo (unlike the pre-r10 localCheckpoint blocks)
+    * would otherwise outlive the JVM as permanent /tmp litter. rmTree on
+    * an already-released dir is a no-op. */
+  private val allMemoDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  sys.addShutdownHook {
+    allMemoDirs.forEach(p => EventsOps.rmTree(p))
+  }
+
   /** Memo parquet dir for `dir` in session `s`, if built (spec hook). */
   private[graft] def graphMemoDir(s: org.apache.spark.sql.SparkSession,
       d: String): Option[java.nio.file.Path] =
@@ -62,8 +73,11 @@ object Extras {
         graphMemo.put(s, m); m
       }
     }
-    perDir.getOrElseUpdate(d,
-      new GraphMemoEntry(java.nio.file.Files.createTempDirectory("graft-graph-memo")))
+    perDir.getOrElseUpdate(d, {
+      val memoDir = java.nio.file.Files.createTempDirectory("graft-graph-memo")
+      allMemoDirs.add(memoDir)
+      new GraphMemoEntry(memoDir)
+    })
   }
 
   /** Distinct (order, part) market baskets — what q141/q160 aggregate. */

@@ -357,14 +357,8 @@ object Warehouse {
       // (a slice whose rows fit fewer parquet parts — empty partitions
       // are skipped by the writer — is padded, so maxFilesPerTrigger
       // boundaries always put ONE whole slice per micro-batch)
-      val cuts = Seq(Long.MinValue, lo + (hi - lo) / 4, lo + (hi - lo) / 2,
-        lo + (hi - lo) * 3 / 4, Long.MaxValue)
       val width = EventsOps.stageAligned(streamDir,
-        cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
-          (s"slice$i",
-            ev.filter(unix_micros(col("ts")) > a && unix_micros(col("ts")) <= b),
-            i * 10)
-        }.toSeq, nFiles)
+        EventsOps.slicedStages(ev, unix_micros(col("ts")), lo, hi, 4), nFiles)
       // empty dimension: the first refresh bootstraps it
       scd2CreateDim(st, "dim", ev)
       // q188's refresh per micro-batch, epoch-ledgered (see scd2Refresh):

@@ -64,8 +64,8 @@ class EventsOpsSpec extends SparkSpec {
     single.size should be > 0
   }
 
-  test("q149 time-sliced replay (strict ~24h batches) equals the single-batch replay") {
-    // force the 100×-replica shape at test scale: ~30 strict time slices,
+  test("q149 time-sliced replay (strict time-range batches) equals the single-batch replay") {
+    // force the 100×-replica shape at test scale: many strict time slices,
     // watermark advancing (and state evicting) between batches — the
     // inner-join output must be identical to the whole-corpus-in-one-batch
     // replay, proving slicing loses no pairs and drops nothing as late
