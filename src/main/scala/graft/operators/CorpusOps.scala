@@ -643,6 +643,86 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q192: language-model fit filter — the CCNet recipe (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): train an n-gram LM on a trusted reference slice, score every
+    * document by how well the LM predicts it, and split the corpus into
+    * head/middle/tail quality buckets. Here the LM is the corpus's own
+    * order-1 (bigram) model trained on the reference sources src0–src4,
+    * the per-document score is the exact arithmetic mean of per-bigram
+    * model probabilities in ppm (integer surrogate for log-perplexity —
+    * logs are not bit-portable across engines, integer ppm division is),
+    * and the split is quartile-bounded: head = top quartile of fit,
+    * tail = bottom quartile, middle between. 0.25/0.75 are exact binary
+    * fractions, so the `percentile`/`quantile_cont` interpolation is
+    * bit-identical on both engines (the q68 contract).
+    *
+    * Scale posture: bigram fan-out is narrow per-doc work; the LM table
+    * (distinct reference bigrams — vocabulary-bounded, not corpus-bounded)
+    * builds with two hash aggregates; scoring is ONE equi-join of the
+    * exploded corpus against the LM on (prev, nxt) — AQE broadcasts it
+    * when the reference slice is small, shuffles otherwise — then a
+    * per-doc aggregate. The quartile thresholds are a 1-row broadcast.
+    * Nothing quadratic, nothing driver-side, no windows over token rows. */
+  val q192 = QueryDef(
+    "q192_lm_fit_filter",
+    s"""WITH en AS (
+       |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
+       |  FROM documents WHERE lang = 'en'),
+       |pairs AS (
+       |  SELECT doc_id, source,
+       |    split_part(b, ' ', 1) AS prev, split_part(b, ' ', 2) AS nxt
+       |  FROM (SELECT doc_id, source, unnest(${graft.functions.TextFunctions.shinglesNSql("t", 2)}) AS b FROM en)),
+       |c AS (SELECT prev, nxt, COUNT(*) AS n FROM pairs
+       |      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+       |      GROUP BY 1, 2),
+       |tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+       |lm AS (SELECT c.prev, c.nxt, (c.n * 1000000) // t.total AS p_ppm
+       |       FROM c JOIN tot t USING (prev)),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    CAST(SUM(COALESCE(l.p_ppm, 0)) // COUNT(*) AS BIGINT) AS fit_ppm
+       |  FROM pairs p LEFT JOIN lm l ON l.prev = p.prev AND l.nxt = p.nxt
+       |  GROUP BY 1),
+       |th AS (SELECT quantile_cont(fit_ppm, 0.25) AS t_lo,
+       |              quantile_cont(fit_ppm, 0.75) AS t_hi FROM scored)
+       |SELECT CASE WHEN fit_ppm > t_hi THEN 'head'
+       |            WHEN fit_ppm > t_lo THEN 'middle' ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(fit_ppm) AS BIGINT) AS sum_fit_ppm,
+       |  MIN(fit_ppm) AS min_fit_ppm, MAX(fit_ppm) AS max_fit_ppm
+       |FROM scored, th
+       |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    val pairs = Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), explode(shinglesN("t", 2)).as("b"))
+      .select(col("doc_id"), col("source"),
+        split_part(col("b"), lit(" "), lit(1)).as("prev"),
+        split_part(col("b"), lit(" "), lit(2)).as("nxt"))
+    val c = pairs
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("prev").agg(sum(col("n")).as("total"))
+    val lm = c.join(tot, Seq("prev"))
+      .select(col("prev"), col("nxt"), expr("(n * 1000000) div total").as("p_ppm"))
+    val scored = pairs.join(lm, Seq("prev", "nxt"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("p_ppm"), lit(0L))).as("s"), count(lit(1)).as("cnt"))
+      .select(col("doc_id"), expr("s div cnt").cast("long").as("fit_ppm"))
+    val th = scored.agg(expr("percentile(fit_ppm, 0.25)").as("t_lo"),
+      expr("percentile(fit_ppm, 0.75)").as("t_hi"))
+    scored.crossJoin(broadcast(th))
+      .select(when(col("fit_ppm") > col("t_hi"), "head")
+        .when(col("fit_ppm") > col("t_lo"), "middle")
+        .otherwise("tail").as("bucket"), col("fit_ppm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fit_ppm")).cast("long").as("sum_fit_ppm"),
+        min(col("fit_ppm")).as("min_fit_ppm"),
+        max(col("fit_ppm")).as("max_fit_ppm"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157, q168, q191)
+    q130, q151, q157, q168, q191, q192)
 }

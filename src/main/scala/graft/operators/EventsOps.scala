@@ -1504,7 +1504,74 @@ object EventsOps {
     }
   }
 
+  /** Eleventh streaming oracle gate — STREAM-STATIC ENRICHMENT, the single
+    * most common production streaming shape (a fact stream joined to a
+    * slowly-changing dimension snapshot) and the one join form the other
+    * gates don't cover: q149/q187 are stream-STREAM (stateful, watermark-
+    * bounded); this join is STATELESS — each micro-batch probes the static
+    * `customer` frame and emits immediately, no state store, no watermark.
+    * The events stream is enriched with the customer's market segment
+    * (left join: an event whose user has no dimension row keeps flowing,
+    * tagged '(none)' — enrichment must never drop facts), then reduced
+    * per (segment, event_type) and hash-compared to the batch SQL.
+    *
+    * Determinism: counts and DECIMAL sums are exact and associative, so
+    * micro-batch boundaries cannot perturb the bits (the q148 discipline).
+    * Scale posture: the dimension is `broadcast()` — at 100 TB the fact
+    * stream never shuffles for this join (probe-side-only, executor-local);
+    * a dimension too big to broadcast becomes the q184/q189 SCD2 shape
+    * instead. The sink is foreachBatch reducing to segment×type partials
+    * on the executors; joined rows (∝ corpus) never reach the driver. */
+  val q193 = QueryDef(
+    "q193_streaming_enrich_gate",
+    """SELECT COALESCE(c.c_mktsegment, '(none)') AS segment, e.event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin) { (s, d) =>
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val dim = broadcast(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+    val (streamPath, staged) = stagedEventsPath(d)
+    val partials = java.nio.file.Files.createTempDirectory("graft-enrich-partials")
+    try {
+      def reduceBatch(b: org.apache.spark.sql.DataFrame) =
+        b.groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(d4(col("value"))).as("vsum"))
+      def enrich(b: org.apache.spark.sql.DataFrame) =
+        b.select(col("user_id"), col("event_type"), col("value"))
+          .join(dim, col("user_id") === col("c_custkey"), "left")
+      // static schema for the partials read: a zero-row replay degrades to
+      // an empty result instead of failing parquet schema inference
+      val partialsSchema = reduceBatch(enrich(raw.limit(0))).schema
+      val sinkName = "q193_enrich_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      val q = enrich(s.readStream.schema(raw.schema).parquet(streamPath))
+        .writeStream
+        .queryName(sinkName)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // segment×type-bounded reduced frame: one task, one file per batch
+          reduceBatch(batch).coalesce(1).write.mode("append").parquet(partials.toString)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(partialsSchema).parquet(partials.toString)
+        .groupBy("segment", "event_type")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("vsum")).cast("double").as("value_sum"))
+        .orderBy("segment", "event_type")
+        .localCheckpoint(true) // pin: the partials dir is deleted below
+    } finally {
+      staged.foreach(rmTree)
+      rmTree(partials)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q70, q107, q120, q122, q132, q138, q139,
     q142, q145, q148, q149, q153, q155, q163, q167, q171, q173, q176, q179, q183,
-    q187)
+    q187, q193)
 }

@@ -39,7 +39,8 @@ class EventsOpsSpec extends SparkSpec {
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("graft-stream") || n.startsWith("graft-late") ||
           n.startsWith("graft-outer") || n.startsWith("graft-scd2") ||
-          n.startsWith("graft-stage") || n.startsWith("graft-admit"))
+          n.startsWith("graft-stage") || n.startsWith("graft-admit") ||
+          n.startsWith("graft-enrich"))
         .toSet
       finally s.close()
     }
@@ -53,7 +54,23 @@ class EventsOpsSpec extends SparkSpec {
     operators.Warehouse.q188.build(spark, dir).collect() // store root cleaned
     operators.Warehouse.q189.build(spark, dir).collect() // staging + ckpt + store cleaned
     operators.CorpusOps.q191.build(spark, dir).collect() // staging + partials cleaned
+    operators.EventsOps.q193.build(spark, dir).collect() // staging + partials cleaned
     stageDirs() shouldBe before
+  }
+
+  test("q193 stream-static enrichment conserves facts and matches the batch join") {
+    val rows = operators.EventsOps.q193.build(spark, dir).collect()
+    val total = graft.core.Tables.events(spark, dir).count()
+    // a LEFT enrichment join must never drop or duplicate facts
+    rows.map(_.getLong(2)).sum shouldBe total
+    val batch = graft.core.Tables.events(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap shouldBe batch
   }
 
   test("q183 multi-file replay (equal-width batches) equals single-file replay") {

@@ -206,6 +206,16 @@ class PlanSpec extends SparkSpec {
       _ == "BroadcastNestedLoopJoin") should be <= 1
   }
 
+  test("q192: LM fit scoring joins hash-wise; only the 1-row quartile frame crosses") {
+    val df = CorpusOps.q192.build(spark, sf)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    plan should not include "CartesianProduct"
+    // the single BroadcastNestedLoopJoin is the 1-row threshold cross
+    plan.sliding("BroadcastNestedLoopJoin".length).count(
+      _ == "BroadcastNestedLoopJoin") should be <= 1
+  }
+
   test("q82: binned range join is an equi-join, never a nested loop") {
     val plan = planOf(graft.operators.AsofJoin.q82.build(spark, sf))
     plan should not include "BroadcastNestedLoopJoin"
