@@ -723,6 +723,125 @@ object CorpusOps {
       .orderBy("bucket")
   }
 
+  /** Number of output shards for the q194 manifest. Fixed so the oracle
+    * SQL and the Spark plan agree by construction; a production run passes
+    * the cluster's writer parallelism here. */
+  private[graft] val ShardCount = 8L
+
+  /** q194: balanced shard planning — the manifest step every large-scale
+    * training run needs before writing data shards: assign each document
+    * to one of N shards so per-shard token mass is balanced, without any
+    * sequential bin-packing pass. Deterministic serpentine (boustrophedon)
+    * striping over the size-descending global order: rank docs by
+    * (n_tokens DESC, doc_id), walk shards left-to-right then right-to-left
+    * per block of N — a classic LPT-style balancer whose imbalance is
+    * bounded by one document per shard, fully parallel, and bit-identical
+    * on both engines because the order is total.
+    *
+    * Scale posture: the global row index uses the q22/q151 two-level
+    * prefix-sum shape — ONE range exchange supplies size-ordered buckets,
+    * per-bucket counts (≤64 rows) take the only window, and the in-bucket
+    * row_number is a partitioned window. No global-sort single-partition
+    * window anywhere; the grand total for share_ppm is a 1-row broadcast. */
+  val q194 = QueryDef(
+    "q194_shard_plan",
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS i
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN ((i-1) // $ShardCount) % 2 = 0 THEN (i-1) % $ShardCount
+       |         ELSE ${ShardCount - 1} - ((i-1) % $ShardCount) END AS shard
+       |  FROM idx),
+       |tot AS (SELECT SUM(n_tokens) AS tt FROM sh)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+       |  CAST((SUM(n_tokens) * 1000000) // MIN(tt) AS BIGINT) AS share_ppm
+       |FROM sh, tot GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // distributed global row index over the total order (n_tokens DESC,
+    // doc_id): range partitions are order-aligned by construction; pin ONE
+    // materialized bucketing so the offsets branch and the index branch
+    // see identical partition assignments (the q22 exchange-reuse lesson)
+    val buckets = toks
+      .repartitionByRange(64, col("n_tokens").desc, col("doc_id"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = buckets.groupBy("__b").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val idx = buckets
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("i", col("__off") + row_number().over(
+        Window.partitionBy("__b").orderBy(col("n_tokens").desc, col("doc_id"))))
+    val sh = idx.withColumn("shard",
+      when(expr(s"((i-1) div $ShardCount) % 2 = 0"), expr(s"(i-1) % $ShardCount"))
+        .otherwise(expr(s"${ShardCount - 1} - ((i-1) % $ShardCount)")))
+    val tot = sh.agg(sum(col("n_tokens")).as("tt"))
+    sh.crossJoin(broadcast(tot))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        max(col("n_tokens")).cast("long").as("max_doc_tokens"),
+        expr("(sum(n_tokens) * 1000000) div min(tt)").cast("long").as("share_ppm"))
+      .orderBy("shard")
+  }
+
+  /** q195: span-level decontamination forensics — q63/q130 flag WHICH
+    * corpus docs share an 8-gram with the benchmark; an auditor removing
+    * contamination needs to know WHERE. Positional shingling (posexplode /
+    * zipped unnest) carries each gram's 1-based token offset through the
+    * same broadcast join, reduced per doc to the first contaminated
+    * offset, the gram at that offset (arg-min, unique because offsets are
+    * unique within a doc), and hit-position / distinct-gram counts.
+    *
+    * Scale posture: identical to q63 — the benchmark gram set is tiny by
+    * construction and broadcast, the corpus side is narrow per-doc
+    * fan-out, and the only shuffle is the per-doc aggregate. Positions add
+    * one integer column to rows that already existed. */
+  val q195 = QueryDef(
+    "q195_contamination_spans",
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(t) - 6)) AS pos,
+       |    unnest(${graft.functions.TextFunctions.shinglesNSql("t", 8)}) AS g
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+       |  WHERE len(t) >= 8),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+       |corpus AS (SELECT doc_id, pos, g FROM sh WHERE doc_id >= 50)
+       |SELECT c.doc_id,
+       |  CAST(MIN(c.pos) AS BIGINT) AS first_pos,
+       |  arg_min(c.g, c.pos) AS first_gram,
+       |  COUNT(*) AS n_hit_positions,
+       |  CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_distinct_grams
+       |FROM corpus c JOIN bench b USING (g)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), posexplode(shinglesN("t", 8)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+    val bench = broadcast(sh.filter(col("doc_id") < 50).select("g").distinct())
+    sh.filter(col("doc_id") >= 50)
+      .join(bench, Seq("g"))
+      .groupBy("doc_id")
+      .agg(min(col("pos")).as("first_pos"),
+        expr("min_by(g, pos)").as("first_gram"),
+        count(lit(1)).as("n_hit_positions"),
+        countDistinct(col("g")).cast("long").as("n_distinct_grams"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157, q168, q191, q192)
+    q130, q151, q157, q168, q191, q192, q194, q195)
 }

@@ -23,7 +23,7 @@ class DeterminismSpec extends SparkSpec {
   for (q <- Seq(graft.operators.Extras.q154, graft.operators.Extras.q162,
                 graft.operators.TextAnalysis.q158, graft.operators.Extras.q160,
                 graft.operators.CorpusOps.q151, graft.operators.EventsOps.q171,
-                graft.operators.CorpusOps.q192))
+                graft.operators.CorpusOps.q192, graft.operators.CorpusOps.q194))
     test(s"${q.name} is bit-identical at 2 vs 32 shuffle partitions") {
       collectAt("2", q) shouldBe collectAt("32", q)
     }

@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("q195: span forensics keeps the benchmark side broadcast, no nested loop") {
+    val plan = planOf(CorpusOps.q195.build(spark, sf))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q48: minhash pipeline plans no cartesian product") {
     val plan = planOf(Dedup.q48.build(spark, sf))
     plan should not include "CartesianProduct"
