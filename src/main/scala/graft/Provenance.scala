@@ -20,17 +20,25 @@ object Provenance {
     * when uncommitted changes were present (an artifact generated from a
     * dirty tree is NOT reproducible from its commit alone).
     *
-    * Regenerable artifacts themselves (`scale_*.json`, `BENCH*.json`,
-    * `EXPLAIN.md`) are excluded from the dirtiness check: re-running a
-    * generator rewrites its own tracked output, so counting those
-    * modifications made every in-tree regeneration permanently "-dirty"
-    * (VERDICT r9 What's-wrong #3) — the stamp exists to flag unreproducible
-    * SOURCE, not the artifact being refreshed. */
-  // match on the path suffix, not the two status columns: git() trims
-  // the captured output, which strips the leading space from the first
-  // porcelain line's status field
+    * Regenerable artifacts (`scale_*.json`, `BENCH*.json`, `EXPLAIN.md`,
+    * `bench_local_full.json`) are excluded from the dirtiness check:
+    * re-running a generator rewrites its own tracked output, so counting
+    * those modifications made every in-tree regeneration permanently
+    * "-dirty" (VERDICT r9 What's-wrong #3). Driver-owned per-round
+    * artifacts (`CORRECTNESS_r*.json`, `LEAKCHECK.json`, `COPYCHECK.json`,
+    * `PROGRESS.jsonl`) are excluded for the same reason — the driver
+    * rewrites them around our runs (VERDICT r10 missing #1). The stamp
+    * exists to flag unreproducible SOURCE, not an artifact being
+    * refreshed. */
+  // Anchored to the whole porcelain line: status columns (1–2 chars after
+  // git()'s trim strips the first line's leading space), whitespace, then a
+  // ROOT-LEVEL path — no '/' allowed, so `docs/EXPLAIN.md` or any nested
+  // file with an artifact-like name still counts as source dirt
+  // (ADVICE r10 #3).
   private val regenerable =
-    "(^|[ /])(scale_[^/ ]*[.]json|BENCH[^/ ]*[.]json|EXPLAIN[.]md)$".r
+    ("^[ MTADRCU?!]{1,2} +\"?(scale_[^/\" ]*[.]json|BENCH[^/\" ]*[.]json" +
+      "|bench_local_full[.]json|EXPLAIN[.]md|CORRECTNESS_r[^/\" ]*[.]json" +
+      "|LEAKCHECK[.]json|COPYCHECK[.]json|PROGRESS[.]jsonl)\"?$").r
 
   /** True when `git status --porcelain` output contains anything BEYOND
     * regenerable artifacts (spec-tested: ProvenanceSpec). */

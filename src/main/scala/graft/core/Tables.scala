@@ -61,4 +61,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact row count read from parquet FOOTERS only — no Spark job, no data
+    * pages touched (each footer carries per-row-group counts). Used for
+    * cheap cardinality gates (q112's sketch threshold) where launching a
+    * scan job per plan build would be a fixed per-query cost (ADVICE r10 #2,
+    * VERDICT r10 next #5). Cached per (path, size, mtime): the test tables
+    * are immutable and the scale replicas are write-once behind a `_READY`
+    * stamp, so a hit never goes stale in practice; a rewritten path changes
+    * size/mtime and misses. */
+  private val footerCounts = new scala.collection.concurrent.TrieMap[String, Long]
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def dataFiles(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isFile) {
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) Seq(st) else Nil
+      } else fs.listStatus(st.getPath).toSeq.flatMap(dataFiles)
+    val files = dataFiles(fs.getFileStatus(p))
+    val key = files.map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+    footerCounts.getOrElseUpdate(key, files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum)
+  }
 }

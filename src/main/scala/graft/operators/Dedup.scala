@@ -631,8 +631,10 @@ object Dedup {
     // [[SketchMinDocs]] the size-ratio + positional + aggregated-prefix
     // filters (all still lossless on their own) carry the pruning and
     // the ~1.3 s constant sketch overhead disappears from the sf0.1
-    // wall. The probe is a parquet count (row-group metadata only).
-    val useSketch = Tables.documents(s, d).count() >= SketchMinDocs
+    // wall. The probe reads the row count straight from parquet FOOTERS
+    // (cached) — no Spark job per plan build (ADVICE r10 #2).
+    val useSketch =
+      Tables.parquetRowCount(s, s"$d/documents.parquet") >= SketchMinDocs
     val B = 32
     val cnts =
       if (!useSketch) null

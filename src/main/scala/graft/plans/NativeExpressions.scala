@@ -166,12 +166,27 @@ object GraftExtensions {
   /** The word list must be a literal array — it is folded once at plan
     * time into the expression's constant word table. */
   private def mkStopHits(children: Seq[Expression]): StopHitsExpr = {
+    require(children.length == 2,
+      "stop_hits(tokens, array('w1', ...)) takes exactly two arguments")
     require(children(1).foldable,
       "stop_hits: the word list must be a literal array('w1', 'w2', ...)")
+    def requireStringArray(e: Expression, what: String): Unit = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"stop_hits: $what must be ARRAY<STRING>, got ${other.sql}")
+    }
+    requireStringArray(children(0), "the token column")
+    requireStringArray(children(1), "the word list")
     val arr = children(1).eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    StopHitsExpr(children(0),
-      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+    require(arr != null, "stop_hits: the word list must not be NULL")
+    val words = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i),
+        "stop_hits: the word list must not contain NULL elements")
+      arr.getUTF8String(i).toString
+    }
+    StopHitsExpr(children(0), words)
   }
   private val stopHitsFn = (
     FunctionIdentifier("stop_hits"),

@@ -34,6 +34,41 @@ class ExpressionSpec extends SparkSpec {
     plan should include("codegen id :")
   }
 
+  test("stop_hits rejects malformed word lists with a clear message (ADVICE r10)") {
+    GraftExtensions.register(spark)
+    val df = Seq("the quick fox").toDF("t")
+      .select(split(col("t"), " ").as("toks"), col("t"))
+    // null element in the folded literal list
+    val e1 = intercept[Exception] {
+      df.select(expr("stop_hits(toks, array('a', CAST(NULL AS STRING)))")).collect()
+    }
+    e1.getMessage should include("NULL element")
+    // wrong element type in the word list
+    val e2 = intercept[Exception] {
+      df.select(expr("stop_hits(toks, array(1, 2))")).collect()
+    }
+    e2.getMessage should include("ARRAY<STRING>")
+    // non-array token column: clear analysis-time error, not a cast crash
+    val e3 = intercept[Exception] {
+      df.select(expr("stop_hits(t, array('a'))")).collect()
+    }
+    e3.getMessage should include("ARRAY<STRING>")
+    // NULL list
+    val e4 = intercept[Exception] {
+      df.select(expr("stop_hits(toks, CAST(NULL AS ARRAY<STRING>))")).collect()
+    }
+    e4.getMessage should include("NULL")
+    // the happy path still counts
+    df.select(expr("stop_hits(toks, array('the', 'fox'))")).head.getInt(0) shouldBe 2
+  }
+
+  test("parquet footer row count matches a real count without a scan job") {
+    val sf = "/root/testdata/sf0.001"
+    graft.core.Tables.parquetRowCount(spark, s"$sf/documents.parquet") shouldBe
+      graft.core.Tables.documents(spark, sf).count()
+    graft.core.Tables.parquetRowCount(spark, s"$sf/nation.parquet") shouldBe 25L
+  }
+
   test("native cosine top-k ranks identically to the exact-decimal variant") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.q50.build(spark, sf)

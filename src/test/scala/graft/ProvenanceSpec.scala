@@ -19,6 +19,22 @@ class ProvenanceSpec extends AnyFunSuite with Matchers {
         | M EXPLAIN.md""".stripMargin) shouldBe false
   }
 
+  test("driver-owned round artifacts are not source dirt (VERDICT r10 #1)") {
+    Provenance.isSourceDirt(
+      """M LEAKCHECK.json
+        |?? CORRECTNESS_r11.json
+        |?? BENCH_r11.json
+        | M bench_local_full.json
+        | M PROGRESS.jsonl
+        | M COPYCHECK.json""".stripMargin) shouldBe false
+  }
+
+  test("artifact-named files in subdirectories ARE source dirt (ADVICE r10)") {
+    Provenance.isSourceDirt("?? docs/EXPLAIN.md") shouldBe true
+    Provenance.isSourceDirt(" M tools/scale_probe.json") shouldBe true
+    Provenance.isSourceDirt("?? sub/LEAKCHECK.json") shouldBe true
+  }
+
   test("source modifications are dirt, alone or mixed with artifacts") {
     Provenance.isSourceDirt("M src/main/scala/graft/Bench.scala") shouldBe true
     Provenance.isSourceDirt(
