@@ -417,17 +417,21 @@ object CorpusOps {
     * doc_id-ordered micro-batches (the q189 staging discipline); a
     * `foreachBatch` sink computes each batch's within-batch running
     * totals (one partitioned window — distributed), folds in the carried
-    * per-source totals via a broadcast join, appends the admitted rows to
-    * executor-written partials, and carries forward ONLY per-source
-    * BIGINT totals — state is O(#sources), independent of corpus size
-    * (the bounded-collect class: one ≤#sources-row aggregate per batch).
+    * per-source totals via a broadcast join, and commits the admitted
+    * rows plus the new per-source totals in ONE ledgered append to the
+    * store's `admission_log` — carried state is O(#sources), independent
+    * of corpus size (the bounded-collect class: one ≤#sources-row
+    * aggregate per batch).
     *
     * Correctness: strict doc_id slicing makes carried + within-batch
     * cumsum ≡ the global per-source cumulative sum in doc_id order —
     * exact BIGINT arithmetic both engines share, so the cut lands
-    * bit-identically. Restart idempotence of the partials append is the
-    * store's epoch-ledger pattern (q189/ExactlyOnceSinkSpec), not
-    * exercised by this bounded replay.
+    * bit-identically. BOTH cross-batch effects (the admitted append and
+    * the carried-totals upsert) route through the store's exactly-once
+    * epoch ledger ([[AdmissionGate]] — the q189 pattern, ADVICE r10 #1), so
+    * a restarted epoch no-ops instead of double-counting carried totals
+    * or duplicating admitted rows; AdmissionGateRestartSpec injects the
+    * crash and asserts it.
     *
     * Scale posture: token counting happens ONCE, before staging, so text
     * bytes never replay — staged rows are (doc_id, source, ntok); each
@@ -457,11 +461,11 @@ object CorpusOps {
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("ntok"))
     val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
-    val partialsSchema = docs.limit(0).withColumn("cum_tokens", lit(0L))
-      .select("doc_id", "source", "ntok", "cum_tokens").schema
-    val partials = java.nio.file.Files.createTempDirectory("graft-admit-partials")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-admit-store")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-admit-stage")
     try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      admitCreateTables(st, docs)
       if (r.getLong(2) > 0L) {
         val (lo, hi) = (r.getLong(0), r.getLong(1))
         val nFiles = math.max(1L,
@@ -469,56 +473,112 @@ object CorpusOps {
         // four strict doc_id quarter-range slices (the q189 staging shape)
         val width = EventsOps.stageAligned(streamDir,
           EventsOps.slicedStages(docs, col("doc_id"), lo, hi, 4), nFiles)
-        // carried per-source totals — the ONLY cross-batch state; read and
-        // written solely by the (sequential) micro-batch thread
-        var carried = Map.empty[String, Long]
         val sinkName = "q191_admit_sink"
         s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        val gate = new AdmissionGate(st, budget)
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", width.toString)
           .parquet(streamDir.toString)
           .writeStream
           .queryName(sinkName)
           .outputMode("append")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            import s.implicits._
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy("source").orderBy("doc_id")
-              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                org.apache.spark.sql.expressions.Window.currentRow)
-            val carriedDf = carried.toSeq.toDF("source", "prior")
-            // one pass over the staged files: the windowed frame feeds
-            // BOTH the admitted write and the state update (per-source
-            // max of the running sum == the batch's per-source total)
-            val scored = batch
-              .withColumn("run", sum(col("ntok")).over(w)).persist()
-            try {
-              val admitted = scored
-                .join(broadcast(carriedDf), Seq("source"), "left")
-                .withColumn("cum_tokens", col("run") + coalesce(col("prior"), lit(0L)))
-                .filter(col("cum_tokens") <= budget)
-                .select("doc_id", "source", "ntok", "cum_tokens")
-              // admitted rows are budget-bounded per source — one file per batch
-              admitted.coalesce(1).write.mode("append").parquet(partials.toString)
-              carried = scored.groupBy("source").agg(max("run").as("t")).collect()
-                .foldLeft(carried) { (m, row) =>
-                  m.updated(row.getString(0),
-                    m.getOrElse(row.getString(0), 0L) + row.getLong(1))
-                }
-            } finally { scored.unpersist(); () }
-            ()
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            gate.admit(batch, epoch)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
-      // pin the result before the finally removes the partials dir
-      s.read.schema(partialsSchema).parquet(partials.toString)
-        .orderBy("doc_id")
-        .localCheckpoint(true)
+      // pin the result before the finally removes the store root
+      admittedRows(st).orderBy("doc_id").localCheckpoint(true)
     } finally {
       EventsOps.rmTree(streamDir)
-      EventsOps.rmTree(partials)
+      EventsOps.rmTree(storeRoot)
+    }
+  }
+
+  /** Create the q191 admission log: ONE table carrying both the gate's
+    * output rows and its carried state (see [[AdmissionGate]]). */
+  private[graft] def admitCreateTables(st: graft.sources.TableStore,
+      docs: org.apache.spark.sql.DataFrame): Unit =
+    st.create("admission_log", docs.limit(0).withColumn("cum_tokens", lit(0L))
+      .select("doc_id", "source", "ntok", "cum_tokens"))
+
+  /** Admitted rows of the admission log (the state sentinels carry a NULL
+    * doc_id — see [[AdmissionGate]]). */
+  private[graft] def admittedRows(st: graft.sources.TableStore) =
+    st.table("admission_log").filter(col("doc_id").isNotNull)
+
+  /** The q191 admission sink shared with the restart spec: per epoch,
+    * fold the carried per-source totals into the batch's running sums and
+    * commit the epoch's admitted rows AND its new carried state in ONE
+    * ledgered append (ADVICE r10 #1) — a restarted epoch re-offering a
+    * committed id can neither duplicate admitted rows nor double-count
+    * carried totals.
+    *
+    * State representation: the carried per-source totals ride the SAME
+    * `admission_log` table as one sentinel row per source and epoch
+    * (doc_id NULL, cum_tokens = the ABSOLUTE cumulative token count —
+    * including cut documents, so it is ≥ every admitted row's
+    * cum_tokens). Totals are monotone per source, so the live state is
+    * simply `max(cum_tokens) per source` over the whole table, with no
+    * epoch bookkeeping. Riding one append means output and state commit
+    * ATOMICALLY with the ledger flip — the Kafka
+    * offsets-with-transactional-output shape — so there is no crash
+    * window between "rows landed" and "state advanced" at all, and each
+    * epoch pays ONE store flip instead of a 5-job MERGE plus a second
+    * append (the r11 cost profile that motivated this: ~0.5 s per store
+    * op at bench scale).
+    *
+    * The in-memory `carried` map is only a CACHE of the durable state:
+    * (re)hydrated from the table at construction (covering JVM restarts)
+    * and re-read whenever the ledger reports a replayed epoch — a replay
+    * recomputed from an already-advanced cache would be wrong, but its
+    * append no-ops on the ledger, so nothing wrong lands. */
+  private[graft] final class AdmissionGate(st: graft.sources.TableStore,
+      budget: Long) {
+    import org.apache.spark.sql.DataFrame
+    private def durableTotals(): Map[String, Long] =
+      st.table("admission_log").groupBy("source")
+        .agg(max(col("cum_tokens")).as("total"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cache of the durable per-source totals — ≤ #sources entries
+    private var carried: Map[String, Long] = durableTotals()
+
+    def admit(batch: DataFrame, epoch: Long): Unit = {
+      val s = batch.sparkSession
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val carriedDf = carried.toSeq.toDF("source", "prior")
+      val scored = batch
+        .withColumn("run", sum(col("ntok")).over(w))
+        .join(broadcast(carriedDf), Seq("source"), "left")
+        .withColumn("cum_tokens", col("run") + coalesce(col("prior"), lit(0L)))
+        .persist()
+      try {
+        // one small job for the batch's absolute totals (also the cache
+        // update — bounded: ≤ #sources rows)
+        val totals = scored.groupBy("source")
+          .agg(max(col("cum_tokens")).as("total"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val admitted = scored
+          .filter(col("cum_tokens") <= budget)
+          .select("doc_id", "source", "ntok", "cum_tokens")
+        val sentinels = totals
+          .toDF("source", "cum_tokens")
+          .select(lit(null).cast("long").as("doc_id"), col("source"),
+            lit(null).cast("long").as("ntok"), col("cum_tokens"))
+        // budget-bounded per source — one file per epoch, not 32
+        val applied = st.appendBatch("admission_log", epoch,
+          admitted.unionByName(sentinels).coalesce(1))
+        carried =
+          if (applied) carried ++ totals
+          else durableTotals() // replayed epoch: trust only the store
+      } finally { scored.unpersist(); () }
+      ()
     }
   }
 

@@ -285,9 +285,12 @@ object Warehouse {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wUpd))
       .select(col("user_id"), col("rk").as("tier"), col("valid_from"),
         col("valid_to"))
+    // withStats = false: the refresh never reads the MERGE tallies, and
+    // the two counting jobs were pure per-epoch scheduling toll
+    // (VERDICT r10 next #1)
     st.mergeBatch(table, epoch, upd, Seq("user_id", "tier"),
       matchedUpdate = Map("valid_to" -> TableStore.src("valid_to")),
-      insertUnmatched = true)
+      insertUnmatched = true, withStats = false)
     ()
   }
 

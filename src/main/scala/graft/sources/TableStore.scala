@@ -287,6 +287,17 @@ final class TableStore(spark: SparkSession, root: String) {
     * O(batch): the new version dir holds only the batch's files, prior
     * data is reused via manifest entries; [[compact]] collapses long
     * chains. */
+  /** Column order of snapshot v, cached by (name, version) — the version
+    * key makes staleness impossible (any mutation flips the version).
+    * appendBatch needs ONLY the column order from the current snapshot,
+    * and re-running full parquet schema inference across the whole
+    * manifest chain on every epoch made each append ~linearly slower as
+    * the chain grew (r11 cost profile: 0.32 s → 0.56 s over 4 appends). */
+  private val columnsCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Seq[String]]
+  private def currentColumns(name: String, v: Int): Seq[String] =
+    columnsCache.getOrElseUpdate((name, v), table(name).columns.toSeq)
+
   def appendBatch(name: String, batchId: Long, rows: DataFrame): Boolean = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
@@ -294,8 +305,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = v0 + 1
     claimVersion(name, v) // CAS before any data write (see publish)
     try {
-    val cur = table(name)
-    val batch = rows.select(cur.columns.map(col).toSeq: _*)
+    val batch = rows.select(currentColumns(name, v0).map(col): _*)
     val m = readManifest(name, v0) match {
       case Some(prev) if prev.partCol.nonEmpty =>
         // partitioned append (events-by-date continuous ingest): the batch
@@ -356,13 +366,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * [[appendBatch]], see there). Returns whether the batch applied. */
   def mergeBatch(name: String, batchId: Long, source: DataFrame, on: Seq[String],
                  matchedUpdate: Map[String, Column],
-                 insertUnmatched: Boolean = true): Boolean = {
+                 insertUnmatched: Boolean = true,
+                 withStats: Boolean = true): Boolean = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
     if (committedMaxBatch(name, v0).exists(batchId <= _)) return false
     withBatch(batchId) {
       mergeInto(name, source, on, matchedUpdate = matchedUpdate,
-        insertUnmatched = insertUnmatched)
+        insertUnmatched = insertUnmatched, withStats = withStats)
     }
     true
   }
@@ -706,11 +717,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * shuffled. Returns (nUpdated, nDeleted, nInserted): update/delete
     * counts are TARGET rows touched (a target whose join key is not
     * unique has every matching row updated, per SQL MERGE), insert counts
-    * source rows. */
+    * source rows.
+    *
+    * `withStats = false` skips the two counting-only jobs (matched split
+    * + insert-leg count) and returns (-1, -1, -1) — for per-epoch CDC
+    * consumers (q189's refresh) that never read the tallies, the counts
+    * were pure per-batch scheduling toll. The duplicate-key guard always
+    * runs; it is a correctness check, not a statistic. */
   def mergeInto(name: String, source: DataFrame, on: Seq[String],
                 matchedUpdate: Map[String, Column],
                 matchedDelete: Option[Column] = None,
-                insertUnmatched: Boolean = true): (Long, Long, Long) = {
+                insertUnmatched: Boolean = true,
+                withStats: Boolean = true): (Long, Long, Long) = {
     val cur = table(name)
     require(on.nonEmpty, "mergeInto requires join keys")
     val srcFull = source.select(cur.columns.map(col).toSeq: _*).cache()
@@ -747,18 +765,23 @@ final class TableStore(spark: SparkSession, root: String) {
       // condition evaluated on the (target ⋈ source) row — one aggregate
       // job for both counts (each MERGE statement's driver-side jobs are
       // pure scheduling toll at small batch sizes)
-      val matchedRows = cur.join(broadcast(marked), on, "inner")
-      val mr = matchedRows.agg(count(lit(1)),
-        sum(when(coalesce(matchedDelete.getOrElse(lit(false)), lit(false)), 1L)
-          .otherwise(0L))).head()
-      val nMatched = mr.getLong(0)
-      val nDeleted = if (mr.isNullAt(1)) 0L else mr.getLong(1)
-      // count the INSERT leg directly: nSrc - nMatched would mix units
-      // when the TARGET carries duplicate join keys (nMatched counts
-      // target rows, nSrc counts source rows) and can go negative
-      val nInserted = if (insertUnmatched) inserted.count() else 0L
-      publish(name, out.unionByName(inserted))
-      (nMatched - nDeleted, nDeleted, nInserted)
+      if (!withStats) {
+        publish(name, out.unionByName(inserted))
+        (-1L, -1L, -1L)
+      } else {
+        val matchedRows = cur.join(broadcast(marked), on, "inner")
+        val mr = matchedRows.agg(count(lit(1)),
+          sum(when(coalesce(matchedDelete.getOrElse(lit(false)), lit(false)), 1L)
+            .otherwise(0L))).head()
+        val nMatched = mr.getLong(0)
+        val nDeleted = if (mr.isNullAt(1)) 0L else mr.getLong(1)
+        // count the INSERT leg directly: nSrc - nMatched would mix units
+        // when the TARGET carries duplicate join keys (nMatched counts
+        // target rows, nSrc counts source rows) and can go negative
+        val nInserted = if (insertUnmatched) inserted.count() else 0L
+        publish(name, out.unionByName(inserted))
+        (nMatched - nDeleted, nDeleted, nInserted)
+      }
     } finally srcFull.unpersist()
   }
 
