@@ -823,10 +823,29 @@ object CorpusOps {
        |  CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
        |  CAST((SUM(n_tokens) * 1000000) // MIN(tt) AS BIGINT) AS share_ppm
        |FROM sh, tot GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val sh = shardPlan(s, d)
+    val tot = sh.agg(sum(col("n_tokens")).as("tt"))
+    sh.crossJoin(broadcast(tot))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        max(col("n_tokens")).cast("long").as("max_doc_tokens"),
+        expr("(sum(n_tokens) * 1000000) div min(tt)").cast("long").as("share_ppm"))
+      .orderBy("shard")
+  }
+
+  /** The q194 serpentine shard assignment, shared with q196's write path:
+    * every document of the corpus with its `n_tokens` and assigned
+    * `shard`, plus any requested `payload` columns riding the exchange
+    * (q196 carries source + text — at 100 TB the payload bytes must move
+    * through exactly this exchange to land in their shard files, so
+    * carrying them here IS the minimal data motion, not overhead). */
+  private[graft] def shardPlan(s: org.apache.spark.sql.SparkSession, d: String,
+      payload: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("doc_id") +: size(tokens(col("text"))).cast("long").as("n_tokens")
+        +: payload.map(col): _*)
     // distributed global row index over the total order (n_tokens DESC,
     // doc_id): range partitions are order-aligned by construction; pin ONE
     // materialized bucketing so the offsets branch and the index branch
@@ -843,17 +862,75 @@ object CorpusOps {
       .join(broadcast(offsets), Seq("__b"))
       .withColumn("i", col("__off") + row_number().over(
         Window.partitionBy("__b").orderBy(col("n_tokens").desc, col("doc_id"))))
-    val sh = idx.withColumn("shard",
+    idx.withColumn("shard",
       when(expr(s"((i-1) div $ShardCount) % 2 = 0"), expr(s"(i-1) % $ShardCount"))
         .otherwise(expr(s"${ShardCount - 1} - ((i-1) % $ShardCount)")))
-    val tot = sh.agg(sum(col("n_tokens")).as("tt"))
-    sh.crossJoin(broadcast(tot))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("sum_tokens"),
-        max(col("n_tokens")).cast("long").as("max_doc_tokens"),
-        expr("(sum(n_tokens) * 1000000) div min(tt)").cast("long").as("share_ppm"))
-      .orderBy("shard")
+      .drop("__b", "__off", "i")
+  }
+
+  /** Execute the q196 shard write into `st`: one partitioned table,
+    * one writer task per shard (the repartition ON the shard id is the
+    * 100 TB story — N cluster writers each stream exactly one shard, no
+    * post-hoc file shuffling), full document payload in the files. */
+  private[graft] def writeShards(st: graft.sources.TableStore,
+      plan: org.apache.spark.sql.DataFrame): Unit =
+    st.createPartitioned("shards",
+      plan.select("doc_id", "source", "text", "n_tokens", "shard")
+        .repartition(ShardCount.toInt, col("shard")),
+      "shard")
+
+  /** q196: shard-plan EXECUTION — q194 stops at the manifest; this writes
+    * the planned shards through the store as a `shard`-partitioned table
+    * (one writer per shard) and then verifies the WRITTEN layout by
+    * reading it back: per-shard doc counts, token mass recomputed from
+    * the stored text (not the plan's numbers — the files themselves must
+    * prove it), a doc_id sum as a membership checksum, and a character
+    * sum as a payload-integrity checksum. The oracle recomputes all four
+    * from the source corpus, so a lost, duplicated, or corrupted row in
+    * the write path breaks the hash match. ShardPlanSpec additionally
+    * asserts the physical layout: ShardCount partition directories, one
+    * data file each, byte-balanced.
+    *
+    * Scale posture: the payload moves through ONE range exchange (the
+    * global order) plus ONE hash exchange onto writers — the minimum any
+    * balanced shard writer pays; verification is a scan of the written
+    * files with a per-shard aggregate. Nothing driver-side. */
+  val q196 = QueryDef(
+    "q196_shard_write",
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens,
+       |         length(text) AS n_chars
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, n_tokens, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS i
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id, n_tokens, n_chars,
+       |    CASE WHEN ((i-1) // $ShardCount) % 2 = 0 THEN (i-1) % $ShardCount
+       |         ELSE ${ShardCount - 1} - ((i-1) % $ShardCount) END AS shard
+       |  FROM idx)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-shard-store")
+    try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      writeShards(st, shardPlan(s, d, payload = Seq("source", "text")))
+      st.table("shards")
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("text"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).cast("long").as("sum_tokens"),
+          sum(col("doc_id")).cast("long").as("sum_doc_id"),
+          sum(length(col("text")).cast("long")).cast("long").as("sum_chars"))
+        .orderBy("shard")
+        // pin: the store root is deleted in the finally below
+        .localCheckpoint(true)
+    } finally EventsOps.rmTree(storeRoot)
   }
 
   /** q195: span-level decontamination forensics — q63/q130 flag WHICH
@@ -903,5 +980,5 @@ object CorpusOps {
   }
 
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157, q168, q191, q192, q194, q195)
+    q130, q151, q157, q168, q191, q192, q194, q195, q196)
 }
