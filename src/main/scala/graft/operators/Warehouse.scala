@@ -258,7 +258,8 @@ object Warehouse {
     * exercised by WarehouseSpec's kill-and-restart test. A batch with no
     * purchases skips the merge entirely; replaying it is trivially
     * idempotent. */
-  private[graft] def scd2Refresh(st: graft.sources.TableStore, table: String)(
+  private[graft] def scd2Refresh(st: graft.sources.TableStore, table: String,
+      appId: String = "")(
       batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
     import graft.sources.TableStore
     val p = batch.filter(col("event_type") === "purchase")
@@ -290,7 +291,7 @@ object Warehouse {
     // (VERDICT r10 next #1)
     st.mergeBatch(table, epoch, upd, Seq("user_id", "tier"),
       matchedUpdate = Map("valid_to" -> TableStore.src("valid_to")),
-      insertUnmatched = true, withStats = false)
+      insertUnmatched = true, withStats = false, appId = appId)
     ()
   }
 

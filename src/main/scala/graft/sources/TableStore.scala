@@ -228,46 +228,73 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def batchesFile(name: String, v: Int) = Paths.get(s"$root/$name/v$v.batches")
 
-  /** Highest committed epoch id at version v, or None. Epoch ids are
-    * monotone per table (the Structured Streaming epoch contract, the same
-    * assumption as Delta's per-appId txn version), so ONE number is the
-    * whole ledger: `id <= max` ⇔ replayed. Constant-size forever — a set
+  /** Committed epoch ledger at version v: highest committed epoch id PER
+    * WRITER (`appId`) — exactly Delta's txnAppId/txnVersion design. Epoch
+    * ids are monotone per (table, writer) (the Structured Streaming epoch
+    * contract), so one number per writer is the whole ledger:
+    * `id <= max(appId)` ⇔ replayed. Size is #writers forever — a set
     * would grow one entry per micro-batch and be rewritten per commit.
-    * (Legacy multi-line ledgers read as their max.) */
-  private def committedMaxBatch(name: String, v: Int): Option[Long] =
-    if (v < 0) None
+    *
+    * A single-sequence ledger (one global max, the pre-r11 form) silently
+    * DROPS a concurrent writer's epoch: with writers A and B on their own
+    * sequences, B committing id 2 before A's id 1 made A's commit look
+    * like a replay. Per-writer maxima make independent CDC consumers
+    * (e.g. key-space-partitioned refreshers) composable — each replays
+    * only against its own history. Legacy single-number lines read as
+    * writer "" (the default appId). */
+  private def committedBatchLedger(name: String, v: Int): Map[String, Long] =
+    if (v < 0) Map.empty
     else {
       val p = batchesFile(name, v)
-      if (!Files.exists(p)) None
+      if (!Files.exists(p)) Map.empty
       else new String(Files.readAllBytes(p)).split("\n")
-        .filter(_.nonEmpty).map(_.toLong).maxOption
+        .filter(_.nonEmpty).toSeq
+        .map { l =>
+          l.split("\t", -1) match {
+            case Array(app, id) => app -> id.toLong
+            case _ => "" -> l.trim.toLong // legacy single-sequence ledger
+          }
+        }
+        .groupMapReduce(_._1)(_._2)(math.max)
     }
 
-  private def writeBatches(name: String, v: Int, maxId: Long): Unit =
-    Files.write(batchesFile(name, v), maxId.toString.getBytes)
+  private def writeBatches(name: String, v: Int, ledger: Map[String, Long]): Unit =
+    Files.write(batchesFile(name, v),
+      ledger.toSeq.sortBy(_._1).map { case (a, id) => s"$a\t$id" }
+        .mkString("\n").getBytes)
 
-  /** Epoch id being committed by the CURRENT THREAD's in-flight mutation.
-    * Thread-local so concurrent foreachBatch callbacks of different
-    * streams (different tables, different query-execution threads) can
-    * never record each other's epoch ids. Writers to the SAME table must
-    * still be single — that is the version pointer's own contract. */
-  private val pendingBatch = new ThreadLocal[Option[Long]] {
-    override def initialValue(): Option[Long] = None
+  /** (appId, epoch id) being committed by the CURRENT THREAD's in-flight
+    * mutation. Thread-local so concurrent foreachBatch callbacks of
+    * different streams (different tables, different query-execution
+    * threads) can never record each other's epoch ids. Concurrent writers
+    * to the SAME table race on the version pointer's CAS — the loser gets
+    * ConcurrentWriteException and retries from the new snapshot; its
+    * per-writer ledger entry keeps the retry from being mistaken for a
+    * replay (ConcurrentScd2Spec). */
+  private val pendingBatch = new ThreadLocal[Option[(String, Long)]] {
+    override def initialValue(): Option[(String, Long)] = None
   }
 
-  /** Every version flip re-writes the ledger as max(previous, in-flight
-    * epoch id) — called from both publish paths BEFORE the pointer flip,
-    * so ledger and data become visible atomically and ordinary DML
-    * (no pending id) carries the ledger forward. */
+  /** Every version flip re-writes the ledger as the previous map merged
+    * with the in-flight (appId, epoch id) at max — called from both
+    * publish paths BEFORE the pointer flip, so ledger and data become
+    * visible atomically and ordinary DML (no pending id) carries the
+    * ledger forward. */
   private def carryBatchLedger(name: String, newV: Int): Unit = {
-    val ids = committedMaxBatch(name, newV - 1).toSeq ++ pendingBatch.get()
-    ids.maxOption.foreach(writeBatches(name, newV, _))
+    val prev = committedBatchLedger(name, newV - 1)
+    val merged = pendingBatch.get().foldLeft(prev) { case (m, (app, id)) =>
+      m.updated(app, math.max(m.getOrElse(app, Long.MinValue), id))
+    }
+    if (merged.nonEmpty) writeBatches(name, newV, merged)
   }
 
-  private def withBatch[A](batchId: Long)(body: => A): A = {
-    pendingBatch.set(Some(batchId))
+  private def withBatch[A](appId: String, batchId: Long)(body: => A): A = {
+    pendingBatch.set(Some((appId, batchId)))
     try body finally pendingBatch.remove()
   }
+
+  private def isReplay(name: String, v: Int, appId: String, batchId: Long): Boolean =
+    committedBatchLedger(name, v).get(appId).exists(batchId <= _)
 
   /** Exactly-once streaming append (the foreachBatch sink): commit `rows`
     * under `batchId` atomically with the version flip; a replayed epoch
@@ -276,13 +303,17 @@ final class TableStore(spark: SparkSession, root: String) {
     * no-op. Returns whether the batch was applied.
     *
     * CONTRACT (the Delta txnAppId/txnVersion semantics): batch ids must be
-    * MONOTONE per table — any id ≤ the committed max is treated as a
-    * replay and silently skipped, exactly like Delta skips a lower
-    * txnVersion. Consequences callers must own: a RESET checkpoint
-    * (epochs restart at 0) must write to a fresh table or the restarted
-    * epochs no-op until they pass the historical max, and out-of-order
-    * "backfill" ids below the max cannot be expressed through this API —
-    * use plain [[insert]] for non-epoch writes.
+    * MONOTONE per (table, `appId`) — any id ≤ that writer's committed max
+    * is treated as a replay and silently skipped, exactly like Delta
+    * skips a lower txnVersion for the same txnAppId. Independent writers
+    * (key-space-partitioned CDC consumers) pass distinct appIds and each
+    * replays only against its own history; writers sharing a checkpoint
+    * share an appId. Consequences callers must own: a RESET checkpoint
+    * (epochs restart at 0) must write to a fresh table or use a fresh
+    * appId, or the restarted epochs no-op until they pass the historical
+    * max; out-of-order "backfill" ids below a writer's max cannot be
+    * expressed through this API — use plain [[insert]] for non-epoch
+    * writes.
     *
     * O(batch): the new version dir holds only the batch's files, prior
     * data is reused via manifest entries; [[compact]] collapses long
@@ -298,10 +329,11 @@ final class TableStore(spark: SparkSession, root: String) {
   private def currentColumns(name: String, v: Int): Seq[String] =
     columnsCache.getOrElseUpdate((name, v), table(name).columns.toSeq)
 
-  def appendBatch(name: String, batchId: Long, rows: DataFrame): Boolean = {
+  def appendBatch(name: String, batchId: Long, rows: DataFrame,
+                  appId: String = ""): Boolean = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
-    if (committedMaxBatch(name, v0).exists(batchId <= _)) return false
+    if (isReplay(name, v0, appId, batchId)) return false
     val v = v0 + 1
     claimVersion(name, v) // CAS before any data write (see publish)
     try {
@@ -321,7 +353,7 @@ final class TableStore(spark: SparkSession, root: String) {
         Manifest("", prevEntries :+ ("." -> s"v$v"))
     }
     collectStats(name, v)
-    withBatch(batchId) { writeManifestAndFlip(name, v, m) }
+    withBatch(appId, batchId) { writeManifestAndFlip(name, v, m) }
     true
     } catch { case e: Throwable => releaseClaim(name, v); throw e }
       finally lastRead.get.remove(name)
@@ -351,11 +383,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * though a re-applied upsert would be value-idempotent anyway — the
     * ledger also shields against an epoch whose recomputed aggregates
     * could differ after a lossy source replay. */
-  def upsertBatch(name: String, batchId: Long, rows: DataFrame): (Long, Long) = {
+  def upsertBatch(name: String, batchId: Long, rows: DataFrame,
+                  appId: String = ""): (Long, Long) = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
-    if (committedMaxBatch(name, v0).exists(batchId <= _)) return (0L, 0L)
-    withBatch(batchId) { upsert(name, rows) }
+    if (isReplay(name, v0, appId, batchId)) return (0L, 0L)
+    withBatch(appId, batchId) { upsert(name, rows) }
   }
 
   /** Exactly-once streaming MERGE (the CDC-consumer foreachBatch sink —
@@ -367,11 +400,12 @@ final class TableStore(spark: SparkSession, root: String) {
   def mergeBatch(name: String, batchId: Long, source: DataFrame, on: Seq[String],
                  matchedUpdate: Map[String, Column],
                  insertUnmatched: Boolean = true,
-                 withStats: Boolean = true): Boolean = {
+                 withStats: Boolean = true,
+                 appId: String = ""): Boolean = {
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
-    if (committedMaxBatch(name, v0).exists(batchId <= _)) return false
-    withBatch(batchId) {
+    if (isReplay(name, v0, appId, batchId)) return false
+    withBatch(appId, batchId) {
       mergeInto(name, source, on, matchedUpdate = matchedUpdate,
         insertUnmatched = insertUnmatched, withStats = withStats)
     }
