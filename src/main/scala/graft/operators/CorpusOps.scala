@@ -840,32 +840,46 @@ object CorpusOps {
     * (q196 carries source + text — at 100 TB the payload bytes must move
     * through exactly this exchange to land in their shard files, so
     * carrying them here IS the minimal data motion, not overhead). */
-  private[graft] def shardPlan(s: org.apache.spark.sql.SparkSession, d: String,
-      payload: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+  /** Distributed global ROW_NUMBER over a total `order` — the q22/q151
+    * two-level prefix-sum shape, factored out of [[shardPlan]] (r11) so
+    * every global-order operator (q194 sharding, q197 curriculum) shares
+    * it: ONE range exchange supplies order-aligned buckets, per-bucket
+    * counts (≤64 rows) take the only unpartitioned window, and the
+    * in-bucket row_number is a partitioned window. No global-sort
+    * single-partition window anywhere. Emits the input columns plus `i`
+    * (1-based global rank).
+    *
+    * Pins ONE materialized bucketing so the offsets branch and the index
+    * branch see identical partition assignments (the q22 exchange-reuse
+    * lesson). */
+  private[graft] def globalRowIndex(df: org.apache.spark.sql.DataFrame,
+      order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id") +: size(tokens(col("text"))).cast("long").as("n_tokens")
-        +: payload.map(col): _*)
-    // distributed global row index over the total order (n_tokens DESC,
-    // doc_id): range partitions are order-aligned by construction; pin ONE
-    // materialized bucketing so the offsets branch and the index branch
-    // see identical partition assignments (the q22 exchange-reuse lesson)
-    val buckets = toks
-      .repartitionByRange(64, col("n_tokens").desc, col("doc_id"))
+    val buckets = df
+      .repartitionByRange(64, order: _*)
       .withColumn("__b", spark_partition_id())
       .localCheckpoint(true)
     val offsets = buckets.groupBy("__b").agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(sum(col("__bn")).over(
         Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__b", "__off")
-    val idx = buckets
+    buckets
       .join(broadcast(offsets), Seq("__b"))
       .withColumn("i", col("__off") + row_number().over(
-        Window.partitionBy("__b").orderBy(col("n_tokens").desc, col("doc_id"))))
-    idx.withColumn("shard",
-      when(expr(s"((i-1) div $ShardCount) % 2 = 0"), expr(s"(i-1) % $ShardCount"))
-        .otherwise(expr(s"${ShardCount - 1} - ((i-1) % $ShardCount)")))
-      .drop("__b", "__off", "i")
+        Window.partitionBy("__b").orderBy(order: _*)))
+      .drop("__b", "__off")
+  }
+
+  private[graft] def shardPlan(s: org.apache.spark.sql.SparkSession, d: String,
+      payload: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id") +: size(tokens(col("text"))).cast("long").as("n_tokens")
+        +: payload.map(col): _*)
+    globalRowIndex(toks, col("n_tokens").desc, col("doc_id"))
+      .withColumn("shard",
+        when(expr(s"((i-1) div $ShardCount) % 2 = 0"), expr(s"(i-1) % $ShardCount"))
+          .otherwise(expr(s"${ShardCount - 1} - ((i-1) % $ShardCount)")))
+      .drop("i")
   }
 
   /** Execute the q196 shard write into `st`: one partitioned table,
@@ -933,6 +947,114 @@ object CorpusOps {
     } finally EventsOps.rmTree(storeRoot)
   }
 
+  /** Number of curriculum phases for q197 — fixed so the oracle SQL and
+    * the Spark plan agree by construction. */
+  private[graft] val CurriculumPhases = 4L
+
+  /** q197: curriculum ordering — stage the corpus into quality phases and
+    * emit the deterministic interleaved training order curricula actually
+    * consume: phase 1 = highest-quality quartile, and the global position
+    * round-robins across phases so every training window sees the full
+    * quality mix while early positions skew high-quality. The quality
+    * score is integer chars-per-token (ppk) — the Gopher/RefinedWeb
+    * length-ratio heuristic — so every derived number is exact integer
+    * arithmetic on both engines.
+    *
+    * Phase boundaries are ARITHMETIC on the global rank (phase =
+    * (i-1)·K div n + 1; the in-phase rank subtracts the phase's start
+    * index, also closed-form), never a second window: NTILE-style
+    * bucketing via a window over phases would put n/K rows in ONE
+    * partition each at 100 TB. The oracle states the identical closed
+    * forms over ROW_NUMBER, so the split is bit-identical by
+    * construction rather than by matching an engine's NTILE remainder
+    * convention.
+    *
+    * Scale posture: one [[globalRowIndex]] (range exchange + bounded
+    * window) plus a 1-row count broadcast; everything after is a
+    * projection. */
+  val q197 = QueryDef(
+    "q197_curriculum_order",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    (n_chars * 1000) // len(string_split(trim(text), ' ')) AS score_ppk
+       |  FROM documents),
+       |i AS (
+       |  SELECT doc_id, score_ppk,
+       |    ROW_NUMBER() OVER (ORDER BY score_ppk DESC, doc_id) AS i,
+       |    COUNT(*) OVER () AS n
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, score_ppk, i, n,
+       |    (i - 1) * $CurriculumPhases // n + 1 AS phase
+       |  FROM i)
+       |SELECT doc_id, score_ppk, CAST(phase AS BIGINT) AS phase,
+       |  CAST(i - ((phase - 1) * n + ${CurriculumPhases - 1}) // $CurriculumPhases
+       |    AS BIGINT) AS phase_rank,
+       |  CAST((i - ((phase - 1) * n + ${CurriculumPhases - 1}) // $CurriculumPhases - 1)
+       |    * $CurriculumPhases + phase - 1 AS BIGINT) AS position
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("(n_chars * 1000) div size(split(trim(text), ' '))").as("score_ppk"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    globalRowIndex(scored, col("score_ppk").desc, col("doc_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("phase", expr(s"(i - 1) * $CurriculumPhases div n + 1"))
+      .withColumn("phase_rank", expr(
+        s"i - ((phase - 1) * n + ${CurriculumPhases - 1}) div $CurriculumPhases"))
+      .select(col("doc_id"), col("score_ppk"),
+        col("phase").cast("long").as("phase"),
+        col("phase_rank").cast("long").as("phase_rank"),
+        expr(s"(phase_rank - 1) * $CurriculumPhases + phase - 1")
+          .cast("long").as("position"))
+      .orderBy("doc_id")
+  }
+
+  /** q198: per-source dataset card — the release-notes table every corpus
+    * ships with (counts, token mass, exact length quartiles, language
+    * spread, chars-per-token): the first artifact a data consumer reads
+    * and the regression surface a pipeline diffs between corpus versions.
+    * Quartiles use exact-binary-fraction percentiles (0.25/0.5/0.75), the
+    * q68/q192 cross-engine interpolation contract; chars-per-token is
+    * integer ppk.
+    *
+    * Scale posture: ONE hash aggregate keyed by source; `percentile` is
+    * Spark's exact aggregate over the per-group length multisets — at
+    * corpus scale swap in percentile_approx with a documented error
+    * budget, same plan shape. No windows, no joins, no driver state. */
+  val q198 = QueryDef(
+    "q198_dataset_card",
+    """WITH t AS (
+      |  SELECT source, lang, n_chars,
+      |    len(string_split(trim(text), ' ')) AS ntok
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+      |  CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+      |  CAST(quantile_cont(ntok, 0.25) AS DOUBLE) AS p25_tokens,
+      |  CAST(quantile_cont(ntok, 0.5) AS DOUBLE) AS p50_tokens,
+      |  CAST(quantile_cont(ntok, 0.75) AS DOUBLE) AS p75_tokens,
+      |  CAST(MAX(ntok) AS BIGINT) AS max_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST((SUM(n_chars) * 1000) // SUM(ntok) AS BIGINT) AS chars_per_token_ppk
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("sum_tokens"),
+        min(col("ntok")).cast("long").as("min_tokens"),
+        expr("percentile(ntok, 0.25)").cast("double").as("p25_tokens"),
+        expr("percentile(ntok, 0.5)").cast("double").as("p50_tokens"),
+        expr("percentile(ntok, 0.75)").cast("double").as("p75_tokens"),
+        max(col("ntok")).cast("long").as("max_tokens"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        expr("(sum(n_chars) * 1000) div sum(ntok)").cast("long")
+          .as("chars_per_token_ppk"))
+      .orderBy("source")
+  }
+
   /** q195: span-level decontamination forensics — q63/q130 flag WHICH
     * corpus docs share an 8-gram with the benchmark; an auditor removing
     * contamination needs to know WHERE. Positional shingling (posexplode /
@@ -980,5 +1102,5 @@ object CorpusOps {
   }
 
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157, q168, q191, q192, q194, q195, q196)
+    q130, q151, q157, q168, q191, q192, q194, q195, q196, q197, q198)
 }

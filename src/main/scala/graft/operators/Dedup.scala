@@ -405,6 +405,15 @@ object Dedup {
                                          newDocs: DataFrame): DataFrame = {
     val newTh = shingleHashes(newDocs)
     val newSig = newTh.groupBy("doc_id").agg(count(lit(1)).as("n"), minhashAggs: _*)
+    incrementalLshPairsFrames(s, store, newSig, newTh)
+  }
+
+  /** [[incrementalLshPairs]] over precomputed batch signature frames —
+    * the q199 epoch loop computes them once and both appends and probes
+    * with the same frames. */
+  private[graft] def incrementalLshPairsFrames(s: SparkSession,
+      store: graft.sources.TableStore,
+      newSig: DataFrame, newTh: DataFrame): DataFrame = {
     val allSig = store.table("sig").unionByName(newSig)
     // batch bands join ALL bands (stored ∪ batch): each candidate pair has
     // ≥ 1 batch endpoint; least/greatest normalizes new-new double hits
@@ -430,7 +439,9 @@ object Dedup {
     // appear on both sides — the streaming sink's replay-after-partial-
     // commit window recomputes a batch whose shh rows already persisted,
     // and the distinct is bounded by candidate volume, never corpus size
-    val allTh = store.table("shh").unionByName(newTh)
+    // q199's store rides cut-verdict sentinels (h NULL) in shh — dropped
+    // here so the verify join sees only real hashes
+    val allTh = store.table("shh").filter(col("h").isNotNull).unionByName(newTh)
     val inter = cand
       .join(allTh.toDF("doc_a", "h"), Seq("doc_a"))
       .join(allTh.toDF("doc_b", "h"), Seq("doc_b", "h"))
@@ -790,5 +801,120 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147)
+
+  /** The q199 per-epoch dedup-admission step, shared with the restart
+    * spec. Batch docs check against EVERY previously seen doc's
+    * signatures (admitted AND cut — "is there any earlier near-dup"
+    * quantifies over the whole history, not the survivors: if d2 was cut
+    * as d1's dup, a later d3 resembling only d2 is still a dup), plus
+    * in-batch earlier docs via [[incrementalLshPairsFrames]]'s new-new
+    * leg. Each epoch commits:
+    *  - its minhash signatures (appendBatch "sig");
+    *  - its shingle hashes PLUS its cut verdicts, riding the same table
+    *    as (doc_id, NULL-h) sentinel rows (appendBatch "shh" — the q191
+    *    sentinel pattern: verdicts commit atomically with the hashes
+    *    that produced them);
+    * both through the store's exactly-once epoch ledger, so a restarted
+    * epoch re-offering a committed id cannot double-append signatures or
+    * verdicts. A replayed epoch whose sig committed but shh did not
+    * recomputes bit-identically: the pair kernel unions the stored
+    * frames with the batch's freshly computed ones, candidate generation
+    * dedups band rows, and the verify counts are countDistinct — the
+    * kernel is replay-tolerant by design (see its docstring). */
+  private[graft] def dedupIngestEpoch(st: graft.sources.TableStore)(
+      batch: DataFrame, epoch: Long): Unit = {
+    val s = batch.sparkSession
+    val (newSig, newTh) = {
+      val (sig, th) = signatureFrames(batch)
+      (sig.persist(), th.persist())
+    }
+    try {
+      val cut = incrementalLshPairsFrames(s, st, newSig, newTh)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("h", lit(null).cast("long"))
+        .select("doc_id", "h")
+      st.appendBatch("sig", epoch, newSig.coalesce(8))
+      st.appendBatch("shh", epoch, newTh.unionByName(cut).coalesce(8))
+      ()
+    } finally { newSig.unpersist(); newTh.unpersist(); () }
+  }
+
+  /** q199: STREAMING dedup ingest — the twelfth streaming gate and q90's
+    * continuous form: an unbounded corpus arrives as strictly
+    * doc_id-ordered micro-batches, and each document is ADMITTED iff no
+    * earlier document (any prior batch, or an earlier doc_id in the same
+    * batch) is a verified >= 0.8 near-duplicate. The signature store IS
+    * the streaming state: parquet tables on disk, never executor memory
+    * or driver structures.
+    *
+    * Correctness: banding and verification are content-hash-determined
+    * (md5-based, the cross-engine q90 universe), so a pair is found in
+    * whichever epoch its later endpoint arrives — the union over epochs
+    * is exactly the monolithic pair set, and "admitted = no earlier
+    * near-dup" is epoch-independent. The oracle runs the monolithic LSH
+    * chain (the q48 `verified` CTEs) and cuts every doc_b.
+    *
+    * Scale posture: per-epoch work is batch-proportional (shingle and
+    * minhash of the batch + candidate-bounded equi-joins against stored
+    * parquet signatures — corpus text never replays, exactly q90's
+    * daily-delta bound). Restart idempotence is the store's per-writer
+    * epoch ledger, exercised by DedupIngestRestartSpec. */
+  val q199 = QueryDef(
+    "q199_streaming_dedup_ingest",
+    s"""WITH $lshPairsCtes,
+       |cut AS (SELECT DISTINCT doc_b FROM verified)
+       |SELECT d.doc_id, d.source,
+       |  len(string_split(trim(d.text), ' ')) AS n_tokens
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_b FROM cut)
+       |ORDER BY d.doc_id""".stripMargin)(q199Impl()(_, _))
+
+  /** q199 body; `rowsPerFile` sizes the staged replay files (specs pass a
+    * tiny value to force the multi-file aligned-batch path at test scale). */
+  private[graft] def q199Impl(rowsPerFile: Long = EventsOps.OuterStageRowsPerFile)(
+      s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-ingest")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stage")
+    try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      buildSignatureStore(st, docs.limit(0)) // empty store: the stream bootstraps it
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val nFiles = math.max(1L,
+          math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
+        val width = EventsOps.stageAligned(streamDir,
+          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, 4), nFiles)
+        val sinkName = "q199_dedup_sink"
+        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", width.toString)
+          .parquet(streamDir.toString)
+          .writeStream
+          .queryName(sinkName)
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            dedupIngestEpoch(st)(batch, epoch)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cuts = st.table("shh").filter(col("h").isNull)
+        .select("doc_id").distinct()
+      Tables.documents(s, d)
+        .join(cuts, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+        // pin: the store root is deleted in the finally below
+        .localCheckpoint(true)
+    } finally {
+      EventsOps.rmTree(streamDir)
+      EventsOps.rmTree(storeRoot)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147, q199)
 }

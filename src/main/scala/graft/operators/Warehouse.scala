@@ -391,5 +391,76 @@ object Warehouse {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q184, q185, q186, q188, q189)
+  /** q200: OPTIMIZE under continuous ingest — the maintenance reality of
+    * any streaming table: per-epoch ledgered appends grow a chain of
+    * small per-epoch files, and a mid-stream [[TableStore.compact]]
+    * (between epochs 1 and 2 here) must collapse the chain into few
+    * large files WITHOUT changing a row and WITHOUT forgetting the epoch
+    * ledger — a post-compaction replay of a committed epoch must still
+    * no-op, or the "optimized" table silently double-counts its next
+    * restart. The oracle is the straight per-type rollup of the full
+    * event history: any row lost, duplicated, or resurrected by the
+    * compaction breaks the hash match. CompactIngestSpec additionally
+    * pins the mechanics: file count collapses, a committed epoch
+    * replayed AFTER compaction no-ops, and ingest continues on the
+    * compacted chain.
+    *
+    * Scale posture: appends are O(batch); compact is one rewrite of the
+    * current snapshot (the maintenance cost any LSM-ish table pays,
+    * amortized over the chain it collapses); the rollup is one
+    * map-side-combinable aggregate. */
+  val q200 = QueryDef(
+    "q200_compact_under_ingest",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.functions.Dec._
+    import graft.sources.TableStore
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-compact-stream")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-compact-stage")
+    try {
+      val st = new TableStore(s, storeRoot.toString)
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        count(lit(1))).head()
+      st.create("ev", ev.limit(0))
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val nFiles = math.max(1L, math.min(32L,
+          r.getLong(2) / EventsOps.OuterStageRowsPerFile + 1)).toInt
+        val width = EventsOps.stageAligned(streamDir,
+          EventsOps.slicedStages(ev, unix_micros(col("ts")), lo, hi, 4), nFiles)
+        val sinkName = "q200_compact_sink"
+        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", width.toString)
+          .parquet(streamDir.toString)
+          .writeStream
+          .queryName(sinkName)
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            st.appendBatch("ev", epoch, batch)
+            // mid-stream maintenance: collapse the 2-epoch chain while
+            // epochs 2 and 3 are still inbound
+            if (epoch == 1L) { st.compact("ev"); () }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      st.table("ev")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(d4(col("value"))).cast("double").as("value_sum"))
+        .orderBy("event_type")
+        // pin: the store root is deleted in the finally below
+        .localCheckpoint(true)
+    } finally {
+      EventsOps.rmTree(streamDir)
+      EventsOps.rmTree(storeRoot)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q184, q185, q186, q188, q189, q200)
 }

@@ -194,6 +194,8 @@ final class TableStore(spark: SparkSession, root: String) {
     Files.deleteIfExists(claimFile(name, v)); ()
   }
   private[graft] def currentVersionOf(name: String): Int = currentVersion(name)
+  /** Data-file count of the current snapshot (spec hook: compaction). */
+  private[graft] def currentFileCount(name: String): Int = currentFiles(name).size
 
   /** Atomically publish a new version of a table. CAS: the new version is
     * snapshot+1 and must be claimed first, so a concurrent writer that
@@ -372,7 +374,18 @@ final class TableStore(spark: SparkSession, root: String) {
       require(m.partCol.isEmpty,
         s"compact supports unpartitioned tables; $name is partitioned on ${m.partCol}")
     }
-    publish(name, table(name))
+    // Coalesce to a byte-derived width: the snapshot read is a UNION of
+    // per-entry scans, so writing it back unmodified keeps one output
+    // file per input partition — a "compaction" that never collapses the
+    // chain (caught by CompactIngestSpec, r11). Width = total snapshot
+    // bytes / 128 MiB target, from file metadata only; coalesce (not
+    // repartition) so no shuffle is paid for a pure layout rewrite.
+    val tableDir = Paths.get(s"$root/$name")
+    val totalBytes = currentFiles(name)
+      .map { case (rel, _) => Files.size(tableDir.resolve(rel)) }.sum
+    val target = 128L * 1024 * 1024
+    val parts = math.max(1L, (totalBytes + target - 1) / target).toInt
+    publish(name, table(name).coalesce(parts))
     analyze(name)
   }
 
