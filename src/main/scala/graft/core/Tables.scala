@@ -69,8 +69,13 @@ object Tables {
     * VERDICT r10 next #5). Cached per (path, size, mtime): the test tables
     * are immutable and the scale replicas are write-once behind a `_READY`
     * stamp, so a hit never goes stale in practice; a rewritten path changes
-    * size/mtime and misses. */
-  private val footerCounts = new scala.collection.concurrent.TrieMap[String, Long]
+    * size/mtime and misses. Keyed by PATH with the file-list fingerprint
+    * stored alongside the count — a rewritten directory REPLACES its entry
+    * instead of accreting one never-evicted entry (and one large file-list
+    * key string) per rewrite, so the map is bounded by the number of
+    * distinct scanned paths, not the number of rewrites (ADVICE r11). */
+  private val footerCounts =
+    new scala.collection.concurrent.TrieMap[String, (String, Long)]
   def parquetRowCount(s: SparkSession, path: String): Long = {
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
@@ -81,12 +86,20 @@ object Tables {
         if (!n.startsWith("_") && !n.startsWith(".")) Seq(st) else Nil
       } else fs.listStatus(st.getPath).toSeq.flatMap(dataFiles)
     val files = dataFiles(fs.getFileStatus(p))
-    val key = files.map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString("|")
-    footerCounts.getOrElseUpdate(key, files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-      try r.getRecordCount finally r.close()
-    }.sum)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    files.map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .sorted.foreach(l => digest.update(l.getBytes("UTF-8")))
+    val fingerprint = digest.digest().map(b => f"${b & 0xff}%02x").mkString
+    footerCounts.get(path) match {
+      case Some((fp, n)) if fp == fingerprint => n
+      case _ =>
+        val n = files.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+        footerCounts.put(path, (fingerprint, n))
+        n
+    }
   }
 }

@@ -852,13 +852,19 @@ object CorpusOps {
     * Pins ONE materialized bucketing so the offsets branch and the index
     * branch see identical partition assignments (the q22 exchange-reuse
     * lesson). */
+  /** The bucket leg of [[globalRowIndex]] before materialization —
+    * exposed so IncrementalPlanSpec can assert its plan is exactly ONE
+    * range exchange (the checkpoint in globalRowIndex truncates lineage,
+    * hiding the exchange from the result frame's plan). */
+  private[graft] def rangeBuckets(df: org.apache.spark.sql.DataFrame,
+      order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.repartitionByRange(64, order: _*)
+      .withColumn("__b", spark_partition_id())
+
   private[graft] def globalRowIndex(df: org.apache.spark.sql.DataFrame,
       order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = df
-      .repartitionByRange(64, order: _*)
-      .withColumn("__b", spark_partition_id())
-      .localCheckpoint(true)
+    val buckets = rangeBuckets(df, order: _*).localCheckpoint(true)
     val offsets = buckets.groupBy("__b").agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(sum(col("__bn")).over(
         Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

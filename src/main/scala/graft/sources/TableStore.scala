@@ -290,6 +290,14 @@ final class TableStore(spark: SparkSession, root: String) {
     if (merged.nonEmpty) writeBatches(name, newV, merged)
   }
 
+  /** The ledger file is line-oriented `appId\tid` — an appId carrying a
+    * tab or newline would silently corrupt the parse on the next read
+    * (wrong writer key, or NumberFormatException). Rejected up front at
+    * every *Batch entry point. */
+  private def requireValidAppId(appId: String): Unit =
+    require(!appId.contains('\t') && !appId.contains('\n'),
+      s"appId must not contain tab or newline: ${appId.replace("\t", "\\t").replace("\n", "\\n")}")
+
   private def withBatch[A](appId: String, batchId: Long)(body: => A): A = {
     pendingBatch.set(Some((appId, batchId)))
     try body finally pendingBatch.remove()
@@ -333,6 +341,7 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def appendBatch(name: String, batchId: Long, rows: DataFrame,
                   appId: String = ""): Boolean = {
+    requireValidAppId(appId)
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
     if (isReplay(name, v0, appId, batchId)) return false
@@ -398,6 +407,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * could differ after a lossy source replay. */
   def upsertBatch(name: String, batchId: Long, rows: DataFrame,
                   appId: String = ""): (Long, Long) = {
+    requireValidAppId(appId)
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
     if (isReplay(name, v0, appId, batchId)) return (0L, 0L)
@@ -409,12 +419,17 @@ final class TableStore(spark: SparkSession, root: String) {
     * atomically with the version flip; a replayed epoch — a restarted
     * micro-batch whose MERGE committed but whose checkpoint marker did
     * not — is a no-op (same monotone-id ledger contract as
-    * [[appendBatch]], see there). Returns whether the batch applied. */
+    * [[appendBatch]], see there). Returns whether the batch applied.
+    * `withStats = false` makes the underlying [[mergeInto]] skip its
+    * tally jobs and return the sentinel (-1, -1, -1) — mergeBatch
+    * swallows that tuple, but callers dropping to mergeInto directly
+    * must not consume the sentinel arithmetically. */
   def mergeBatch(name: String, batchId: Long, source: DataFrame, on: Seq[String],
                  matchedUpdate: Map[String, Column],
                  insertUnmatched: Boolean = true,
                  withStats: Boolean = true,
                  appId: String = ""): Boolean = {
+    requireValidAppId(appId)
     val v0 = currentVersion(name)
     require(v0 >= 0, s"no such table: $name")
     if (isReplay(name, v0, appId, batchId)) return false
@@ -603,6 +618,7 @@ final class TableStore(spark: SparkSession, root: String) {
   // §2.1 S3/S4 — CREATE TABLE [AS SELECT]
   def create(name: String, df: DataFrame, constraints: Seq[Constraint] = Nil): Unit = {
     metas(name) = Meta(constraints)
+    columnsCache.keys.filter(_._1 == name).foreach(columnsCache.remove) // see drop()
     Files.createDirectories(Paths.get(s"$root/$name"))
     publish(name, df)
     // persisted only once the table committed: a failed CREATE leaves no
@@ -634,6 +650,10 @@ final class TableStore(spark: SparkSession, root: String) {
     if (cascade) dependents(name).foreach(drop(_, cascade = true))
     metas.remove(name)
     lastRead.get.remove(name) // a re-created table starts a fresh chain
+    // a re-created table restarts its version chain at v0, so (name, v)
+    // keys from the previous incarnation would otherwise serve a stale
+    // column order to appendBatch
+    columnsCache.keys.filter(_._1 == name).foreach(columnsCache.remove)
     val dir = Paths.get(s"$root/$name")
     if (Files.exists(dir)) {
       import scala.jdk.CollectionConverters._

@@ -4,13 +4,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** q199 restart idempotence: the streaming dedup gate's state IS the
-  * signature store, and both its per-epoch commits (minhash signatures;
-  * shingle hashes + cut verdicts) ride the exactly-once epoch ledger. The
-  * injected crash lands after an epoch's store commits but before the
-  * streaming commit marker, so the restart genuinely replays the epoch.
-  * Without the ledger the replay would double-append the batch's
-  * signatures (inflating every later Jaccard denominator) and duplicate
-  * verdict sentinels. */
+  * signature store — ONE kind-tagged state table whose single per-epoch
+  * append (minhash signatures + shingle hashes + cut verdicts) rides the
+  * exactly-once epoch ledger. The injected crash lands after an epoch's
+  * store commit but before the streaming commit marker, so the restart
+  * genuinely replays the epoch. Without the ledger the replay would
+  * double-append the batch's signatures (inflating every later Jaccard
+  * denominator) and duplicate cut verdicts. */
 class DedupIngestRestartSpec extends SparkSpec {
 
   test("q199: a replayed dedup-ingest epoch no-ops on the store ledger") {
@@ -41,7 +41,7 @@ class DedupIngestRestartSpec extends SparkSpec {
     try {
       val st = new graft.sources.TableStore(spark, storeRoot.toString)
       val staged = docs.select("doc_id", "text")
-      operators.Dedup.buildSignatureStore(st, staged.limit(0))
+      operators.Dedup.buildDedupState(st, staged.limit(0))
       val width = operators.EventsOps.stageAligned(srcDir,
         operators.EventsOps.slicedStages(staged, col("doc_id"), 1L, 120L, 4), 1)
       var applied = Vector.empty[Long]
@@ -63,8 +63,7 @@ class DedupIngestRestartSpec extends SparkSpec {
       run(crashAfter = Some(1L))
       run(crashAfter = None)
       applied.count(_ == 1L) shouldBe 2 // the replay really happened
-      val cuts = st.table("shh").filter(col("h").isNull)
-        .select("doc_id").distinct()
+      val cuts = operators.Dedup.stateCuts(st.table("state")).distinct()
       val got = core.Tables.documents(spark, dir.toString)
         .join(cuts, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"),
@@ -79,8 +78,8 @@ class DedupIngestRestartSpec extends SparkSpec {
       cutIds should contain allOf (40L, 65L, 95L)
       cutIds should not contain 5L
       // no double-appended signatures after the replay: one sig row per doc
-      val sigCounts = st.table("sig").groupBy("doc_id").count()
-        .filter(col("count") > 1).count()
+      val sigCounts = operators.Dedup.stateSig(st.table("state"))
+        .groupBy("doc_id").count().filter(col("count") > 1).count()
       sigCounts shouldBe 0L
     } finally {
       operators.EventsOps.rmTree(srcDir)
