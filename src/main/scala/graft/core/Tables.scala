@@ -90,9 +90,15 @@ object Tables {
     files.map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
       .sorted.foreach(l => digest.update(l.getBytes("UTF-8")))
     val fingerprint = digest.digest().map(b => f"${b & 0xff}%02x").mkString
-    footerCounts.get(path) match {
-      case Some((fp, n)) if fp == fingerprint => n
-      case _ =>
+    // double-checked under the map lock so concurrent first calls for the
+    // same path compute the footer sum ONCE (ADVICE r12 — the bare
+    // get/compute/put raced benignly but re-read every footer per caller);
+    // holding the lock across the footer reads is fine, they are
+    // metadata-only and first-scan contention is rare
+    def hit: Option[Long] =
+      footerCounts.get(path).collect { case (fp, n) if fp == fingerprint => n }
+    hit.getOrElse(footerCounts.synchronized {
+      hit.getOrElse {
         val n = files.map { f =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
@@ -100,6 +106,7 @@ object Tables {
         }.sum
         footerCounts.put(path, (fingerprint, n))
         n
-    }
+      }
+    })
   }
 }

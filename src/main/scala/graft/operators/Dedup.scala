@@ -229,12 +229,19 @@ object Dedup {
 
   private[graft] def invalidateLshCache(dir: String): Unit = releaseLshCache(dir)
 
-  /** (doc_id, band, bv) band keys of a signature frame carrying h0..h15. */
-  private def bandsOf(sig: DataFrame): DataFrame =
-    (0 until Bands).map { b =>
+  /** (doc_id, band, bv) band keys of a signature frame carrying h0..h15.
+    * ONE scan of the source: the 4 band keys explode from an in-row array
+    * — the previous 4-leg union re-executed the source subtree per band,
+    * which for q90/q199 meant 4 scans of the stored signatures per
+    * reference (part of the r12 regression). */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val bands = array((0 until Bands).map { b =>
       val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
-      sig.select(col("doc_id"), lit(b).as("band"), bv.as("bv"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
 
   private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame =
     // Materialize the verified pair list eagerly: q71's fixpoint loop and
@@ -403,83 +410,153 @@ object Dedup {
   private[graft] def incrementalLshPairs(s: SparkSession,
                                          store: graft.sources.TableStore,
                                          newDocs: DataFrame): DataFrame = {
-    val newTh = shingleHashes(newDocs)
-    val newSig = newTh.groupBy("doc_id").agg(count(lit(1)).as("n"), minhashAggs: _*)
+    // persist the batch frames: the kernel materializes three cached
+    // intermediates (one action each) plus the pairs checkpoint, and
+    // without a cache each action would re-shingle the batch from scratch
+    // (tokenize + explode + minhash — the batch-proportional hot step)
+    val newTh = shingleHashes(newDocs).persist()
+    val newSig = newTh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), minhashAggs: _*).persist()
     // q90-era sig/shh store layout: the legacy shh table may carry q199's
     // old cut-verdict sentinels (h NULL) — dropped so the verify join
     // sees only real hashes
-    incrementalLshPairsFrames(s, store.table("sig"),
+    try incrementalLshPairsFrames(s, store.table("sig"),
       store.table("shh").filter(col("h").isNotNull), newSig, newTh)
+    finally { newSig.unpersist(); newTh.unpersist(); () }
   }
 
   /** [[incrementalLshPairs]] over explicit stored + batch signature
     * frames — the q199 epoch loop passes views of its single state table
-    * and precomputed (persisted) batch frames.
-    *
-    * Scale invariant (VERDICT r11 #2): STORE-PROPORTIONAL ROWS NEVER
-    * ENTER A SHUFFLE EXCHANGE. The stored side only ever streams through
-    * scans into the probe side of broadcast joins:
-    *  - candidate generation broadcasts the BATCH's band keys (4 rows per
-    *    batch doc) against the stored∪batch band stream;
-    *  - everything downstream (sizes, verification hashes) is first
-    *    semi-join-pruned to candidate doc ids via ONE reused broadcast of
-    *    `candDocs`, so only candidate-bounded rows reach the remaining
-    *    equi-joins and aggregations.
-    * Per-epoch shuffle volume is therefore batch/candidate-bounded; the
-    * store contributes parquet scans only (IncrementalPlanSpec asserts
-    * this shape on the executed plan). */
+    * and precomputed (persisted) batch frames. Runs the kernel with its
+    * intermediates materialized and returns the verified pairs as an
+    * eager `localCheckpoint` (tiny — the ≥ 0.8-verified pair set), so the
+    * caller inherits no live reference to the kernel caches and the
+    * kernel can release them before returning. */
   private[graft] def incrementalLshPairsFrames(s: SparkSession,
       storedSig: DataFrame, storedTh: DataFrame,
       newSig: DataFrame, newTh: DataFrame): DataFrame = {
+    val k = incrementalLshKernel(s, storedSig, storedTh, newSig, newTh)
+    try k.pairs.localCheckpoint(true) finally k.release()
+  }
+
+  /** One kernel call's candidate-bounded intermediates (persisted AND
+    * materialized unless built in shape-test mode) plus the lazy
+    * verified-pairs frame over them. [[release]] drops the caches — safe
+    * once `pairs` has been checkpointed or fully consumed. */
+  private[graft] final case class IncrementalLshKernel(
+      cand0: DataFrame, sizes: DataFrame, candTh: DataFrame, pairs: DataFrame) {
+    def release(): Unit = {
+      cand0.unpersist(); sizes.unpersist(); candTh.unpersist(); ()
+    }
+  }
+
+  /** Ceiling on distinct candidate doc ids for the forced
+    * `broadcast(candDocs)` hint (ADVICE r12): candidates = batch band
+    * keys × matching stored docs, so under band-value skew (boilerplate
+    * docs sharing a band hash across a large store) the set grows with
+    * the CORPUS, and a forced hint would collect a store-proportional
+    * frame to the driver. Above the ceiling the hint is dropped — the
+    * semi-joins degrade to shuffles (store-proportional exchange,
+    * deliberately traded for not OOMing the driver) and AQE still picks
+    * broadcast if runtime stats allow. ~4M ids ≈ tens of MB broadcast. */
+  private[graft] val MaxBroadcastCandidateDocs = 4000000L
+
+  /** The incremental-dedup kernel. Scale invariants:
+    *
+    *  1. STORE-PROPORTIONAL ROWS NEVER ENTER A SHUFFLE EXCHANGE (VERDICT
+    *     r11 #2). Candidate generation broadcasts the BATCH's band keys
+    *     (4 rows per batch doc) against the stored∪batch band stream;
+    *     everything downstream is first semi-join-pruned to candidate doc
+    *     ids via a broadcast of `candDocs`, so only candidate-bounded
+    *     rows reach the remaining equi-joins and aggregations.
+    *  2. THE STORE IS SCANNED A FIXED NUMBER OF TIMES PER CALL — exactly
+    *     3 (VERDICT r12 #1): once building `cand0` (band keys of stored
+    *     signatures), once building `sizes` (stored signature sizes),
+    *     once building `candTh` (stored shingle hashes). The r12 lesson:
+    *     invariant 1 alone is NOT enough — broadcast-probe streaming has
+    *     no materialization boundary, so every downstream reference to a
+    *     frame re-executes its whole store-scan subtree (~8-9 scans per
+    *     action; q199 went 16.4 → 124.0 s at sf0.1). Each
+    *     candidate-bounded intermediate is therefore `persist()`ed:
+    *     cand0 materializes under the broadcast-guard count, sizes and
+    *     candTh populate in-flight during the pairs job (block-level
+    *     locks dedupe concurrent computes), so the pairs job triggers
+    *     each store scan at most once. IncrementalPlanSpec asserts both
+    *     invariants on the plans.
+    *
+    * Per-epoch cost is batch/candidate-proportional, plus 3 streaming
+    * scans of the stored parquet (kind-pruned via row-group stats).
+    *
+    * `materialize = false` is the spec seam: build the same dataflow
+    * without caching so plan shapes stay inspectable as raw trees. */
+  private[graft] def incrementalLshKernel(s: SparkSession,
+      storedSig: DataFrame, storedTh: DataFrame,
+      newSig: DataFrame, newTh: DataFrame,
+      materialize: Boolean = true): IncrementalLshKernel = {
     val allSig = storedSig.unionByName(newSig)
+    // persist WITHOUT an eager count: the first consuming job populates
+    // each cache in-flight, and the block manager's per-partition locks
+    // make concurrent consumers wait-and-read instead of recompute — so
+    // each intermediate's store scan still executes exactly once per
+    // epoch, without paying a scheduling barrier per intermediate
+    def ready(df: DataFrame): DataFrame = if (!materialize) df else df.persist()
     // batch bands join ALL bands (stored ∪ batch): each candidate pair has
     // ≥ 1 batch endpoint; least/greatest normalizes new-new double hits.
     // The broadcast side is the BATCH (micro-batch-bounded by contract),
     // never the store.
-    val cand0 = bandsOf(allSig).toDF("da", "band", "bv")
+    val cand0 = ready(bandsOf(allSig).toDF("da", "band", "bv")
       .join(broadcast(bandsOf(newSig).toDF("db", "band", "bv")), Seq("band", "bv"))
       .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
+      .distinct())
+    // candidate doc ids (cheap off the cached cand0): semi-join prune that
+    // keeps every store-wide frame on a scan-and-stream path. explode, not
+    // a self-union: ONE reference to cand0, so downstream plans carry one
+    // copy of its subtree. The count guards the broadcast hint (see
+    // MaxBroadcastCandidateDocs) and doubles as cand0's materializing
+    // action — the one scheduling barrier the kernel pays.
+    val candDocsBase = cand0
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // candidate doc ids: bounded by the candidate set (each has a batch
-    // endpoint). Broadcast ONCE — the subtree is identical at every use
-    // site, so Spark plans one BroadcastExchange and reuses it — and used
-    // as a semi-join prune that keeps every store-wide frame on a
-    // scan-and-stream path.
-    val candDocs = broadcast(
-      cand0.select(col("doc_a").as("doc_id"))
-        .union(cand0.select(col("doc_b").as("doc_id"))).distinct())
+    val candDocs =
+      if (!materialize || candDocsBase.count() <= MaxBroadcastCandidateDocs)
+        broadcast(candDocsBase)
+      else candDocsBase
     // sizes spans the whole stored corpus (one row per document) — it is
     // never hint-broadcast and never shuffled; the semi-join prunes it to
-    // candidate docs while it streams
-    val sizes = allSig.join(candDocs, Seq("doc_id"), "left_semi")
-      .select("doc_id", "n")
+    // candidate docs while it streams, and the pruned result (cached) is
+    // what the 4 downstream references read
+    val sizes = ready(allSig.join(candDocs, Seq("doc_id"), "left_semi")
+      .select("doc_id", "n"))
+    // verification set = stored corpus hashes ∪ batch hashes, pruned to
+    // candidate docs BEFORE any join — the store's shingle hashes (the
+    // bulk of the state) stream through their scan exactly like sizes,
+    // once, into the cache both verify legs read
+    val candTh = ready(storedTh.unionByName(newTh)
+      .join(candDocs, Seq("doc_id"), "left_semi"))
     val cand = cand0
       .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
       .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
-      .select("doc_a", "doc_b")
-    // verification set = stored corpus hashes ∪ batch hashes, pruned to
-    // candidate docs BEFORE any join — the store's shingle hashes (the
-    // bulk of the state) stream through their scan exactly like sizes.
+      .select("doc_a", "doc_b", "na", "nb")
     // countDistinct (not count) keeps the intersection exact even if a
     // doc's hashes appear on both sides — a replayed epoch recomputes a
     // batch whose rows already persisted — and the distinct is bounded by
     // candidate volume, never corpus size
-    val candTh = storedTh.unionByName(newTh)
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    // na/nb ride through the aggregation as (functionally determined)
+    // grouping keys, so the Jaccard projection needs no rejoin of sizes
     val inter = cand
       .join(candTh.toDF("doc_a", "h"), Seq("doc_a"))
       .join(candTh.toDF("doc_b", "h"), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(countDistinct(col("h")).as("i"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(countDistinct(col("h")).as("i"))
     val jac = col("i").cast("double") /
       (col("na") + col("nb") - col("i")).cast("double")
-    inter
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val pairs = inter
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+    IncrementalLshKernel(cand0, sizes, candTh, pairs)
   }
 
   // weak session keys for the same reason as lshPairsMemo: a stopped
@@ -849,13 +926,16 @@ object Dedup {
     * sortWithinPartitions(kind) groups kinds into contiguous row-group
     * runs so the per-kind views' `kind = k` filters prune via parquet
     * row-group stats. */
+  /** Callers must `sortWithinPartitions("kind")` as the LAST step before
+    * writing (after any coalesce — coalesce concatenates parent
+    * partitions, so sorting first would interleave kind runs and defeat
+    * the row-group stats pruning; ADVICE r12). */
   private def stateFrame(sig: DataFrame, th: DataFrame, cuts: DataFrame): DataFrame =
     th.withColumn("kind", lit(0))
       .unionByName(cuts.select(col("doc_id"), lit(1).as("kind")),
         allowMissingColumns = true)
       .unionByName(sig.withColumn("kind", lit(2)), allowMissingColumns = true)
       .select(StateCols.map(col): _*)
-      .sortWithinPartitions("kind")
 
   private[graft] def stateSig(state: DataFrame): DataFrame =
     state.filter(col("kind") === 2)
@@ -870,7 +950,8 @@ object Dedup {
   private[graft] def buildDedupState(st: graft.sources.TableStore,
                                      corpus: DataFrame): Unit = {
     val (sig, th) = signatureFrames(corpus)
-    st.create("state", stateFrame(sig, th, th.select("doc_id").limit(0)))
+    st.create("state",
+      stateFrame(sig, th, th.select("doc_id").limit(0)).sortWithinPartitions("kind"))
   }
 
   /** The q199 per-epoch dedup-admission step, shared with the restart
@@ -886,19 +967,52 @@ object Dedup {
     * committed id no-ops on the store's exactly-once epoch ledger before
     * any LSH work runs (appendBatch checks the ledger first). There is
     * no partial-commit window to reason about: one table, one flip. */
-  private[graft] def dedupIngestEpoch(st: graft.sources.TableStore)(
+  /** Per-epoch wall-clock trace of [[dedupIngestEpoch]], recorded when the
+    * `graft.epochTrace` system property is set. The q199 epoch-cost probe
+    * (VERDICT r12 next #3) reads per-epoch walls from here to show epoch
+    * cost tracks BATCH size, not accumulated store size. */
+  private[graft] val epochTrace =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+
+  private[graft] def dedupIngestEpoch(st0: graft.sources.TableStore)(
+      batch: DataFrame, epoch: Long): Unit = {
+    val t0 = System.nanoTime()
+    try dedupIngestEpochBody(st0)(batch, epoch)
+    finally if (sys.props.contains("graft.epochTrace")) {
+      epochTrace.add((epoch, (System.nanoTime() - t0) / 1e9)); ()
+    }
+  }
+
+  private def dedupIngestEpochBody(st0: graft.sources.TableStore)(
       batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
+    // re-home the store handle on the BATCH's session (the stream's clone
+    // when called from q199's foreachBatch) so the epoch's jobs plan with
+    // the stream-scoped conf — notably the 8-partition replay width —
+    // instead of the shared session's; a fresh handle over an existing
+    // directory is free, and the epoch ledger lives in the directory, not
+    // the handle (DedupIngestRestartSpec re-opens handles the same way)
+    val st = new graft.sources.TableStore(s, st0.rootDir)
     val (newSig, newTh) = {
       val (sig, th) = signatureFrames(batch)
       (sig.persist(), th.persist())
     }
     try {
       val stored = st.table("state")
-      val cut = incrementalLshPairsFrames(s, stateSig(stored), stateTh(stored),
-          newSig, newTh)
-        .select(col("doc_b").as("doc_id")).distinct()
-      st.appendBatch("state", epoch, stateFrame(newSig, newTh, cut).coalesce(8))
+      // kernel used directly (not via incrementalLshPairsFrames): the
+      // epoch consumes `pairs` exactly once — inside the append job — so
+      // the verify pipeline runs inline with the state write instead of
+      // paying a separate checkpoint job, and the kernel caches are
+      // released right after the append commits
+      val k = incrementalLshKernel(s, stateSig(stored), stateTh(stored),
+        newSig, newTh)
+      try {
+        val cut = k.pairs.select(col("doc_b").as("doc_id")).distinct()
+        // coalesce BEFORE the kind sort: the other order would concatenate
+        // already-sorted parents into interleaved kind runs (ADVICE r12)
+        st.appendBatch("state", epoch,
+          stateFrame(newSig, newTh, cut).coalesce(8).sortWithinPartitions("kind"))
+      } finally k.release()
       ()
     } finally { newSig.unpersist(); newTh.unpersist(); () }
   }
@@ -948,29 +1062,38 @@ object Dedup {
         val (lo, hi) = (r.getLong(0), r.getLong(1))
         val nFiles = math.max(1L,
           math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
+        // slice rule (VERDICT r12 next #7, the q149/q187 StreamSliceHours
+        // pattern): 2 doc_id slices × nFiles aligned files. Two epochs are
+        // the minimum that exercises cross-epoch dedup (stored-vs-batch
+        // pairs over the epoch boundary) — the dominant per-epoch costs
+        // (batch shingling, verify checkpoint, state append, microbatch
+        // bookkeeping) are fixed per EPOCH, so the r12-era 4 slices paid
+        // 2× that toll for no additional coverage; corpora large enough to
+        // need finer batches raise nFiles via rowsPerFile instead.
         val width = EventsOps.stageAligned(streamDir,
-          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, 4), nFiles)
+          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, 2), nFiles)
         val sinkName = "q199_dedup_sink"
         s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-        // bounded replay: per-epoch shuffles carry batch/candidate-bounded
-        // rows only, so session width (32) over-slices them — the q183
-        // 8-partition replay rule
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          val q = s.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", width.toString)
-            .parquet(streamDir.toString)
-            .writeStream
-            .queryName(sinkName)
-            .outputMode("append")
-            .foreachBatch { (batch: DataFrame, epoch: Long) =>
-              dedupIngestEpoch(st)(batch, epoch)
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", width.toString)
+          .parquet(streamDir.toString)
+          .writeStream
+          .queryName(sinkName)
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            // bounded replay: per-epoch shuffles carry batch/candidate-
+            // bounded rows only, so session width (32) over-slices them —
+            // the q183 8-partition replay rule. Set on the STREAM'S cloned
+            // session (batch.sparkSession), never the shared one, so a
+            // concurrent query on the caller's session keeps its width
+            // (ADVICE r12); the clone persists across epochs, the set is
+            // idempotent.
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+            dedupIngestEpoch(st)(batch, epoch)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
       val cuts = stateCuts(st.table("state")).distinct()
       Tables.documents(s, d)

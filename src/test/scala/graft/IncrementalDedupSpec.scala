@@ -41,11 +41,14 @@ class IncrementalDedupSpec extends SparkSpec {
     val st = new TableStore(spark, tempDir("graft-sig2").toString)
     Dedup.buildSignatureStore(st, mkDocs(Seq(1L -> "alpha beta gamma delta epsilon zeta")))
     val batch = mkDocs(Seq(10L -> "alpha beta gamma delta epsilon zeta"))
-    val result = Dedup.incrementalLshPairs(spark, st, batch)
-    result.collect() // materialize so AQE finalizes the plan
-    val plan = result.queryExecution.executedPlan.toString
-    // all file locations in the final plan must live under the store root:
-    // no path back to corpus documents (which never even existed as files)
+    // the production path returns an eager checkpoint (planless), so
+    // inspect the kernel's raw dataflow via the shape seam: every file
+    // location it would read must live under the store root — no path
+    // back to corpus documents (which never even existed as files)
+    val (newSig, newTh) = Dedup.signatureFrames(batch)
+    val k = Dedup.incrementalLshKernel(spark, st.table("sig"), st.table("shh"),
+      newSig, newTh, materialize = false)
+    val plan = k.pairs.queryExecution.executedPlan.toString
     val locs = "file:[^\\]\\s,]*".r.findAllIn(plan).toSeq.filterNot(_.isEmpty)
     locs should not be empty // stored sig + shh parquet are really read
     locs.foreach(_ should include("graft-sig2"))

@@ -126,7 +126,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q90: incremental dedup plans banded equi-joins, no nested loop") {
-    val plan = planOf(Dedup.q90.build(spark, sf))
+    // the production q90 returns an eager checkpoint (planless), so assert
+    // on the kernel's raw dataflow via the shape seam
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val (sig, th) = Dedup.signatureFrames(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+    val (nsig, nth) = Dedup.signatureFrames(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0))
+    val plan = planOf(
+      Dedup.incrementalLshKernel(spark, sig, th, nsig, nth, materialize = false).pairs)
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
     plan should include("BroadcastHashJoin")
