@@ -1049,7 +1049,8 @@ object Dedup {
 
   /** q199 body; `rowsPerFile` sizes the staged replay files (specs pass a
     * tiny value to force the multi-file aligned-batch path at test scale). */
-  private[graft] def q199Impl(rowsPerFile: Long = EventsOps.OuterStageRowsPerFile)(
+  private[graft] def q199Impl(rowsPerFile: Long = EventsOps.OuterStageRowsPerFile,
+      slices: Int = 2)(
       s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
@@ -1063,15 +1064,18 @@ object Dedup {
         val nFiles = math.max(1L,
           math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
         // slice rule (VERDICT r12 next #7, the q149/q187 StreamSliceHours
-        // pattern): 2 doc_id slices × nFiles aligned files. Two epochs are
+        // pattern): `slices` doc_id slices × nFiles aligned files,
+        // default 2. Two epochs are
         // the minimum that exercises cross-epoch dedup (stored-vs-batch
         // pairs over the epoch boundary) — the dominant per-epoch costs
         // (batch shingling, verify checkpoint, state append, microbatch
         // bookkeeping) are fixed per EPOCH, so the r12-era 4 slices paid
         // 2× that toll for no additional coverage; corpora large enough to
         // need finer batches raise nFiles via rowsPerFile instead.
+        // EpochCostProbe passes a higher slice count to watch per-epoch
+        // wall against a growing store.
         val width = EventsOps.stageAligned(streamDir,
-          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, 2), nFiles)
+          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, slices), nFiles)
         val sinkName = "q199_dedup_sink"
         s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
         val q = s.readStream.schema(docs.schema)
