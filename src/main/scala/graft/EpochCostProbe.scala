@@ -46,10 +46,11 @@ object EpochCostProbe {
     val doc =
       s"""{"probe": "q199_epoch_cost", "corpus": "$dir", "slices": $slices,
          | ${Provenance.jsonFields},
-         | "note": "equal doc_id batches; store grows one batch per epoch — flat per-epoch sec = batch-proportional cost",
+         | "note": "equal doc_id batches; store grows one batch per epoch; flat per-epoch sec = batch-proportional cost",
          | "survivor_rows": $rows, "total_sec": ${num(total, 2)},
          | "epochs": $body}""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get(artifact), doc.getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[epoch-probe] rows=$rows total=${num(total, 2)}s epochs=" +
       epochs.map { case (e, s) => s"$e:${num(s, 2)}" }.mkString(","))
     spark.stop()
