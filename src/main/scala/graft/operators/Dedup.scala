@@ -243,6 +243,20 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
   }
 
+  /** [[bandsOf]] with the signature's shingle-set size `n` riding along:
+    * (doc_id, n, band, bv). The incremental kernel carries sizes on the
+    * band stream so candidate pairs arrive with (na, nb) attached and the
+    * stored signatures need no second scan for a sizes lookup. */
+  private def bandsN(sig: DataFrame): DataFrame = {
+    val bands = array((0 until Bands).map { b =>
+      val bv = md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
+      struct(lit(b).as("band"), bv.as("bv"))
+    }: _*)
+    sig.select(col("doc_id"), col("n"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("n"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
   private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame =
     // Materialize the verified pair list eagerly: q71's fixpoint loop and
     // q131's leak join each consume this frame, and without a checkpoint
@@ -439,14 +453,14 @@ object Dedup {
     try k.pairs.localCheckpoint(true) finally k.release()
   }
 
-  /** One kernel call's candidate-bounded intermediates (persisted AND
-    * materialized unless built in shape-test mode) plus the lazy
-    * verified-pairs frame over them. [[release]] drops the caches — safe
-    * once `pairs` has been checkpointed or fully consumed. */
+  /** One kernel call's candidate-bounded intermediates (persisted unless
+    * built in shape-test mode) plus the lazy verified-pairs frame over
+    * them. [[release]] drops the caches — safe once `pairs` has been
+    * checkpointed or fully consumed. */
   private[graft] final case class IncrementalLshKernel(
-      cand0: DataFrame, sizes: DataFrame, candTh: DataFrame, pairs: DataFrame) {
+      cand0: DataFrame, candTh: DataFrame, pairs: DataFrame) {
     def release(): Unit = {
-      cand0.unpersist(); sizes.unpersist(); candTh.unpersist(); ()
+      cand0.unpersist(); candTh.unpersist(); ()
     }
   }
 
@@ -470,19 +484,18 @@ object Dedup {
     *     ids via a broadcast of `candDocs`, so only candidate-bounded
     *     rows reach the remaining equi-joins and aggregations.
     *  2. THE STORE IS SCANNED A FIXED NUMBER OF TIMES PER CALL — exactly
-    *     3 (VERDICT r12 #1): once building `cand0` (band keys of stored
-    *     signatures), once building `sizes` (stored signature sizes),
-    *     once building `candTh` (stored shingle hashes). The r12 lesson:
-    *     invariant 1 alone is NOT enough — broadcast-probe streaming has
-    *     no materialization boundary, so every downstream reference to a
-    *     frame re-executes its whole store-scan subtree (~8-9 scans per
-    *     action; q199 went 16.4 → 124.0 s at sf0.1). Each
-    *     candidate-bounded intermediate is therefore `persist()`ed:
-    *     cand0 materializes under the broadcast-guard count, sizes and
-    *     candTh populate in-flight during the pairs job (block-level
-    *     locks dedupe concurrent computes), so the pairs job triggers
-    *     each store scan at most once. IncrementalPlanSpec asserts both
-    *     invariants on the plans.
+    *     2 (VERDICT r12 #1): once building `cand0` (band keys + sizes of
+    *     the stored signatures, via [[bandsN]]), once building `candTh`
+    *     (stored shingle hashes). The r12 lesson: invariant 1 alone is
+    *     NOT enough — broadcast-probe streaming has no materialization
+    *     boundary, so every downstream reference to a frame re-executes
+    *     its whole store-scan subtree (~8-9 scans per action; q199 went
+    *     16.4 → 124.0 s at sf0.1). Each candidate-bounded intermediate is
+    *     therefore `persist()`ed: cand0 materializes under the
+    *     broadcast-guard count, candTh populates in-flight during the
+    *     pairs job (block-level locks dedupe concurrent computes), so the
+    *     pairs job triggers its store scan at most once.
+    *     IncrementalPlanSpec asserts both invariants on the plans.
     *
     * Per-epoch cost is batch/candidate-proportional, plus 3 streaming
     * scans of the stored parquet (kind-pruned via row-group stats).
@@ -504,48 +517,48 @@ object Dedup {
     // ≥ 1 batch endpoint; least/greatest normalizes new-new double hits.
     // The broadcast side is the BATCH (micro-batch-bounded by contract),
     // never the store.
-    val cand0 = ready(bandsOf(allSig).toDF("da", "band", "bv")
-      .join(broadcast(bandsOf(newSig).toDF("db", "band", "bv")), Seq("band", "bv"))
+    // the band stream carries each signature's shingle-set size, so
+    // candidate pairs arrive with (na, nb) attached — the stored
+    // signatures are scanned ONCE per epoch, and the size-ratio prune and
+    // the Jaccard denominator need no sizes lookup at all
+    val cand0 = ready(bandsN(allSig).toDF("da", "sa", "band", "bv")
+      .join(broadcast(bandsN(newSig).toDF("db", "sb", "band", "bv")),
+        Seq("band", "bv"))
       .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"))
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("sa")).otherwise(col("sb")).as("na"),
+        when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("nb"))
       .distinct())
+    // size-ratio prefilter: jaccard >= 0.8 implies min·5 >= max·4 — prunes
+    // candidates (and therefore the verification set) without changing
+    // the result
+    val cand = cand0
+      .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
     // candidate doc ids (cheap off the cached cand0): semi-join prune that
-    // keeps every store-wide frame on a scan-and-stream path. explode, not
-    // a self-union: ONE reference to cand0, so downstream plans carry one
-    // copy of its subtree. The count guards the broadcast hint (see
+    // keeps the store-wide hash frame on a scan-and-stream path. explode,
+    // not a self-union: ONE reference to cand0, so downstream plans carry
+    // one copy of its subtree. The count guards the broadcast hint (see
     // MaxBroadcastCandidateDocs) and doubles as cand0's materializing
     // action — the one scheduling barrier the kernel pays.
-    val candDocsBase = cand0
+    val candDocsBase = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val candDocs =
       if (!materialize || candDocsBase.count() <= MaxBroadcastCandidateDocs)
         broadcast(candDocsBase)
       else candDocsBase
-    // sizes spans the whole stored corpus (one row per document) — it is
-    // never hint-broadcast and never shuffled; the semi-join prunes it to
-    // candidate docs while it streams, and the pruned result (cached) is
-    // what the 4 downstream references read
-    val sizes = ready(allSig.join(candDocs, Seq("doc_id"), "left_semi")
-      .select("doc_id", "n"))
     // verification set = stored corpus hashes ∪ batch hashes, pruned to
     // candidate docs BEFORE any join — the store's shingle hashes (the
-    // bulk of the state) stream through their scan exactly like sizes,
-    // once, into the cache both verify legs read
+    // bulk of the state) stream through their scan once, into the cache
+    // both verify legs read
     val candTh = ready(storedTh.unionByName(newTh)
       .join(candDocs, Seq("doc_id"), "left_semi"))
-    val cand = cand0
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
-      .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
-      .select("doc_a", "doc_b", "na", "nb")
     // countDistinct (not count) keeps the intersection exact even if a
     // doc's hashes appear on both sides — a replayed epoch recomputes a
     // batch whose rows already persisted — and the distinct is bounded by
-    // candidate volume, never corpus size
-    // na/nb ride through the aggregation as (functionally determined)
-    // grouping keys, so the Jaccard projection needs no rejoin of sizes
+    // candidate volume, never corpus size. na/nb ride through as
+    // (functionally determined) grouping keys.
     val inter = cand
       .join(candTh.toDF("doc_a", "h"), Seq("doc_a"))
       .join(candTh.toDF("doc_b", "h"), Seq("doc_b", "h"))
@@ -556,7 +569,7 @@ object Dedup {
     val pairs = inter
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-    IncrementalLshKernel(cand0, sizes, candTh, pairs)
+    IncrementalLshKernel(cand0, candTh, pairs)
   }
 
   // weak session keys for the same reason as lshPairsMemo: a stopped

@@ -67,7 +67,7 @@ class IncrementalPlanSpec extends SparkSpec {
     walk(p, Nil)
   }
 
-  test("q199 epoch kernel: 3 broadcast-pruned store scans; pairs read caches only") {
+  test("q199 epoch kernel: 2 broadcast-pruned store scans; pairs read caches only") {
     val st = new sources.TableStore(spark, tempDir("graft-planstate").toString)
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     Dedup.buildDedupState(st, docs.filter(col("doc_id") % 3 =!= 0))
@@ -79,14 +79,14 @@ class IncrementalPlanSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       // A. shape mode (no caching): the raw dataflow consults the store a
-      // FIXED number of times — cand0 once (stored band keys); sizes and
-      // candTh twice each (their own stored-leg scan + one cand0 copy
+      // FIXED number of times — cand0 once (stored band keys + sizes via
+      // bandsN); candTh twice (its own stored-hash leg + one cand0 copy
       // under the candDocs broadcast build; Catalyst pushes the semi-join
       // through the stored∪batch union but ReuseExchange dedups the second
       // broadcast copy) — and EVERY store scan hits a BroadcastHashJoin
       // probe side (candidate pruning) before any exchange. In the
-      // materialized kernel the cand0 copies read its cache, so per-epoch
-      // DISK scans of the store are exactly 3 (one per intermediate
+      // materialized kernel the cand0 copy reads its cache, so per-epoch
+      // DISK scans of the store are exactly 2 (one per intermediate
       // build).
       val shape = Dedup.incrementalLshKernel(spark,
         Dedup.stateSig(stored), Dedup.stateTh(stored), newSig, newTh,
@@ -113,23 +113,23 @@ class IncrementalPlanSpec extends SparkSpec {
         }
       }
       check(shape.cand0, 1)
-      check(shape.sizes, 2)
       check(shape.candTh, 2)
       // the r12 blind spot (VERDICT r12 #2): the UNMATERIALIZED pairs plan
-      // re-executes those subtrees — 5+ live store scans per action (vs 3
+      // re-executes those subtrees — 3+ live store scans per action (vs 2
       // one-time builds in the materialized kernel, and 0 in the pairs job
       // itself). The materialized kernel must never expose this plan.
       liveStoreScans(shape.pairs.queryExecution.executedPlan, st.rootDir)
-        .size should be >= 5
+        .size should be >= 3
 
-      // B. the real kernel: intermediates are persisted AND force-
-      // materialized, so the pairs job executes ZERO live store scans —
-      // all store access happened at the 3 intermediate builds. This is
-      // the assertion that fails on the r12 kernel.
+      // B. the real kernel: intermediates are persisted (cand0 force-
+      // materialized under the guard count), so the pairs job executes
+      // ZERO live store scans — all store access happens at the 2
+      // intermediate builds. This is the assertion that fails on the r12
+      // kernel.
       val k = Dedup.incrementalLshKernel(spark,
         Dedup.stateSig(stored), Dedup.stateTh(stored), newSig, newTh)
       try {
-        Seq(k.cand0, k.sizes, k.candTh).foreach(
+        Seq(k.cand0, k.candTh).foreach(
           _.storageLevel should not be org.apache.spark.storage.StorageLevel.NONE)
         k.pairs.collect()
         val plan = k.pairs.queryExecution.executedPlan
