@@ -501,11 +501,14 @@ object Dedup {
     * scans of the stored parquet (kind-pruned via row-group stats).
     *
     * `materialize = false` is the spec seam: build the same dataflow
-    * without caching so plan shapes stay inspectable as raw trees. */
+    * without caching so plan shapes stay inspectable as raw trees.
+    * `maxBroadcastCand` overrides the broadcast-guard ceiling so specs
+    * can force (and verify) the un-hinted skew-fallback path. */
   private[graft] def incrementalLshKernel(s: SparkSession,
       storedSig: DataFrame, storedTh: DataFrame,
       newSig: DataFrame, newTh: DataFrame,
-      materialize: Boolean = true): IncrementalLshKernel = {
+      materialize: Boolean = true,
+      maxBroadcastCand: Long = MaxBroadcastCandidateDocs): IncrementalLshKernel = {
     val allSig = storedSig.unionByName(newSig)
     // persist WITHOUT an eager count: the first consuming job populates
     // each cache in-flight, and the block manager's per-partition locks
@@ -545,7 +548,7 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val candDocs =
-      if (!materialize || candDocsBase.count() <= MaxBroadcastCandidateDocs)
+      if (!materialize || candDocsBase.count() <= maxBroadcastCand)
         broadcast(candDocsBase)
       else candDocsBase
     // verification set = stored corpus hashes ∪ batch hashes, pruned to

@@ -62,4 +62,30 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0).toSet
     delta shouldBe mono
   }
+
+
+  test("broadcast-guard fallback: un-hinted candidate prune returns identical pairs") {
+    // ADVICE r12: above MaxBroadcastCandidateDocs the kernel must DROP the
+    // forced broadcast hint (band-value skew can make candidates grow with
+    // the corpus — collecting them to the driver is the OOM). Force the
+    // fallback with a zero ceiling and check the result is unchanged.
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val (sig, th) = Dedup.signatureFrames(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+    val (nsig, nth) = Dedup.signatureFrames(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0))
+    nsig.persist(); nth.persist()
+    try {
+      def run(ceiling: Long): Set[(Long, Long)] = {
+        val k = Dedup.incrementalLshKernel(spark, sig, th, nsig, nth,
+          maxBroadcastCand = ceiling)
+        try k.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally k.release()
+      }
+      val hinted = run(Long.MaxValue)
+      val fallback = run(0L)
+      hinted should not be empty
+      fallback shouldBe hinted
+    } finally { nsig.unpersist(); nth.unpersist(); () }
+  }
 }
