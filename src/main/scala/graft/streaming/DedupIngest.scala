@@ -39,32 +39,40 @@ object DedupIngest {
       val batch = batch0.cache()
       try {
         // drop docs already published (makes replays of a partially
-        // committed epoch converge instead of re-deduping stored docs)
+        // committed epoch converge instead of re-deduping stored docs).
+        // Persisted: newDocs is referenced by the pair kernel, the id
+        // frames below and the keeper build — without a cache each
+        // reference re-runs the anti-join and re-SCANS the stored sig
+        // table (the q199-kernel lesson applied to the library sink);
+        // newDocs is batch-bounded, so caching it is cheap.
         val newDocs = batch.join(
           store.table("sig").select("doc_id"), Seq("doc_id"), "left_anti")
-        val pairs = Dedup.incrementalLshPairs(batch.sparkSession, store, newDocs)
-          .select("doc_a", "doc_b")
-        val ids = newDocs.select("doc_id")
-        // a batch doc is a DUP if it pairs with a smaller batch doc
-        // (keep-first within the batch: pairs are doc_a < doc_b, so any
-        // batch doc_b loses) or with ANY corpus doc — the published doc
-        // stays regardless of id order, so a batch doc_a whose partner
-        // doc_b is NOT in the batch is also a dup
-        val dupB = pairs.join(ids.toDF("doc_b"), Seq("doc_b"), "left_semi")
-          .select(col("doc_b").as("doc_id"))
-        val dupA = pairs.join(ids.toDF("doc_a"), Seq("doc_a"), "left_semi")
-          .join(ids.toDF("doc_b"), Seq("doc_b"), "left_anti")
-          .select(col("doc_a").as("doc_id"))
-        // cache: three appends below would otherwise re-run the whole
-        // band-join/verify pipeline once each
-        val keep = newDocs.join(
-          dupB.unionByName(dupA).distinct(), Seq("doc_id"), "left_anti").cache()
+          .cache()
         try {
-          store.appendBatch("corpus", epochId, keep)
-          val (sig, shh) = Dedup.signatureFrames(keep)
-          store.appendBatch("shh", epochId, shh)
-          store.appendBatch("sig", epochId, sig) // membership marker: LAST
-        } finally keep.unpersist()
+          val pairs = Dedup.incrementalLshPairs(batch.sparkSession, store, newDocs)
+            .select("doc_a", "doc_b")
+          val ids = newDocs.select("doc_id")
+          // a batch doc is a DUP if it pairs with a smaller batch doc
+          // (keep-first within the batch: pairs are doc_a < doc_b, so any
+          // batch doc_b loses) or with ANY corpus doc — the published doc
+          // stays regardless of id order, so a batch doc_a whose partner
+          // doc_b is NOT in the batch is also a dup
+          val dupB = pairs.join(ids.toDF("doc_b"), Seq("doc_b"), "left_semi")
+            .select(col("doc_b").as("doc_id"))
+          val dupA = pairs.join(ids.toDF("doc_a"), Seq("doc_a"), "left_semi")
+            .join(ids.toDF("doc_b"), Seq("doc_b"), "left_anti")
+            .select(col("doc_a").as("doc_id"))
+          // cache: three appends below would otherwise re-run the whole
+          // band-join/verify pipeline once each
+          val keep = newDocs.join(
+            dupB.unionByName(dupA).distinct(), Seq("doc_id"), "left_anti").cache()
+          try {
+            store.appendBatch("corpus", epochId, keep)
+            val (sig, shh) = Dedup.signatureFrames(keep)
+            store.appendBatch("shh", epochId, shh)
+            store.appendBatch("sig", epochId, sig) // membership marker: LAST
+          } finally keep.unpersist()
+        } finally { newDocs.unpersist(); () }
       } finally { batch.unpersist(); () }
     }
 }
