@@ -257,6 +257,54 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bv").as("bv"))
   }
 
+  // ---- bucketed signature-store layout (VERDICT r13 next #1) ----------
+  // The incremental/continuous dedup store sorts its files by a BUCKET
+  // column so each per-epoch probe prunes store files via their min/max
+  // stats (TableStore.scanSkippingIn) instead of streaming the whole
+  // store: shingle-hash rows bucket by doc_id (candidate doc ids → few
+  // buckets → few files), band rows by (band, bv) (a small batch's band
+  // keys → few buckets). Pruning is LOSSLESS by construction — a stored
+  // row that could join a probe key hashes to a bucket in the probe's
+  // bucket set — and always conservative (files without stats are read).
+
+  /** Bucket-space width. 64 keeps per-file bucket ranges selective at the
+    * bench scale's ~8 files per epoch; a real 100 TB deployment raises it
+    * together with the per-epoch file count (pruning selectivity ≈
+    * probe buckets / SigBuckets, so more buckets = finer pruning as long
+    * as files stay range-partitioned on the bucket). */
+  private[graft] val SigBuckets = 64
+
+  /** Bucket of a shingle-hash (or signature) row: by document id. */
+  private[graft] def docBucket(docId: Column): Column =
+    pmod(hash(docId), lit(SigBuckets))
+
+  /** Bucket of a band row: by its (band, bv) join key — the key a probe
+    * arrives with, so probe keys map straight to stored buckets. */
+  private[graft] def bandBucket(band: Column, bv: Column): Column =
+    pmod(hash(band, bv), lit(SigBuckets))
+
+  /** Write layout for bucketed store frames: contiguous runs of the sort
+    * keys per file, so file-level min/max stats give DISJOINT key ranges.
+    * Range partitioning (not coalesce/hash repartition) is what makes
+    * skipping work: any layout that spreads every bucket across every
+    * file leaves each file's [min, max] covering the whole bucket space
+    * and no probe ever prunes. The shuffle it costs is bounded by the
+    * frame being written (batch-bounded on every append path). */
+  private def bucketLayout(df: DataFrame, files: Int, keys: String*): DataFrame =
+    df.repartitionByRange(files, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+
+  /** (tag, filesTotal, filesRead) of each pruned store read, recorded when
+    * the `graft.epochTrace` system property is set — the file-skip
+    * evidence consumed by EpochCostProbe and the skipping specs. */
+  private[graft] val skipTrace =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Int)]()
+
+  private def recordSkip(tag: String, rep: graft.sources.FileStats.ScanReport): Unit =
+    if (sys.props.contains("graft.epochTrace")) {
+      skipTrace.add((tag, rep.filesTotal, rep.filesRead)); ()
+    }
+
   private def buildLshVerifiedPairs(s: SparkSession, d: String): DataFrame =
     // Materialize the verified pair list eagerly: q71's fixpoint loop and
     // q131's leak join each consume this frame, and without a checkpoint
@@ -403,13 +451,45 @@ object Dedup {
 
   /** Persist the corpus side of incremental dedup into `st`. Built ONCE
     * per corpus; daily batches then dedupe against these parquet tables
-    * without ever re-reading corpus text. */
+    * without ever re-reading corpus text. Layout (the bucketed store,
+    * VERDICT r13 #1): `shh` = (doc_id, h, bkt) shingle hashes bucketed by
+    * doc id, `bands` = (doc_id, n, band, bv, bkt) precomputed band rows
+    * bucketed by band key — both range-partitioned on the bucket so
+    * [[incrementalLshPairs]]'s per-batch probes file-prune — plus `sig` =
+    * raw (doc_id, n, h0..h15) signatures (the recoverable source of both,
+    * and the sink's membership marker). */
   private[graft] def buildSignatureStore(st: graft.sources.TableStore,
                                          corpus: DataFrame): Unit = {
     val (sig, shh) = signatureFrames(corpus)
-    st.create("shh", shh)
-    st.create("sig", sig)
+    sig.persist(); shh.persist()
+    try {
+      st.create("shh", bucketLayout(
+        shh.withColumn("bkt", docBucket(col("doc_id"))), 8, "bkt"))
+      st.create("bands", bucketLayout(
+        bandsN(sig).withColumn("bkt", bandBucket(col("band"), col("bv"))),
+        8, "bkt"))
+      st.create("sig", sig)
+    } finally { sig.unpersist(); shh.unpersist(); () }
   }
+
+  /** Bucketed append layouts for the sink's `shh`/`bands` tables — the
+    * same bucket expressions and range layout as [[buildSignatureStore]]'s
+    * creates, so every appended file keeps a contiguous bucket range and
+    * stays prunable across the append chain. */
+  private[graft] def sinkShhLayout(shh: DataFrame): DataFrame =
+    bucketLayout(shh.withColumn("bkt", docBucket(col("doc_id"))), 8, "bkt")
+  private[graft] def sinkBandsLayout(sig: DataFrame): DataFrame =
+    bucketLayout(
+      bandsN(sig).withColumn("bkt", bandBucket(col("band"), col("bv"))),
+      8, "bkt")
+
+  /** Distinct band-bucket set of a batch's signatures — the probe set for
+    * the stored band rows' file prune. One batch-bounded driver job
+    * (≤ [[SigBuckets]] rows); it doubles as the job that populates the
+    * caller's persisted `newSig` cache, work every epoch pays anyway. */
+  private def batchBandBuckets(newSig: DataFrame): Seq[Int] =
+    bandsN(newSig).select(bandBucket(col("band"), col("bv")).as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
 
   /** Incremental near-dup pairs (VERDICT r2 #6): dedupe `newDocs` against
     * the persisted signature store AND within itself. The 100 TB daily
@@ -431,26 +511,36 @@ object Dedup {
     val newTh = shingleHashes(newDocs).persist()
     val newSig = newTh.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), minhashAggs: _*).persist()
-    // q90-era sig/shh store layout: the legacy shh table may carry q199's
-    // old cut-verdict sentinels (h NULL) — dropped so the verify join
-    // sees only real hashes
-    try incrementalLshPairsFrames(s, store.table("sig"),
-      store.table("shh").filter(col("h").isNotNull), newSig, newTh)
-    finally { newSig.unpersist(); newTh.unpersist(); () }
-  }
-
-  /** [[incrementalLshPairs]] over explicit stored + batch signature
-    * frames — the q199 epoch loop passes views of its single state table
-    * and precomputed (persisted) batch frames. Runs the kernel with its
-    * intermediates materialized and returns the verified pairs as an
-    * eager `localCheckpoint` (tiny — the ≥ 0.8-verified pair set), so the
-    * caller inherits no live reference to the kernel caches and the
-    * kernel can release them before returning. */
-  private[graft] def incrementalLshPairsFrames(s: SparkSession,
-      storedSig: DataFrame, storedTh: DataFrame,
-      newSig: DataFrame, newTh: DataFrame): DataFrame = {
-    val k = incrementalLshKernel(s, storedSig, storedTh, newSig, newTh)
-    try k.pairs.localCheckpoint(true) finally k.release()
+    try {
+      val k =
+        if (store.exists("bands")) {
+          // bucketed store (buildSignatureStore's layout): both per-batch
+          // store reads file-prune on their bucket sets
+          val (bands, bandRep) = store.scanSkippingIn("bands", Nil,
+            "bkt", batchBandBuckets(newSig))
+          recordSkip("bands", bandRep)
+          incrementalLshKernelPruned(s, bands, {
+            case Some(buckets) =>
+              val (th, rep) = store.scanSkippingIn("shh", Nil, "bkt", buckets)
+              recordSkip("shh", rep)
+              th.select(col("doc_id"), col("h"))
+            case None => store.table("shh").select(col("doc_id"), col("h"))
+          }, newSig, newTh)
+        } else
+          // legacy two-table layout (no band rows stored): compute band
+          // keys in-flight; old shh tables may carry q199-era cut-verdict
+          // sentinels (h NULL) — dropped so the verify join sees only
+          // real hashes
+          incrementalLshKernel(s, store.table("sig"),
+            store.table("shh").filter(col("h").isNotNull), newSig, newTh)
+      // eager localCheckpoint: the pair set is tiny (≥ 0.8-verified) and
+      // the caller must inherit no live reference to the kernel caches.
+      // localCheckpoint blocks are executor-local and unreplicated —
+      // exactly right for the single-JVM local[*] topology this library
+      // benches on; a multi-executor deployment loses them on executor
+      // failure and should swap in a reliable checkpoint dir.
+      try k.pairs.localCheckpoint(true) finally k.release()
+    } finally { newSig.unpersist(); newTh.unpersist(); () }
   }
 
   /** One kernel call's candidate-bounded intermediates (persisted unless
@@ -475,7 +565,31 @@ object Dedup {
     * broadcast if runtime stats allow. ~4M ids ≈ tens of MB broadcast. */
   private[graft] val MaxBroadcastCandidateDocs = 4000000L
 
-  /** The incremental-dedup kernel. Scale invariants:
+  /** [[incrementalLshKernelPruned]] over plain signature frames — the
+    * compatibility seam for callers (and plan specs) holding a raw
+    * (doc_id, n, h0..h15) signature frame and a (doc_id, h) hash frame:
+    * band keys are computed in-flight via [[bandsN]] and the hash frame
+    * is used unpruned. The production paths (q90 store, q199 state table)
+    * instead pass PRE-STORED band rows and bucket-pruned readers. */
+  private[graft] def incrementalLshKernel(s: SparkSession,
+      storedSig: DataFrame, storedTh: DataFrame,
+      newSig: DataFrame, newTh: DataFrame,
+      materialize: Boolean = true,
+      maxBroadcastCand: Long = MaxBroadcastCandidateDocs): IncrementalLshKernel =
+    incrementalLshKernelPruned(s, bandsN(storedSig),
+      _ => storedTh.select(col("doc_id"), col("h")), newSig, newTh,
+      materialize, maxBroadcastCand)
+
+  /** The incremental-dedup kernel. Inputs from the store side:
+    * `storedBands` = the stored (doc_id, n, band, bv) band rows (the
+    * caller may pre-prune them to the batch's band buckets — pruning is
+    * lossless, see the bucketed-layout note above), and `storedThFor` =
+    * a reader of the stored (doc_id, h) shingle hashes given the
+    * CANDIDATE doc-bucket set (`None` = set unknown, read everything —
+    * the shape-mode/compat contract; `Some(buckets)` may prune store
+    * files to those buckets).
+    *
+    * Scale invariants:
     *
     *  1. STORE-PROPORTIONAL ROWS NEVER ENTER A SHUFFLE EXCHANGE (VERDICT
     *     r11 #2). Candidate generation broadcasts the BATCH's band keys
@@ -483,33 +597,42 @@ object Dedup {
     *     everything downstream is first semi-join-pruned to candidate doc
     *     ids via a broadcast of `candDocs`, so only candidate-bounded
     *     rows reach the remaining equi-joins and aggregations.
-    *  2. THE STORE IS SCANNED A FIXED NUMBER OF TIMES PER CALL — exactly
-    *     2 (VERDICT r12 #1): once building `cand0` (band keys + sizes of
-    *     the stored signatures, via [[bandsN]]), once building `candTh`
-    *     (stored shingle hashes). The r12 lesson: invariant 1 alone is
-    *     NOT enough — broadcast-probe streaming has no materialization
-    *     boundary, so every downstream reference to a frame re-executes
-    *     its whole store-scan subtree (~8-9 scans per action; q199 went
-    *     16.4 → 124.0 s at sf0.1). Each candidate-bounded intermediate is
+    *  2. THE KERNEL SCANS THE STORE EXACTLY TWICE PER CALL (VERDICT r12
+    *     #1): once building `cand0` (stored band rows), once building
+    *     `candTh` (stored shingle hashes). A store-backed SINK pays one
+    *     more outside the kernel — the membership anti-join that drops
+    *     already-published batch docs (DedupIngest) — for 3 per epoch
+    *     total on that path; the q199 state path pays exactly the
+    *     kernel's 2. The r12 lesson: invariant 1 alone is NOT enough —
+    *     broadcast-probe streaming has no materialization boundary, so
+    *     every downstream reference to a frame re-executes its whole
+    *     store-scan subtree (~8-9 scans per action; q199 went 16.4 →
+    *     124.0 s at sf0.1). Each candidate-bounded intermediate is
     *     therefore `persist()`ed: cand0 materializes under the
-    *     broadcast-guard count, candTh populates in-flight during the
+    *     broadcast-guard job, candTh populates in-flight during the
     *     pairs job (block-level locks dedupe concurrent computes), so the
     *     pairs job triggers its store scan at most once.
     *     IncrementalPlanSpec asserts both invariants on the plans.
-    *
-    * Per-epoch cost is batch/candidate-proportional, plus 3 streaming
-    * scans of the stored parquet (kind-pruned via row-group stats).
+    *  3. THE TWO STORE SCANS ARE FILE-PRUNED, NOT FULL READS (VERDICT r13
+    *     #1), when the caller stores bucketed layouts: the band scan
+    *     receives only files overlapping the batch's band buckets, and
+    *     `storedThFor` receives the candidate doc-bucket set — collected
+    *     here from the same job that guards the broadcast hint, so the
+    *     prune costs no extra barrier. Per-epoch scan I/O is then probe-
+    *     proportional; only the (tiny) band-row fraction of the store
+    *     still streams when a large batch touches every bucket.
     *
     * `materialize = false` is the spec seam: build the same dataflow
-    * without caching so plan shapes stay inspectable as raw trees.
-    * `maxBroadcastCand` overrides the broadcast-guard ceiling so specs
-    * can force (and verify) the un-hinted skew-fallback path. */
-  private[graft] def incrementalLshKernel(s: SparkSession,
-      storedSig: DataFrame, storedTh: DataFrame,
+    * without caching (and without driver-side jobs) so plan shapes stay
+    * inspectable as raw trees. `maxBroadcastCand` overrides the
+    * broadcast-guard ceiling so specs can force (and verify) the
+    * un-hinted skew-fallback path. */
+  private[graft] def incrementalLshKernelPruned(s: SparkSession,
+      storedBands: DataFrame,
+      storedThFor: Option[Seq[Int]] => DataFrame,
       newSig: DataFrame, newTh: DataFrame,
       materialize: Boolean = true,
       maxBroadcastCand: Long = MaxBroadcastCandidateDocs): IncrementalLshKernel = {
-    val allSig = storedSig.unionByName(newSig)
     // persist WITHOUT an eager count: the first consuming job populates
     // each cache in-flight, and the block manager's per-partition locks
     // make concurrent consumers wait-and-read instead of recompute — so
@@ -521,10 +644,12 @@ object Dedup {
     // The broadcast side is the BATCH (micro-batch-bounded by contract),
     // never the store.
     // the band stream carries each signature's shingle-set size, so
-    // candidate pairs arrive with (na, nb) attached — the stored
-    // signatures are scanned ONCE per epoch, and the size-ratio prune and
-    // the Jaccard denominator need no sizes lookup at all
-    val cand0 = ready(bandsN(allSig).toDF("da", "sa", "band", "bv")
+    // candidate pairs arrive with (na, nb) attached — the stored band
+    // rows are read ONCE per epoch, and the size-ratio prune and the
+    // Jaccard denominator need no sizes lookup at all
+    val allBands = storedBands.select("doc_id", "n", "band", "bv")
+      .unionByName(bandsN(newSig))
+    val cand0 = ready(allBands.toDF("da", "sa", "band", "bv")
       .join(broadcast(bandsN(newSig).toDF("db", "sb", "band", "bv")),
         Seq("band", "bv"))
       .filter(col("da") =!= col("db"))
@@ -541,21 +666,31 @@ object Dedup {
     // candidate doc ids (cheap off the cached cand0): semi-join prune that
     // keeps the store-wide hash frame on a scan-and-stream path. explode,
     // not a self-union: ONE reference to cand0, so downstream plans carry
-    // one copy of its subtree. The count guards the broadcast hint (see
-    // MaxBroadcastCandidateDocs) and doubles as cand0's materializing
-    // action — the one scheduling barrier the kernel pays.
+    // one copy of its subtree.
     val candDocsBase = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val candDocs =
-      if (!materialize || candDocsBase.count() <= maxBroadcastCand)
-        broadcast(candDocsBase)
-      else candDocsBase
+    // ONE driver job — the single scheduling barrier the kernel pays, and
+    // cand0's materializing action: per-bucket candidate counts
+    // (≤ SigBuckets rows). The total guards the broadcast hint (see
+    // MaxBroadcastCandidateDocs); the keys become the stored-hash file
+    // prune below.
+    val (candDocs, candBuckets) =
+      if (!materialize) (broadcast(candDocsBase), None)
+      else {
+        val byBucket = candDocsBase
+          .groupBy(docBucket(col("doc_id")).as("bkt"))
+          .agg(count(lit(1)).as("c")).collect()
+        val n = byBucket.map(_.getLong(1)).sum
+        val docs = if (n <= maxBroadcastCand) broadcast(candDocsBase)
+                   else candDocsBase
+        (docs, Some(byBucket.map(_.getInt(0)).toSeq.sorted))
+      }
     // verification set = stored corpus hashes ∪ batch hashes, pruned to
-    // candidate docs BEFORE any join — the store's shingle hashes (the
-    // bulk of the state) stream through their scan once, into the cache
-    // both verify legs read
-    val candTh = ready(storedTh.unionByName(newTh)
+    // candidate docs BEFORE any join — the stored shingle hashes (the
+    // bulk of the state) stream through their (bucket-pruned) scan once,
+    // into the cache both verify legs read
+    val candTh = ready(storedThFor(candBuckets).unionByName(newTh)
       .join(candDocs, Seq("doc_id"), "left_semi"))
     // countDistinct (not count) keeps the intersection exact even if a
     // doc's hashes appear on both sides — a replayed epoch recomputes a
@@ -927,31 +1062,48 @@ object Dedup {
   // ("state") so each epoch is ONE ledgered append = ONE version flip
   // (VERDICT r11 #4: the two-table sig/shh layout paid two flips per
   // epoch). Row kinds, tagged by `kind`:
-  //   0 = shingle hash        (doc_id, h)          — the verify set
-  //   1 = cut verdict         (doc_id)             — admission decisions
-  //   2 = minhash signature   (doc_id, n, h0..h15) — the band-join side
+  //   0 = shingle hash        (doc_id, h, bkt)          — the verify set
+  //   1 = cut verdict         (doc_id)                  — admission decisions
+  //   2 = minhash signature   (doc_id, n, h0..h15)      — recoverable source
+  //   3 = band row            (doc_id, n, band, bv, bkt) — the band-join side
   // Unused columns are NULL; parquet stores them as definition levels
   // only, so the union costs no meaningful bytes, and each view below
-  // prunes to its own columns at the scan.
+  // prunes to its own columns at the scan. `bkt` is the file-prune bucket
+  // (see the bucketed-layout note above buildSignatureStore): kind-0 rows
+  // bucket by doc id, kind-3 rows by band key, so the epoch kernel's two
+  // store scans read only files overlapping their probe's bucket set.
 
   private[graft] val StateCols: Seq[String] =
-    Seq("doc_id", "kind", "h", "n") ++ (0 until NumHashes).map(i => s"h$i")
+    Seq("doc_id", "kind", "bkt", "h", "n", "band", "bv") ++
+      (0 until NumHashes).map(i => s"h$i")
 
   /** One epoch's state rows: the batch's shingle hashes + cut verdicts +
-    * minhash signatures, kind-tagged into the shared schema.
-    * sortWithinPartitions(kind) groups kinds into contiguous row-group
-    * runs so the per-kind views' `kind = k` filters prune via parquet
-    * row-group stats. */
-  /** Callers must `sortWithinPartitions("kind")` as the LAST step before
-    * writing (after any coalesce — coalesce concatenates parent
-    * partitions, so sorting first would interleave kind runs and defeat
-    * the row-group stats pruning; ADVICE r12). */
+    * minhash signatures + band rows, kind-tagged into the shared schema.
+    * Callers write through [[stateLayout]], which range-partitions on
+    * (kind, bkt) so each file covers a contiguous run of both — the
+    * per-kind views' `kind = k` filters AND the bucket probes then prune
+    * via file-level min/max stats (and parquet row-group stats within
+    * surviving files). */
   private def stateFrame(sig: DataFrame, th: DataFrame, cuts: DataFrame): DataFrame =
-    th.withColumn("kind", lit(0))
-      .unionByName(cuts.select(col("doc_id"), lit(1).as("kind")),
+    th.withColumn("kind", lit(0)).withColumn("bkt", docBucket(col("doc_id")))
+      .unionByName(
+        cuts.select(col("doc_id"), lit(1).as("kind"), lit(0).as("bkt")),
         allowMissingColumns = true)
-      .unionByName(sig.withColumn("kind", lit(2)), allowMissingColumns = true)
+      .unionByName(
+        sig.withColumn("kind", lit(2)).withColumn("bkt", docBucket(col("doc_id"))),
+        allowMissingColumns = true)
+      .unionByName(
+        bandsN(sig).withColumn("kind", lit(3))
+          .withColumn("bkt", bandBucket(col("band"), col("bv"))),
+        allowMissingColumns = true)
       .select(StateCols.map(col): _*)
+
+  /** The state table's write layout — see [[stateFrame]]. Replaces the
+    * r12-era `coalesce(8).sortWithinPartitions(kind)`: a coalesced layout
+    * left every file spanning the whole bucket space, so nothing
+    * file-pruned; the range shuffle this pays is batch-bounded. */
+  private def stateLayout(df: DataFrame): DataFrame =
+    bucketLayout(df, 8, "kind", "bkt")
 
   private[graft] def stateSig(state: DataFrame): DataFrame =
     state.filter(col("kind") === 2)
@@ -960,29 +1112,45 @@ object Dedup {
     state.filter(col("kind") === 0).select("doc_id", "h")
   private[graft] def stateCuts(state: DataFrame): DataFrame =
     state.filter(col("kind") === 1).select("doc_id")
+  private[graft] def stateBands(state: DataFrame): DataFrame =
+    state.filter(col("kind") === 3).select("doc_id", "n", "band", "bv")
+
+  /** Stored band rows (kind 3) of the state table, file-pruned to the
+    * batch's band buckets: only files whose (kind, bkt) stats overlap
+    * `3 × buckets` are scheduled. */
+  private def stateBandsPruned(st: graft.sources.TableStore,
+                               buckets: Seq[Int]): DataFrame = {
+    val (df, rep) = st.scanSkippingIn("state",
+      Seq(graft.sources.FileStats.ColumnRange("kind", Some(3), Some(3))),
+      "bkt", buckets)
+    recordSkip("state.bands", rep)
+    df.select("doc_id", "n", "band", "bv")
+  }
+
+  /** Stored shingle hashes (kind 0), file-pruned to the candidate docs'
+    * bucket set when the kernel knows it. */
+  private def stateThFor(st: graft.sources.TableStore)(
+      buckets: Option[Seq[Int]]): DataFrame = buckets match {
+    case Some(bs) =>
+      val (df, rep) = st.scanSkippingIn("state",
+        Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
+        "bkt", bs)
+      recordSkip("state.shh", rep)
+      df.select("doc_id", "h")
+    case None => stateTh(st.table("state"))
+  }
 
   /** Create the q199 streaming state table seeded with `corpus` (pass an
     * empty frame to let the stream bootstrap from nothing). */
   private[graft] def buildDedupState(st: graft.sources.TableStore,
                                      corpus: DataFrame): Unit = {
     val (sig, th) = signatureFrames(corpus)
-    st.create("state",
-      stateFrame(sig, th, th.select("doc_id").limit(0)).sortWithinPartitions("kind"))
+    sig.persist(); th.persist()
+    try st.create("state",
+      stateLayout(stateFrame(sig, th, th.select("doc_id").limit(0))))
+    finally { sig.unpersist(); th.unpersist(); () }
   }
 
-  /** The q199 per-epoch dedup-admission step, shared with the restart
-    * spec. Batch docs check against EVERY previously seen doc's
-    * signatures (admitted AND cut — "is there any earlier near-dup"
-    * quantifies over the whole history, not the survivors: if d2 was cut
-    * as d1's dup, a later d3 resembling only d2 is still a dup), plus
-    * in-batch earlier docs via [[incrementalLshPairsFrames]]'s new-new
-    * leg. Each epoch commits its minhash signatures, its shingle hashes
-    * AND its cut verdicts as ONE kind-tagged [[stateFrame]] through ONE
-    * ledgered append — verdicts become visible atomically with the
-    * signatures that produced them, and a restarted epoch re-offering a
-    * committed id no-ops on the store's exactly-once epoch ledger before
-    * any LSH work runs (appendBatch checks the ledger first). There is
-    * no partial-commit window to reason about: one table, one flip. */
   /** Per-epoch wall-clock trace of [[dedupIngestEpoch]], recorded when the
     * `graft.epochTrace` system property is set. The q199 epoch-cost probe
     * (VERDICT r12 next #3) reads per-epoch walls from here to show epoch
@@ -990,6 +1158,20 @@ object Dedup {
   private[graft] val epochTrace =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
 
+  /** The q199 per-epoch dedup-admission step, shared with the restart
+    * spec. Batch docs check against EVERY previously seen doc's
+    * signatures (admitted AND cut — "is there any earlier near-dup"
+    * quantifies over the whole history, not the survivors: if d2 was cut
+    * as d1's dup, a later d3 resembling only d2 is still a dup), plus
+    * in-batch earlier docs via the kernel's new-new leg. Each epoch
+    * commits its minhash signatures, its shingle hashes, its band rows
+    * AND its cut verdicts as ONE kind-tagged [[stateFrame]] through ONE
+    * ledgered append — verdicts become visible atomically with the
+    * signatures that produced them. A restarted epoch re-offering a
+    * committed id no-ops BEFORE any LSH work runs (the body consults the
+    * store's exactly-once epoch ledger first — ADVICE r13; appendBatch's
+    * own ledger check remains the write-side authority). There is no
+    * partial-commit window to reason about: one table, one flip. */
   private[graft] def dedupIngestEpoch(st0: graft.sources.TableStore)(
       batch: DataFrame, epoch: Long): Unit = {
     val t0 = System.nanoTime()
@@ -1009,26 +1191,28 @@ object Dedup {
     // directory is free, and the epoch ledger lives in the directory, not
     // the handle (DedupIngestRestartSpec re-opens handles the same way)
     val st = new graft.sources.TableStore(s, st0.rootDir)
+    // replay guard FIRST (ADVICE r13): a committed epoch must no-op
+    // without paying the batch shingling or any store scan
+    if (st.batchCommitted("state", epoch)) return
     val (newSig, newTh) = {
       val (sig, th) = signatureFrames(batch)
       (sig.persist(), th.persist())
     }
     try {
-      val stored = st.table("state")
-      // kernel used directly (not via incrementalLshPairsFrames): the
-      // epoch consumes `pairs` exactly once — inside the append job — so
-      // the verify pipeline runs inline with the state write instead of
-      // paying a separate checkpoint job, and the kernel caches are
-      // released right after the append commits
-      val k = incrementalLshKernel(s, stateSig(stored), stateTh(stored),
+      val k = incrementalLshKernelPruned(s,
+        stateBandsPruned(st, batchBandBuckets(newSig)), stateThFor(st),
         newSig, newTh)
-      try {
-        val cut = k.pairs.select(col("doc_b").as("doc_id")).distinct()
-        // coalesce BEFORE the kind sort: the other order would concatenate
-        // already-sorted parents into interleaved kind runs (ADVICE r12)
-        st.appendBatch("state", epoch,
-          stateFrame(newSig, newTh, cut).coalesce(8).sortWithinPartitions("kind"))
-      } finally k.release()
+      // eager checkpoint of the (tiny) cut set before building the state
+      // frame: the append's range-partitioned write SAMPLES its input, so
+      // an inline pairs pipeline would run the verify joins twice; the
+      // checkpoint runs them once and lets the kernel caches release
+      // before the write. (localCheckpoint: executor-local blocks — the
+      // single-JVM local[*] contract, see incrementalLshPairs.)
+      val cut =
+        try k.pairs.select(col("doc_b").as("doc_id")).distinct()
+          .localCheckpoint(true)
+        finally k.release()
+      st.appendBatch("state", epoch, stateLayout(stateFrame(newSig, newTh, cut)))
       ()
     } finally { newSig.unpersist(); newTh.unpersist(); () }
   }

@@ -178,6 +178,19 @@ object FileStats {
     case _ => None
   }
 
+  /** Could any row of a file with stats `fs` have `column` equal to ANY of
+    * `values`? The IN-set sibling of [[mightMatch]]: keep iff at least one
+    * value falls inside the file's [min, max] for the column. Unknown
+    * stats answer yes (keep); an EMPTY value set keeps nothing with known
+    * stats (no value can match) but still keeps stat-less files — the
+    * caller's exact predicate filters those to zero rows. */
+  def mightContainAny(fs: FileStat, column: String, values: Seq[Any]): Boolean =
+    fs.cols.get(column) match {
+      case None => true
+      case Some(_) =>
+        values.exists(v => mightMatch(fs, Seq(ColumnRange(column, Some(v), Some(v)))))
+    }
+
   /** Could any row of a file with stats `fs` satisfy ALL the ranges?
     * Unknown columns / unnormalizable bounds answer yes (keep). */
   def mightMatch(fs: FileStat, ranges: Seq[ColumnRange]): Boolean =

@@ -306,6 +306,20 @@ final class TableStore(spark: SparkSession, root: String) {
   private def isReplay(name: String, v: Int, appId: String, batchId: Long): Boolean =
     committedBatchLedger(name, v).get(appId).exists(batchId <= _)
 
+  /** Whether `batchId` for (`name`, `appId`) has already committed — the
+    * read side of the *Batch ledger, for sinks that want to skip computing
+    * a replayed epoch's inputs entirely (the *Batch write would no-op
+    * anyway; checking first makes the no-op FREE instead of paying the
+    * epoch's dataflow and discarding it). Subject to the usual caveat of
+    * any check-then-act read: a concurrent writer sharing the appId could
+    * commit between this and the write, but the write-side ledger check
+    * remains the authority. */
+  def batchCommitted(name: String, batchId: Long, appId: String = ""): Boolean = {
+    requireValidAppId(appId)
+    val v = currentVersion(name)
+    v >= 0 && isReplay(name, v, appId, batchId)
+  }
+
   /** Exactly-once streaming append (the foreachBatch sink): commit `rows`
     * under `batchId` atomically with the version flip; a replayed epoch
     * (batchId ≤ the committed max — Structured Streaming epoch ids are
@@ -492,17 +506,46 @@ final class TableStore(spark: SparkSession, root: String) {
     * stats eliminated. Files without stats are always read. */
   def scanSkipping(name: String,
                    ranges: Seq[FileStats.ColumnRange]): (DataFrame, FileStats.ScanReport) = {
+    val pred = ranges.flatMap { r =>
+      r.lo.map(v => col(r.column) >= lit(v)) ++ r.hi.map(v => col(r.column) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    scanWhere(name, FileStats.mightMatch(_, ranges), pred)
+  }
+
+  /** [[scanSkipping]] plus an IN-set prune: read only files that satisfy
+    * every range AND whose stats admit at least one of `values` in
+    * `inCol`; the exact predicate (ranges AND `inCol IN values`) applies
+    * on top, so the result equals `table(name).filter(...)`. This is the
+    * file-skipping layer incremental dedup stands on: a bucket-sorted
+    * signature store probed with a batch's bucket set schedules tasks only
+    * for files whose bucket range intersects the probe — the store read
+    * stays probe-proportional instead of store-proportional. */
+  def scanSkippingIn(name: String, ranges: Seq[FileStats.ColumnRange],
+                     inCol: String, values: Seq[Any])
+      : (DataFrame, FileStats.ScanReport) = {
+    // empty probe set: no row can match — only stat-less files are even
+    // listed (conservatism contract) and the false predicate drops them
+    if (values.isEmpty) return scanWhere(name, _ => false, lit(false))
+    val pred = (ranges.flatMap { r =>
+      r.lo.map(v => col(r.column) >= lit(v)) ++ r.hi.map(v => col(r.column) <= lit(v))
+    } :+ col(inCol).isin(values: _*)).reduce(_ && _)
+    scanWhere(name,
+      fs => FileStats.mightMatch(fs, ranges) &&
+        FileStats.mightContainAny(fs, inCol, values),
+      pred)
+  }
+
+  /** Shared skipping-scan core: keep files whose stats pass `keep` (files
+    * without stats are always kept — skipping is an optimization, never a
+    * filter), then apply the exact `pred`. */
+  private def scanWhere(name: String, keep: FileStats.FileStat => Boolean,
+                        pred: Column): (DataFrame, FileStats.ScanReport) = {
     val files = currentFiles(name)
     val statsByPath = files.map(_._2).distinct.flatMap { vd =>
       val p = statsFile(name, vd.stripPrefix("v").toInt)
       if (Files.exists(p)) FileStats.parse(new String(Files.readAllBytes(p))) else Nil
     }.map(f => f.relPath -> f).toMap
-    val kept = files.filter { case (rel, _) =>
-      statsByPath.get(rel).forall(FileStats.mightMatch(_, ranges))
-    }
-    val pred = ranges.flatMap { r =>
-      r.lo.map(v => col(r.column) >= lit(v)) ++ r.hi.map(v => col(r.column) <= lit(v))
-    }.reduceOption(_ && _).getOrElse(lit(true))
+    val kept = files.filter { case (rel, _) => statsByPath.get(rel).forall(keep) }
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

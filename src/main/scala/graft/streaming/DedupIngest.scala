@@ -13,26 +13,34 @@ import graft.sources.TableStore
   * with those keepers — every step idempotent on the Structured Streaming
   * epoch id, so the whole pipeline is exactly-once end to end.
   *
-  * Store layout (one [[TableStore]]): `corpus` = published documents,
-  * `sig` = (doc_id, n, h0..h15) minhash signatures, `shh` = (doc_id, h)
-  * shingle hashes. `sig` doubles as the membership marker and commits
-  * LAST, so every crash window replays to the same converged state:
+  * Store layout (one [[TableStore]], the bucketed layout of
+  * `Dedup.buildSignatureStore`): `corpus` = published documents, `shh` =
+  * (doc_id, h, bkt) shingle hashes bucketed by doc id, `bands` =
+  * (doc_id, n, band, bv, bkt) band rows bucketed by band key — both
+  * range-partitioned on the bucket so each epoch's store reads file-prune
+  * to the batch's probe buckets — and `sig` = raw (doc_id, n, h0..h15)
+  * signatures. `sig` doubles as the membership marker and commits LAST,
+  * so every crash window replays to the same converged state:
   *  - crash after `corpus`: replay recomputes the same keeper set
-  *    (sig/shh unchanged), corpus no-ops on its ledger, sig/shh apply;
-  *  - crash after `corpus`+`shh`: replay recomputes with the batch's shh
-  *    rows already stored — the verification intersection stays exact
-  *    (countDistinct in the verifier), shh no-ops on its ledger, sig
-  *    applies.
+  *    (shh/bands/sig unchanged), corpus no-ops on its ledger, the rest
+  *    apply;
+  *  - crash after `corpus`+`shh` (or +`bands`): replay recomputes with
+  *    the batch's hash/band rows already stored — the verification
+  *    intersection stays exact (countDistinct in the verifier) and
+  *    self-pairs are excluded by doc-id inequality — the committed
+  *    tables no-op on their ledgers, `sig` finally applies.
   *
   * Scale posture: per batch, shingle/minhash work is proportional to the
-  * batch; the corpus contributes band-join scans of its stored tables;
-  * appended versions are O(batch) manifest entries ([[TableStore
-  * .appendBatch]]); [[TableStore.compact]] collapses long chains offline.
+  * batch; the corpus contributes exactly 3 store reads — the sig
+  * membership anti-join plus the kernel's 2 bucket-pruned scans
+  * (DedupSinkPlanSpec pins the count); appended versions are O(batch)
+  * manifest entries ([[TableStore.appendBatch]]); [[TableStore.compact]]
+  * collapses long chains offline.
   */
 object DedupIngest {
 
   /** Wire as `docs.writeStream.foreachBatch(dedupIngestSink(store))`.
-    * Tables `corpus`/`sig`/`shh` must exist (create via
+    * Tables `corpus`/`sig`/`shh`/`bands` must exist (create via
     * `Dedup.buildSignatureStore` + a `corpus` create, possibly empty). */
   def dedupIngestSink(store: TableStore): (DataFrame, Long) => Unit =
     (batch0, epochId) => {
@@ -43,7 +51,9 @@ object DedupIngest {
         // Persisted: newDocs is referenced by the pair kernel, the id
         // frames below and the keeper build — without a cache each
         // reference re-runs the anti-join and re-SCANS the stored sig
-        // table (the q199-kernel lesson applied to the library sink);
+        // table (the q199-kernel lesson applied to the library sink;
+        // DedupSinkPlanSpec counts the epoch's executed store scans, so
+        // removing this cache fails the build);
         // newDocs is batch-bounded, so caching it is cheap.
         val newDocs = batch.join(
           store.table("sig").select("doc_id"), Seq("doc_id"), "left_anti")
@@ -62,14 +72,15 @@ object DedupIngest {
           val dupA = pairs.join(ids.toDF("doc_a"), Seq("doc_a"), "left_semi")
             .join(ids.toDF("doc_b"), Seq("doc_b"), "left_anti")
             .select(col("doc_a").as("doc_id"))
-          // cache: three appends below would otherwise re-run the whole
+          // cache: the appends below would otherwise re-run the whole
           // band-join/verify pipeline once each
           val keep = newDocs.join(
             dupB.unionByName(dupA).distinct(), Seq("doc_id"), "left_anti").cache()
           try {
             store.appendBatch("corpus", epochId, keep)
             val (sig, shh) = Dedup.signatureFrames(keep)
-            store.appendBatch("shh", epochId, shh)
+            store.appendBatch("shh", epochId, Dedup.sinkShhLayout(shh))
+            store.appendBatch("bands", epochId, Dedup.sinkBandsLayout(sig))
             store.appendBatch("sig", epochId, sig) // membership marker: LAST
           } finally keep.unpersist()
         } finally { newDocs.unpersist(); () }

@@ -70,10 +70,12 @@ class DedupIngestSpec extends SparkSpec {
     val batch = Seq(1L -> base,
       2L -> "completely unrelated text about distributed query engines and shuffles here")
       .toDF("doc_id", "text")
-    // simulate the crash window: corpus and shh committed for epoch 0, sig not
+    // simulate the crash window: corpus, shh and bands committed for
+    // epoch 0 (the sink's commit order), the sig membership marker not
     st.appendBatch("corpus", 0L, batch)
     val (sig, shh) = Dedup.signatureFrames(batch)
-    st.appendBatch("shh", 0L, shh)
+    st.appendBatch("shh", 0L, Dedup.sinkShhLayout(shh))
+    st.appendBatch("bands", 0L, Dedup.sinkBandsLayout(sig))
     sig.count() // (not committed)
 
     // the sink replays epoch 0: corpus/shh no-op on their ledgers, the
