@@ -618,12 +618,17 @@ object CorpusOps {
     * pruned on exactly this signal); it is q63's contamination idea lifted
     * from doc-vs-benchmark to slice-vs-slice.
     *
-    * Scale posture: the per-source distinct shingle set is ONE hash
-    * aggregate (map-side combined); the intersection is a shuffle
-    * equi-join on the shingle key whose per-key fan-out is bounded by
-    * |sources|² (a handful), never per-document; set sizes ride a tiny
-    * per-source frame (broadcast-safe by cardinality contract). Shares
-    * are exact integer ppm — no float division. */
+    * Scale posture (reworked r14 — ProbeQ157 attributed ~all of the 10×
+    * growth, 4.22× in scale_r13_10x.json, to the corpus-wide self-join on
+    * the gram key): the exploded grams cross ONE shuffle, a groupBy(g)
+    * whose per-gram state is the SET of sources containing g — bounded by
+    * |sources| (a corpus has dozens of slices by contract, never millions)
+    * and map-side combined. Pair counts and per-source set sizes both
+    * collapse from that per-gram frame straight to ≤ |sources|² rows, so
+    * the old self-join's two extra corpus-proportional exchanges (plus the
+    * (source, g) distinct's) are gone; the two consumers share the one
+    * gram exchange via ReuseExchange. Shares are exact integer ppm — no
+    * float division. */
   val q157 = QueryDef(
     "q157_source_containment",
     s"""WITH sh AS (
@@ -640,13 +645,17 @@ object CorpusOps {
        |JOIN sz za ON za.source = i.source_a
        |JOIN sz zb ON zb.source = i.source_b
        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
-    val sh = Tables.documents(s, d)
+    // per-gram source sets: collect_set dedups (source, g) repeats, so no
+    // separate distinct pass; this is the only corpus-proportional shuffle
+    val bySrc = Tables.documents(s, d)
       .select(col("source"), tokens(col("text")).as("t"))
       .select(col("source"), explode(shinglesN("t", 5)).as("g"))
-      .distinct()
-    val sz = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val ix = sh.toDF("source_a", "g")
-      .join(sh.toDF("source_b", "g"), Seq("g"))
+      .groupBy("g").agg(collect_set(col("source")).as("srcs"))
+    val sz = bySrc.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val ix = bySrc
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
       .filter(col("source_a") =!= col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
     ix.join(sz.toDF("source_a", "n_a"), Seq("source_a"))
