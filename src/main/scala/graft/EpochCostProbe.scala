@@ -30,6 +30,7 @@ object EpochCostProbe {
     spark.sparkContext.setLogLevel("WARN")
     sys.props("graft.epochTrace") = "1"
     operators.Dedup.epochTrace.clear()
+    operators.Dedup.skipTrace.clear()
     val t0 = System.nanoTime()
     val rows = operators.Dedup.q199Impl(slices = slices)(spark, dir).count()
     val total = (System.nanoTime() - t0) / 1e9
@@ -43,12 +44,26 @@ object EpochCostProbe {
     }
     val body = epochs.map { case (e, s) => s"""  {"epoch": $e, "sec": ${num(s, 2)}}""" }
       .mkString("[\n", ",\n", "\n]")
+    // the bucketed store's file-skip evidence (r14): every pruned store
+    // read's scheduled-vs-total file counts, in execution order — a
+    // growing `total` with a bounded `read` is the scan term staying
+    // probe-proportional while the store grows
+    val skips = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      val it = operators.Dedup.skipTrace.iterator()
+      while (it.hasNext) b += it.next()
+      b.toSeq
+    }
+    val skipBody = skips.map { case (tag, t, r) =>
+      s"""  {"read": "$tag", "files_total": $t, "files_read": $r}"""
+    }.mkString("[\n", ",\n", "\n]")
     val doc =
       s"""{"probe": "q199_epoch_cost", "corpus": "$dir", "slices": $slices,
          | ${Provenance.jsonFields},
          | "note": "equal doc_id batches; store grows one batch per epoch; flat per-epoch sec = batch-proportional cost",
          | "survivor_rows": $rows, "total_sec": ${num(total, 2)},
-         | "epochs": $body}""".stripMargin
+         | "epochs": $body,
+         | "store_reads": $skipBody}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[epoch-probe] rows=$rows total=${num(total, 2)}s epochs=" +
