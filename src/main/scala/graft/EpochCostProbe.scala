@@ -13,12 +13,15 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.EpochCostProbe [corpusDir] [artifact]
   * (default: the ScaleBench 10× replica at /tmp/graft_sf1, which must
   * already exist, and scale_r13_epoch.json). SPARK_GRAFT_EPOCH_SLICES
-  * overrides the slice count (default 8). */
+  * overrides the slice count (default 8); SPARK_GRAFT_EPOCH_FILES sets
+  * `spark.graft.state.filesPerEpoch` (the candidate-prune file-width
+  * lever — see Dedup.stateLayout) for the run. */
 object EpochCostProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val artifact = if (args.length > 1) args(1) else "scale_r13_epoch.json"
     val slices = sys.env.get("SPARK_GRAFT_EPOCH_SLICES").map(_.toInt).getOrElse(8)
+    val filesPerEpoch = sys.env.get("SPARK_GRAFT_EPOCH_FILES").map(_.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -28,11 +31,29 @@ object EpochCostProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    filesPerEpoch.foreach(n =>
+      spark.conf.set("spark.graft.state.filesPerEpoch", n.toString))
+    // SPARK_GRAFT_EPOCH_DENSE: remap doc ids to a dense 1..N space first.
+    // The ScaleBench replicas offset each replica by 10^7, so q199's
+    // doc_id-RANGE slicing lands whole replicas in some epochs and none
+    // in others — fine for the gated query, but this probe's control
+    // variable is CONSTANT batch size, which needs dense ids. Order is
+    // preserved, so the strictly-increasing-ingest contract holds.
+    val corpusDir = if (!sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")) dir else {
+      val out = java.nio.file.Files.createTempDirectory("graft-epoch-dense")
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("doc_id",
+          row_number().over(Window.orderBy("doc_id")).cast("long"))
+        .write.parquet(s"$out/documents.parquet")
+      out.toString
+    }
     sys.props("graft.epochTrace") = "1"
     operators.Dedup.epochTrace.clear()
     operators.Dedup.skipTrace.clear()
     val t0 = System.nanoTime()
-    val rows = operators.Dedup.q199Impl(slices = slices)(spark, dir).count()
+    val rows = operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
     val total = (System.nanoTime() - t0) / 1e9
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
@@ -59,6 +80,8 @@ object EpochCostProbe {
     }.mkString("[\n", ",\n", "\n]")
     val doc =
       s"""{"probe": "q199_epoch_cost", "corpus": "$dir", "slices": $slices,
+         | "files_per_epoch": ${filesPerEpoch.getOrElse(8)},
+         | "dense_ids": ${sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")},
          | ${Provenance.jsonFields},
          | "note": "equal doc_id batches; store grows one batch per epoch; flat per-epoch sec = batch-proportional cost",
          | "survivor_rows": $rows, "total_sec": ${num(total, 2)},

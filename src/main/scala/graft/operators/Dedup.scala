@@ -257,26 +257,41 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bv").as("bv"))
   }
 
-  // ---- bucketed signature-store layout (VERDICT r13 next #1) ----------
-  // The incremental/continuous dedup store sorts its files by a BUCKET
-  // column so each per-epoch probe prunes store files via their min/max
-  // stats (TableStore.scanSkippingIn) instead of streaming the whole
-  // store: shingle-hash rows bucket by doc_id (candidate doc ids → few
-  // buckets → few files), band rows by (band, bv) (a small batch's band
-  // keys → few buckets). Pruning is LOSSLESS by construction — a stored
-  // row that could join a probe key hashes to a bucket in the probe's
-  // bucket set — and always conservative (files without stats are read).
+  // ---- pruned signature-store layout (VERDICT r13 next #1) ------------
+  // The incremental/continuous dedup store lays its files out so each
+  // per-epoch probe prunes store files via their min/max footer stats
+  // (TableStore.scanSkippingIds / scanSkippingIn) instead of streaming
+  // the whole store. Two prune keys, chosen by what each probe arrives
+  // with:
+  //
+  //  - SHINGLE-HASH rows (the bulk of the store) sort by RAW doc_id and
+  //    are probed with the epoch's candidate doc-id SET. Not a hash
+  //    bucket: candidate docs scatter uniformly over any hash space, so
+  //    with C candidates every one of B buckets is hit once C ≳ B·ln B —
+  //    a bucket column can never prune a realistic batch. Raw-doc_id
+  //    intervals prune at FILE granularity instead: a file is read only
+  //    if some candidate id lands inside its doc_id range, so files read
+  //    ≤ candidate count regardless of store size — candidate-bounded
+  //    scan I/O, and near-dup candidates cluster in recent ingests
+  //    (boilerplate repeats in time), which doc_id order exploits and a
+  //    hash would destroy. Pruning bites once the store outgrows the
+  //    batch (files per candidate ≫ 1); the deployment lever is docs per
+  //    file — EpochCostProbe's store_reads series shows the measured
+  //    skip counts.
+  //  - BAND rows bucket by (band, bv) via [[bandBucket]] and are probed
+  //    with the batch's band-bucket set — effective when the batch is
+  //    small (few band keys); a large batch's keys cover every bucket
+  //    and the read falls back to all band-row files, which are the ~4%
+  //    of the store the kind/bucket sort isolates (band rows only, never
+  //    the shingle bulk).
+  //
+  // Pruning is LOSSLESS by construction — a stored row that could join a
+  // probe key lies in a kept file — and always conservative (files
+  // without stats are read).
 
-  /** Bucket-space width. 64 keeps per-file bucket ranges selective at the
-    * bench scale's ~8 files per epoch; a real 100 TB deployment raises it
-    * together with the per-epoch file count (pruning selectivity ≈
-    * probe buckets / SigBuckets, so more buckets = finer pruning as long
-    * as files stay range-partitioned on the bucket). */
+  /** Band-bucket-space width (band rows only; shingle hashes prune by raw
+    * doc_id, see above). */
   private[graft] val SigBuckets = 64
-
-  /** Bucket of a shingle-hash (or signature) row: by document id. */
-  private[graft] def docBucket(docId: Column): Column =
-    pmod(hash(docId), lit(SigBuckets))
 
   /** Bucket of a band row: by its (band, bv) join key — the key a probe
     * arrives with, so probe keys map straight to stored buckets. */
@@ -451,33 +466,30 @@ object Dedup {
 
   /** Persist the corpus side of incremental dedup into `st`. Built ONCE
     * per corpus; daily batches then dedupe against these parquet tables
-    * without ever re-reading corpus text. Layout (the bucketed store,
-    * VERDICT r13 #1): `shh` = (doc_id, h, bkt) shingle hashes bucketed by
-    * doc id, `bands` = (doc_id, n, band, bv, bkt) precomputed band rows
-    * bucketed by band key — both range-partitioned on the bucket so
-    * [[incrementalLshPairs]]'s per-batch probes file-prune — plus `sig` =
-    * raw (doc_id, n, h0..h15) signatures (the recoverable source of both,
-    * and the sink's membership marker). */
+    * without ever re-reading corpus text. Layout (the pruned store,
+    * VERDICT r13 #1): `shh` = (doc_id, h) shingle hashes range-laid-out
+    * on raw doc_id (candidate-id file pruning, see the layout note
+    * above), `bands` = (doc_id, n, band, bv, bkt) precomputed band rows
+    * range-laid-out on their band bucket — so [[incrementalLshPairs]]'s
+    * per-batch probes file-prune — plus `sig` = raw (doc_id, n, h0..h15)
+    * signatures (the recoverable source of both, and the sink's
+    * membership marker). */
   private[graft] def buildSignatureStore(st: graft.sources.TableStore,
                                          corpus: DataFrame): Unit = {
     val (sig, shh) = signatureFrames(corpus)
     sig.persist(); shh.persist()
     try {
-      st.create("shh", bucketLayout(
-        shh.withColumn("bkt", docBucket(col("doc_id"))), 8, "bkt"))
-      st.create("bands", bucketLayout(
-        bandsN(sig).withColumn("bkt", bandBucket(col("band"), col("bv"))),
-        8, "bkt"))
+      st.create("shh", sinkShhLayout(shh))
+      st.create("bands", sinkBandsLayout(sig))
       st.create("sig", sig)
     } finally { sig.unpersist(); shh.unpersist(); () }
   }
 
-  /** Bucketed append layouts for the sink's `shh`/`bands` tables — the
-    * same bucket expressions and range layout as [[buildSignatureStore]]'s
-    * creates, so every appended file keeps a contiguous bucket range and
-    * stays prunable across the append chain. */
+  /** Write layouts for the store's `shh`/`bands` tables (creates AND the
+    * sink's appends — same expressions both places, so every file in the
+    * append chain keeps a contiguous key range and stays prunable). */
   private[graft] def sinkShhLayout(shh: DataFrame): DataFrame =
-    bucketLayout(shh.withColumn("bkt", docBucket(col("doc_id"))), 8, "bkt")
+    bucketLayout(shh.select("doc_id", "h"), 8, "doc_id")
   private[graft] def sinkBandsLayout(sig: DataFrame): DataFrame =
     bucketLayout(
       bandsN(sig).withColumn("bkt", bandBucket(col("band"), col("bv"))),
@@ -514,14 +526,15 @@ object Dedup {
     try {
       val k =
         if (store.exists("bands")) {
-          // bucketed store (buildSignatureStore's layout): both per-batch
-          // store reads file-prune on their bucket sets
+          // pruned store (buildSignatureStore's layout): both per-batch
+          // store reads file-prune — bands on the batch's band buckets,
+          // shingle hashes on the candidate doc-id set
           val (bands, bandRep) = store.scanSkippingIn("bands", Nil,
             "bkt", batchBandBuckets(newSig))
           recordSkip("bands", bandRep)
           incrementalLshKernelPruned(s, bands, {
-            case Some(buckets) =>
-              val (th, rep) = store.scanSkippingIn("shh", Nil, "bkt", buckets)
+            case Some(ids) =>
+              val (th, rep) = store.scanSkippingIds("shh", Nil, "doc_id", ids)
               recordSkip("shh", rep)
               th.select(col("doc_id"), col("h"))
             case None => store.table("shh").select(col("doc_id"), col("h"))
@@ -583,11 +596,13 @@ object Dedup {
   /** The incremental-dedup kernel. Inputs from the store side:
     * `storedBands` = the stored (doc_id, n, band, bv) band rows (the
     * caller may pre-prune them to the batch's band buckets — pruning is
-    * lossless, see the bucketed-layout note above), and `storedThFor` =
-    * a reader of the stored (doc_id, h) shingle hashes given the
-    * CANDIDATE doc-bucket set (`None` = set unknown, read everything —
-    * the shape-mode/compat contract; `Some(buckets)` may prune store
-    * files to those buckets).
+    * lossless, see the pruned-layout note above), and `storedThFor` = a
+    * reader of the stored (doc_id, h) shingle hashes given the CANDIDATE
+    * doc-id set, sorted ascending (`None` = set unknown or over the
+    * broadcast ceiling, read everything — the shape-mode/compat/skew
+    * contract; `Some(ids)` may prune store files to those containing a
+    * candidate id — the reader returns a SUPERSET of the candidates'
+    * rows, which the kernel's own semi-join then restricts exactly).
     *
     * Scale invariants:
     *
@@ -614,13 +629,17 @@ object Dedup {
     *     pairs job triggers its store scan at most once.
     *     IncrementalPlanSpec asserts both invariants on the plans.
     *  3. THE TWO STORE SCANS ARE FILE-PRUNED, NOT FULL READS (VERDICT r13
-    *     #1), when the caller stores bucketed layouts: the band scan
+    *     #1), when the caller stores pruned layouts: the band scan
     *     receives only files overlapping the batch's band buckets, and
-    *     `storedThFor` receives the candidate doc-bucket set — collected
-    *     here from the same job that guards the broadcast hint, so the
-    *     prune costs no extra barrier. Per-epoch scan I/O is then probe-
-    *     proportional; only the (tiny) band-row fraction of the store
-    *     still streams when a large batch touches every bucket.
+    *     `storedThFor` receives the candidate doc-id set — collected off
+    *     the cached cand0 right after the job that guards the broadcast
+    *     hint (bounded by the same ceiling, so never a driver OOM), and
+    *     also reused as the candDocs broadcast itself, a LOCAL relation
+    *     that frees the semi-joins from any store-rooted broadcast
+    *     subtree. Per-epoch shingle-store I/O is then CANDIDATE-bounded
+    *     (files read ≤ candidate count however large the store); the
+    *     (tiny) band-row fraction still streams when a large batch
+    *     touches every band bucket.
     *
     * `materialize = false` is the spec seam: build the same dataflow
     * without caching (and without driver-side jobs) so plan shapes stay
@@ -629,7 +648,7 @@ object Dedup {
     * un-hinted skew-fallback path. */
   private[graft] def incrementalLshKernelPruned(s: SparkSession,
       storedBands: DataFrame,
-      storedThFor: Option[Seq[Int]] => DataFrame,
+      storedThFor: Option[Array[Long]] => DataFrame,
       newSig: DataFrame, newTh: DataFrame,
       materialize: Boolean = true,
       maxBroadcastCand: Long = MaxBroadcastCandidateDocs): IncrementalLshKernel = {
@@ -670,27 +689,35 @@ object Dedup {
     val candDocsBase = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // ONE driver job — the single scheduling barrier the kernel pays, and
-    // cand0's materializing action: per-bucket candidate counts
-    // (≤ SigBuckets rows). The total guards the broadcast hint (see
-    // MaxBroadcastCandidateDocs); the keys become the stored-hash file
-    // prune below.
-    val (candDocs, candBuckets) =
+    // The kernel's scheduling barrier and cand0's materializing action:
+    // count the distinct candidate docs to guard the broadcast hint (see
+    // MaxBroadcastCandidateDocs). Under the ceiling, a second small job
+    // off the now-cached cand0 collects the ids themselves — they become
+    // BOTH the stored-hash file prune and the candDocs broadcast (a local
+    // relation: the driver holds the ids either way, and a local
+    // broadcast keeps every store-rooted subtree out of the semi-joins).
+    // Over the ceiling (band-value skew), neither collect runs: the
+    // semi-joins degrade to shuffles and the store read goes unpruned —
+    // the documented skew trade.
+    val (candDocs, candIds) =
       if (!materialize) (broadcast(candDocsBase), None)
       else {
-        val byBucket = candDocsBase
-          .groupBy(docBucket(col("doc_id")).as("bkt"))
-          .agg(count(lit(1)).as("c")).collect()
-        val n = byBucket.map(_.getLong(1)).sum
-        val docs = if (n <= maxBroadcastCand) broadcast(candDocsBase)
-                   else candDocsBase
-        (docs, Some(byBucket.map(_.getInt(0)).toSeq.sorted))
+        val n = candDocsBase.count()
+        if (sys.props.contains("graft.epochTrace")) {
+          skipTrace.add(("cand.docs", n.toInt, n.toInt)); ()
+        }
+        if (n <= maxBroadcastCand) {
+          val ids = candDocsBase.collect().map(_.getLong(0))
+          java.util.Arrays.sort(ids)
+          import s.implicits._
+          (broadcast(ids.toSeq.toDF("doc_id")), Some(ids))
+        } else (candDocsBase, None)
       }
     // verification set = stored corpus hashes ∪ batch hashes, pruned to
     // candidate docs BEFORE any join — the stored shingle hashes (the
     // bulk of the state) stream through their (bucket-pruned) scan once,
     // into the cache both verify legs read
-    val candTh = ready(storedThFor(candBuckets).unionByName(newTh)
+    val candTh = ready(storedThFor(candIds).unionByName(newTh)
       .join(candDocs, Seq("doc_id"), "left_semi"))
     // countDistinct (not count) keeps the intersection exact even if a
     // doc's hashes appear on both sides — a replayed epoch recomputes a
@@ -1068,10 +1095,12 @@ object Dedup {
   //   3 = band row            (doc_id, n, band, bv, bkt) — the band-join side
   // Unused columns are NULL; parquet stores them as definition levels
   // only, so the union costs no meaningful bytes, and each view below
-  // prunes to its own columns at the scan. `bkt` is the file-prune bucket
-  // (see the bucketed-layout note above buildSignatureStore): kind-0 rows
-  // bucket by doc id, kind-3 rows by band key, so the epoch kernel's two
-  // store scans read only files overlapping their probe's bucket set.
+  // prunes to its own columns at the scan. File pruning (see the layout
+  // note above buildSignatureStore): the layout sorts on (kind, bkt,
+  // doc_id), so kind filters always prune; kind-3 files further prune by
+  // band bucket (`bkt` = bandBucket; all other kinds carry bkt 0), and
+  // kind-0 files — bkt constant — sort by raw doc_id, giving the epoch
+  // kernel's candidate-id probe disjoint per-file doc_id ranges.
 
   private[graft] val StateCols: Seq[String] =
     Seq("doc_id", "kind", "bkt", "h", "n", "band", "bv") ++
@@ -1080,17 +1109,17 @@ object Dedup {
   /** One epoch's state rows: the batch's shingle hashes + cut verdicts +
     * minhash signatures + band rows, kind-tagged into the shared schema.
     * Callers write through [[stateLayout]], which range-partitions on
-    * (kind, bkt) so each file covers a contiguous run of both — the
-    * per-kind views' `kind = k` filters AND the bucket probes then prune
-    * via file-level min/max stats (and parquet row-group stats within
-    * surviving files). */
+    * (kind, bkt, doc_id) so each file covers a contiguous run of all
+    * three — the per-kind views' `kind = k` filters AND the band-bucket /
+    * candidate-doc-id probes then prune via file-level min/max stats
+    * (and parquet row-group stats within surviving files). */
   private def stateFrame(sig: DataFrame, th: DataFrame, cuts: DataFrame): DataFrame =
-    th.withColumn("kind", lit(0)).withColumn("bkt", docBucket(col("doc_id")))
+    th.withColumn("kind", lit(0)).withColumn("bkt", lit(0))
       .unionByName(
         cuts.select(col("doc_id"), lit(1).as("kind"), lit(0).as("bkt")),
         allowMissingColumns = true)
       .unionByName(
-        sig.withColumn("kind", lit(2)).withColumn("bkt", docBucket(col("doc_id"))),
+        sig.withColumn("kind", lit(2)).withColumn("bkt", lit(0)),
         allowMissingColumns = true)
       .unionByName(
         bandsN(sig).withColumn("kind", lit(3))
@@ -1100,10 +1129,21 @@ object Dedup {
 
   /** The state table's write layout — see [[stateFrame]]. Replaces the
     * r12-era `coalesce(8).sortWithinPartitions(kind)`: a coalesced layout
-    * left every file spanning the whole bucket space, so nothing
-    * file-pruned; the range shuffle this pays is batch-bounded. */
-  private def stateLayout(df: DataFrame): DataFrame =
-    bucketLayout(df, 8, "kind", "bkt")
+    * left every file spanning the whole key space, so nothing
+    * file-pruned; the range shuffle this pays is batch-bounded.
+    *
+    * `spark.graft.state.filesPerEpoch` (default 8) is THE candidate-prune
+    * deployment lever: the kind-0 skip probability per file is
+    * exp(−candidates × docsPerFile / storeDocs), so a deployment sizes
+    * files such that docs-per-file ≲ storeDocs / epochCandidates — more,
+    * narrower files = more skipped I/O as the store outgrows the batch
+    * (read off the frame's session so a stream's cloned-session conf
+    * applies to its own appends). */
+  private def stateLayout(df: DataFrame): DataFrame = {
+    val files = df.sparkSession.conf
+      .getOption("spark.graft.state.filesPerEpoch").map(_.toInt).getOrElse(8)
+    bucketLayout(df, files, "kind", "bkt", "doc_id")
+  }
 
   private[graft] def stateSig(state: DataFrame): DataFrame =
     state.filter(col("kind") === 2)
@@ -1127,14 +1167,15 @@ object Dedup {
     df.select("doc_id", "n", "band", "bv")
   }
 
-  /** Stored shingle hashes (kind 0), file-pruned to the candidate docs'
-    * bucket set when the kernel knows it. */
+  /** Stored shingle hashes (kind 0), file-pruned to the candidate doc-id
+    * set when the kernel knows it (a superset read — the kernel's
+    * semi-join restricts exactly, see the storedThFor contract). */
   private def stateThFor(st: graft.sources.TableStore)(
-      buckets: Option[Seq[Int]]): DataFrame = buckets match {
-    case Some(bs) =>
-      val (df, rep) = st.scanSkippingIn("state",
+      ids: Option[Array[Long]]): DataFrame = ids match {
+    case Some(cand) =>
+      val (df, rep) = st.scanSkippingIds("state",
         Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
-        "bkt", bs)
+        "doc_id", cand)
       recordSkip("state.shh", rep)
       df.select("doc_id", "h")
     case None => stateTh(st.table("state"))

@@ -191,6 +191,36 @@ object FileStats {
         values.exists(v => mightMatch(fs, Seq(ColumnRange(column, Some(v), Some(v)))))
     }
 
+  /** Could any row of a file with stats `fs` have `column` equal to ANY id
+    * in `sorted` (ascending)? The large-probe-set sibling of
+    * [[mightContainAny]]: one binary search against the file's [min, max]
+    * instead of a per-value scan, so callers can prune with probe sets of
+    * millions of ids. Unknown or non-integer stats keep the file; an
+    * all-NULL column matches no id. */
+  def mightContainAnyId(fs: FileStat, column: String, sorted: Array[Long]): Boolean =
+    fs.cols.get(column) match {
+      case None => true
+      case Some(st) =>
+        if (!st.hasNonNull) false
+        else if (st.kind != "num") true
+        else {
+          // our own store writes integer strings for long columns; any
+          // other shape (decimals, old manifests) conservatively keeps
+          val bounds =
+            try Some((st.min.toLong, st.max.toLong))
+            catch { case _: NumberFormatException => None }
+          bounds match {
+            case None => true
+            case Some((lo, hi)) =>
+              val i = java.util.Arrays.binarySearch(sorted, lo)
+              i >= 0 || {
+                val ip = -i - 1
+                ip < sorted.length && sorted(ip) <= hi
+              }
+          }
+        }
+    }
+
   /** Could any row of a file with stats `fs` satisfy ALL the ranges?
     * Unknown columns / unnormalizable bounds answer yes (keep). */
   def mightMatch(fs: FileStat, ranges: Seq[ColumnRange]): Boolean =

@@ -535,6 +535,31 @@ final class TableStore(spark: SparkSession, root: String) {
       pred)
   }
 
+  /** [[scanSkipping]] plus a sorted-id file prune: read only files that
+    * satisfy every range AND whose `idCol` stats admit at least one of
+    * `sortedIds` (ascending). UNLIKE [[scanSkippingIn]], the id set is NOT
+    * applied as a row predicate — an isin over millions of ids would
+    * defeat codegen — so the result is `table(name).filter(ranges)` minus
+    * files provably free of every id: a SUPERSET of the id-matching rows,
+    * exact only after the caller's own id restriction (incremental dedup's
+    * candidate semi-join). This is the store layer that keeps a growing
+    * store's per-epoch reads candidate-bounded: files range-laid-out on
+    * `idCol` are kept only when some probe id lands inside their [min,
+    * max], so files READ ≤ min(files total, probe ids + boundary overlap)
+    * no matter how large the store grows. */
+  def scanSkippingIds(name: String, ranges: Seq[FileStats.ColumnRange],
+                      idCol: String, sortedIds: Array[Long])
+      : (DataFrame, FileStats.ScanReport) = {
+    if (sortedIds.isEmpty) return scanWhere(name, _ => false, lit(false))
+    val pred = ranges.flatMap { r =>
+      r.lo.map(v => col(r.column) >= lit(v)) ++ r.hi.map(v => col(r.column) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    scanWhere(name,
+      fs => FileStats.mightMatch(fs, ranges) &&
+        FileStats.mightContainAnyId(fs, idCol, sortedIds),
+      pred)
+  }
+
   /** Shared skipping-scan core: keep files whose stats pass `keep` (files
     * without stats are always kept — skipping is an optimization, never a
     * filter), then apply the exact `pred`. */
@@ -552,7 +577,14 @@ final class TableStore(spark: SparkSession, root: String) {
           table(name).schema)
       else {
         val deltas = readAddCols(name, currentVersion(name))
-        kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, fs) =>
+        // same single-datasource collapse as readEntries: without schema
+        // deltas or partition subdirs (rel = "vN/file.parquet"), one read
+        // over all kept files replaces an O(append-chain) per-version
+        // union — the planning term that would otherwise grow with every
+        // epoch of an incremental store
+        if (deltas.isEmpty && kept.forall(_._1.count(_ == '/') == 1))
+          spark.read.parquet(kept.map { case (rel, _) => s"$root/$name/$rel" }: _*)
+        else kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, fs) =>
           fillAddCols(
             spark.read.option("basePath", s"$root/$name/$vd")
               .parquet(fs.map { case (rel, _) => s"$root/$name/$rel" }: _*),
@@ -1043,7 +1075,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * a schema change union cleanly. */
   private def readEntries(name: String, v: Int, entries: Seq[(String, String)]): DataFrame = {
     val deltas = readAddCols(name, v)
-    entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, es) =>
+    // ONE datasource when no schema delta applies and every entry is a
+    // whole version dir: the per-version split below plans (and
+    // footer-samples) one parquet relation per dir, an O(append-chain)
+    // planning cost per read that dominates long-chain epochs; without
+    // deltas or partition subdirs it buys nothing.
+    if (deltas.isEmpty && entries.forall(_._1 == "."))
+      spark.read.parquet(entries.map { case (_, vd) => s"$root/$name/$vd" }: _*)
+    else entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (vd, es) =>
       val raw =
         if (es.exists(_._1 == "."))
           spark.read.parquet(s"$root/$name/$vd")

@@ -13,12 +13,12 @@ import graft.sources.TableStore
   * with those keepers — every step idempotent on the Structured Streaming
   * epoch id, so the whole pipeline is exactly-once end to end.
   *
-  * Store layout (one [[TableStore]], the bucketed layout of
+  * Store layout (one [[TableStore]], the pruned layout of
   * `Dedup.buildSignatureStore`): `corpus` = published documents, `shh` =
-  * (doc_id, h, bkt) shingle hashes bucketed by doc id, `bands` =
-  * (doc_id, n, band, bv, bkt) band rows bucketed by band key — both
-  * range-partitioned on the bucket so each epoch's store reads file-prune
-  * to the batch's probe buckets — and `sig` = raw (doc_id, n, h0..h15)
+  * (doc_id, h) shingle hashes range-laid-out on doc_id (candidate-id
+  * file pruning), `bands` = (doc_id, n, band, bv, bkt) band rows
+  * range-laid-out on their band bucket — so each epoch's store reads
+  * file-prune to their probe sets — and `sig` = raw (doc_id, n, h0..h15)
   * signatures. `sig` doubles as the membership marker and commits LAST,
   * so every crash window replays to the same converged state:
   *  - crash after `corpus`: replay recomputes the same keeper set
