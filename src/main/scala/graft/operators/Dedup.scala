@@ -495,6 +495,27 @@ object Dedup {
       bandsN(sig).withColumn("bkt", bandBucket(col("band"), col("bv"))),
       8, "bkt")
 
+  /** Periodic maintenance for an incremental signature store
+    * ([[buildSignatureStore]]'s layout, the sink's tables) or a q199
+    * state table: collapse each table's append chain while RESTORING its
+    * prune layout (TableStore.compactClustered). A plain compact would
+    * merge the per-epoch key-sorted files into files whose min/max stats
+    * span the whole key space — value-correct, but every later epoch's
+    * store read silently degrades to a full scan. `minFiles` keeps
+    * per-file key ranges narrow at bench scale; a deployment sizes it
+    * with the same docs-per-file rule as the write layouts. The batch
+    * ledger survives compaction, so replayed epochs still no-op. */
+  def compactSignatureStore(st: graft.sources.TableStore,
+                            minFiles: Int = 8): Unit = {
+    if (st.exists("state")) {
+      st.compactClustered("state", Seq("kind", "bkt", "doc_id"), minFiles); ()
+    }
+    if (st.exists("shh")) { st.compactClustered("shh", Seq("doc_id"), minFiles); () }
+    if (st.exists("bands")) { st.compactClustered("bands", Seq("bkt"), minFiles); () }
+    if (st.exists("sig")) { st.compact("sig"); () }
+    if (st.exists("corpus")) { st.compact("corpus"); () }
+  }
+
   /** Distinct band-bucket set of a batch's signatures — the probe set for
     * the stored band rows' file prune. One batch-bounded driver job
     * (≤ [[SigBuckets]] rows); it doubles as the job that populates the

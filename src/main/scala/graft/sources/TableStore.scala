@@ -403,12 +403,45 @@ final class TableStore(spark: SparkSession, root: String) {
     // chain (caught by CompactIngestSpec, r11). Width = total snapshot
     // bytes / 128 MiB target, from file metadata only; coalesce (not
     // repartition) so no shuffle is paid for a pure layout rewrite.
+    publish(name, table(name).coalesce(compactWidth(name)))
+    analyze(name)
+  }
+
+  /** Byte-derived compaction width: total snapshot bytes / 128 MiB
+    * target, from file metadata only. */
+  private def compactWidth(name: String): Int = {
     val tableDir = Paths.get(s"$root/$name")
     val totalBytes = currentFiles(name)
       .map { case (rel, _) => Files.size(tableDir.resolve(rel)) }.sum
     val target = 128L * 1024 * 1024
-    val parts = math.max(1L, (totalBytes + target - 1) / target).toInt
-    publish(name, table(name).coalesce(parts))
+    math.max(1L, (totalBytes + target - 1) / target).toInt
+  }
+
+  /** [[compact]] that also RESTORES a clustered layout: collapse the
+    * append chain into byte-sized files range-partitioned AND sorted on
+    * `clusterCols` — the maintenance step for incrementally-appended
+    * skipping stores (the dedup signature/state tables: each epoch's
+    * append writes its own key-sorted files, and a plain [[compact]]'s
+    * coalesce would merge them into files whose min/max stats span the
+    * whole key space, silently un-pruning the store while staying
+    * value-correct). `minFiles` floors the width so a small snapshot
+    * still keeps per-file key ranges narrow enough to skip (the same
+    * docs-per-file lever as the write layouts). Unlike [[compact]] this
+    * pays one range shuffle — the price of re-establishing disjoint
+    * ranges. Same conventions otherwise: unpartitioned tables only, the
+    * batch ledger survives, superseded versions vacuumed. Single-
+    * dimension sibling of [[optimizeZOrder]]. */
+  def compactClustered(name: String, clusterCols: Seq[String],
+                       minFiles: Int = 1): TableStore.TableStats = {
+    require(clusterCols.nonEmpty)
+    readManifest(name, currentVersion(name)).foreach { m =>
+      require(m.partCol.isEmpty,
+        s"compactClustered supports unpartitioned tables; $name is partitioned on ${m.partCol}")
+    }
+    val parts = math.max(minFiles, compactWidth(name))
+    publish(name,
+      table(name).repartitionByRange(parts, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*))
     analyze(name)
   }
 

@@ -209,4 +209,86 @@ class DataSkippingSpec extends SparkSpec {
     rep.filesRead shouldBe rep.filesTotal
     scan.count() shouldBe 1 // the 1.1f row matches x >= 1.100000001
   }
+
+  test("mightContainAnyId: binary-search keep test over sorted probe ids") {
+    import FileStats.{ColStat, FileStat}
+    def fs(mn: Long, mx: Long) = FileStat("f", 1,
+      Map("id" -> ColStat("num", hasNonNull = true, mn.toString, mx.toString)))
+    val ids = Array(5L, 40L, 1000L)
+    FileStats.mightContainAnyId(fs(0, 4), "id", ids) shouldBe false
+    FileStats.mightContainAnyId(fs(0, 5), "id", ids) shouldBe true // hi edge
+    FileStats.mightContainAnyId(fs(5, 5), "id", ids) shouldBe true // point
+    FileStats.mightContainAnyId(fs(6, 39), "id", ids) shouldBe false // gap
+    FileStats.mightContainAnyId(fs(39, 41), "id", ids) shouldBe true
+    FileStats.mightContainAnyId(fs(1001, 9999), "id", ids) shouldBe false
+    // unknown column / non-integer stats / all-NULL column
+    FileStats.mightContainAnyId(fs(0, 4), "other", ids) shouldBe true
+    FileStats.mightContainAnyId(FileStat("f", 1,
+      Map("id" -> ColStat("num", hasNonNull = true, "1.5", "2.5"))),
+      "id", ids) shouldBe true // conservative on non-long bounds
+    FileStats.mightContainAnyId(FileStat("f", 1,
+      Map("id" -> ColStat("num", hasNonNull = false, "", ""))),
+      "id", ids) shouldBe false // all NULL: equality matches nothing
+    FileStats.mightContainAnyId(fs(0, 100), "id", Array.empty[Long]) shouldBe false
+  }
+
+  test("scanSkippingIds: candidate-id file prune reads only files holding an id") {
+    val st = freshStore()
+    // 8 files with disjoint contiguous id ranges of 500
+    st.create("t", spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    // ids scattered over 3 of the 8 ranges
+    val ids = Array(12L, 777L, 3500L)
+    val (scan, rep) = st.scanSkippingIds("t", Nil, "id", ids)
+    rep.filesTotal shouldBe 8
+    // ≤ 3 files hold the 3 scattered ids (range boundaries are sampled,
+    // so two ids can share a file); the other ≥ 5 are skipped
+    rep.filesRead should be <= 3
+    // the scan is a SUPERSET contract: all rows of kept files (a strict
+    // subset of the table), exactly the id rows after the caller's own
+    // restriction
+    scan.count() should be < 4000L
+    scan.filter(col("id").isin(ids.map(Long.box): _*)).count() shouldBe 3
+    // composed with a range: the range prunes further and IS applied
+    val (scan2, rep2) = st.scanSkippingIds("t",
+      Seq(ColumnRange("id", Some(3000L), None)), "id", ids)
+    rep2.filesRead should be <= 1
+    scan2.filter(col("id") < 3000).count() shouldBe 0L
+    scan2.filter(col("id") === 3500L).count() shouldBe 1L
+    // empty probe set reads nothing
+    val (scan3, rep3) = st.scanSkippingIds("t", Nil, "id", Array.empty[Long])
+    rep3.filesRead shouldBe 0
+    scan3.count() shouldBe 0L
+  }
+
+  test("compactClustered restores pruning a plain compact destroys") {
+    val st = freshStore()
+    st.create("t", spark.range(0, 1000).toDF("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    // append chain: each epoch its own sorted files over a new id range
+    (1 to 4).foreach { e =>
+      st.appendBatch("t", e.toLong,
+        spark.range(e * 1000L, e * 1000L + 1000).toDF("id")
+          .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    }
+    val ids = Array(42L, 2042L, 4042L)
+    val (_, before) = st.scanSkippingIds("t", Nil, "id", ids)
+    before.filesRead should be < before.filesTotal
+    // plain compact: value-correct but stats-spanning files → no pruning
+    st.compact("t")
+    val (flat, afterPlain) = st.scanSkippingIds("t", Nil, "id", ids)
+    flat.filter(col("id").isin(ids.map(Long.box): _*)).count() shouldBe 3
+    afterPlain.filesRead shouldBe afterPlain.filesTotal
+    // clustered compact: chain collapsed AND disjoint ranges restored
+    st.compactClustered("t", Seq("id"), minFiles = 8)
+    val (scan, after) = st.scanSkippingIds("t", Nil, "id", ids)
+    after.filesTotal shouldBe 8
+    after.filesRead should be < after.filesTotal
+    scan.filter(col("id").isin(ids.map(Long.box): _*)).count() shouldBe 3
+    st.table("t").count() shouldBe 5000
+    // the batch ledger survives: a replayed epoch still no-ops
+    st.appendBatch("t", 4L, spark.range(9000L, 9010L).toDF("id"))
+    st.table("t").count() shouldBe 5000
+  }
 }

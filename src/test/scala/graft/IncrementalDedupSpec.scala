@@ -88,4 +88,52 @@ class IncrementalDedupSpec extends SparkSpec {
       fallback shouldBe hinted
     } finally { nsig.unpersist(); nth.unpersist(); () }
   }
+
+  test("compactSignatureStore keeps delta results and restores file pruning") {
+    val st = new TableStore(spark, tempDir("graft-sigcompact").toString)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Dedup.buildSignatureStore(st, mkDocs(Seq(
+      1L -> base,
+      2L -> "completely unrelated text about distributed query engines and shuffles here")))
+    // grow the store the way the sink does: several epochs of appends
+    (1 to 3).foreach { e =>
+      val keep = mkDocs((0 until 6).map { i =>
+        val id = e * 100L + i
+        (id, s"epoch $e doc $i " + Seq.tabulate(10)(j => s"w${id}_$j").mkString(" "))
+      })
+      val (sig, shh) = Dedup.signatureFrames(keep)
+      st.appendBatch("shh", e.toLong, Dedup.sinkShhLayout(shh))
+      st.appendBatch("bands", e.toLong, Dedup.sinkBandsLayout(sig))
+      st.appendBatch("sig", e.toLong, sig)
+    }
+    val batch = mkDocs(Seq(
+      900L -> base, // near-dup of the seeded doc 1
+      901L -> "fresh content that matches nothing stored anywhere at all"))
+    def pairsNow() = Dedup.incrementalLshPairs(spark, st, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairsNow()
+    before shouldBe Set((1L, 900L))
+    Dedup.compactSignatureStore(st, minFiles = 8)
+    // chain collapsed: every table back to a single live version's files
+    sys.props("graft.epochTrace") = "1"
+    Dedup.skipTrace.clear()
+    try {
+      pairsNow() shouldBe before
+      import scala.jdk.CollectionConverters._
+      val shh = Dedup.skipTrace.iterator().asScala.toSeq.filter(_._1 == "shh")
+      shh should not be empty
+      // the compacted store still file-prunes: the 2 candidate docs hit
+      // a strict subset of the 8 clustered files
+      shh.foreach { case (_, total, read) =>
+        withClue(s"shh skip $read/$total: ") { read should be < total }
+      }
+    } finally {
+      sys.props.remove("graft.epochTrace")
+      Dedup.skipTrace.clear()
+    }
+    // the ledger survived: a replayed sink epoch still no-ops
+    val n = st.table("sig").count()
+    st.appendBatch("sig", 3L, Dedup.signatureFrames(batch)._1)
+    st.table("sig").count() shouldBe n
+  }
 }
