@@ -1375,5 +1375,61 @@ object Dedup {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147, q199)
+  /** q201: dedup ingest ACROSS store maintenance — q199's admission
+    * semantics driven as direct doc_id-ordered epoch batches with a
+    * layout-restoring compaction ([[compactSignatureStore]]) in the
+    * middle of the run. Banding and verification are content-hash-
+    * determined, so the admitted set must be IDENTICAL whether or not
+    * the state table was compacted mid-ingest — the oracle is exactly
+    * q199's monolithic one, making "maintenance never changes results"
+    * an oracle-gated guarantee rather than a spec-only one. The epochs
+    * AFTER the compaction probe the compacted files, so the restored
+    * prune layout (compactClustered's (kind, bkt, doc_id) ranges) is on
+    * the correctness path end to end.
+    *
+    * Scale posture: identical to q199's per-epoch bound; the compaction
+    * itself is one range shuffle of the surviving state (the price of
+    * re-establishing disjoint file ranges), amortized over every later
+    * epoch's pruned reads. */
+  val q201 = QueryDef(
+    "q201_dedup_compact_ingest",
+    s"""WITH $lshPairsCtes,
+       |cut AS (SELECT DISTINCT doc_b FROM verified)
+       |SELECT d.doc_id, d.source,
+       |  len(string_split(trim(d.text), ' ')) AS n_tokens
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_b FROM cut)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-compact")
+    try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      buildDedupState(st, docs.limit(0))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val slices = 4
+        val step = (hi - lo) / slices + 1
+        (0 until slices).foreach { e =>
+          dedupIngestEpoch(st)(docs.filter(
+            col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+          // maintenance mid-run: collapse the 3-version chain and restore
+          // the prune layout; epochs 2-3 dedupe against the compacted store
+          if (e == 1) compactSignatureStore(st)
+        }
+      }
+      val cuts = stateCuts(st.table("state")).distinct()
+      Tables.documents(s, d)
+        .join(cuts, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+        // pin: the store root is deleted in the finally below
+        .localCheckpoint(true)
+    } finally EventsOps.rmTree(storeRoot)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147, q199, q201)
 }
