@@ -12,16 +12,26 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.EpochCostProbe [corpusDir] [artifact]
   * (default: the ScaleBench 10× replica at /tmp/graft_sf1, which must
-  * already exist, and scale_r13_epoch.json). SPARK_GRAFT_EPOCH_SLICES
-  * overrides the slice count (default 8); SPARK_GRAFT_EPOCH_FILES sets
-  * `spark.graft.state.filesPerEpoch` (the candidate-prune file-width
-  * lever — see Dedup.stateLayout) for the run. */
+  * already exist, and scale_r15_epoch.json). Env levers:
+  *  - SPARK_GRAFT_EPOCH_SLICES: slice count (default 8);
+  *  - SPARK_GRAFT_EPOCH_FILES: sets `spark.graft.state.filesPerEpoch`
+  *    for the run — OVERRIDES the self-sizing write layout (see
+  *    Dedup.sizedStateFiles); leave unset to probe the default;
+  *  - SPARK_GRAFT_EPOCH_COMPACT: sets
+  *    `spark.graft.state.autoCompactVersions` (chain-length trigger of
+  *    the auto-compaction policy; unset = the library default);
+  *  - SPARK_GRAFT_EPOCH_DENSE=1: remap doc ids to a dense 1..N space
+  *    first (order-preserving). The ScaleBench replicas offset each
+  *    replica by 10^7, so doc_id-RANGE slicing lands whole replicas in
+  *    some epochs and none in others — fine for the gated query, but
+  *    this probe's control variable is CONSTANT batch size. */
 object EpochCostProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
-    val artifact = if (args.length > 1) args(1) else "scale_r13_epoch.json"
+    val artifact = if (args.length > 1) args(1) else "scale_r15_epoch.json"
     val slices = sys.env.get("SPARK_GRAFT_EPOCH_SLICES").map(_.toInt).getOrElse(8)
     val filesPerEpoch = sys.env.get("SPARK_GRAFT_EPOCH_FILES").map(_.toInt)
+    val compactEvery = sys.env.get("SPARK_GRAFT_EPOCH_COMPACT").map(_.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -33,59 +43,64 @@ object EpochCostProbe {
     spark.sparkContext.setLogLevel("WARN")
     filesPerEpoch.foreach(n =>
       spark.conf.set("spark.graft.state.filesPerEpoch", n.toString))
-    // SPARK_GRAFT_EPOCH_DENSE: remap doc ids to a dense 1..N space first.
-    // The ScaleBench replicas offset each replica by 10^7, so q199's
-    // doc_id-RANGE slicing lands whole replicas in some epochs and none
-    // in others — fine for the gated query, but this probe's control
-    // variable is CONSTANT batch size, which needs dense ids. Order is
-    // preserved, so the strictly-increasing-ingest contract holds.
+    compactEvery.foreach(n =>
+      spark.conf.set("spark.graft.state.autoCompactVersions", n.toString))
+    // dense remap via the suite's own distributed global index (range
+    // exchange + per-bucket row_number — ADVICE r14: the r13-era global
+    // Window.orderBy single-partition sort was an OOM hazard at larger
+    // replicas); order-preserving, so the strictly-increasing-ingest
+    // contract holds
+    var denseDir: Option[java.nio.file.Path] = None
     val corpusDir = if (!sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")) dir else {
       val out = java.nio.file.Files.createTempDirectory("graft-epoch-dense")
-      import org.apache.spark.sql.expressions.Window
+      denseDir = Some(out)
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$dir/documents.parquet")
-        .withColumn("doc_id",
-          row_number().over(Window.orderBy("doc_id")).cast("long"))
+      val src = spark.read.parquet(s"$dir/documents.parquet")
+      operators.CorpusOps.globalRowIndex(src, col("doc_id"))
+        .withColumn("doc_id", col("i")).drop("i")
         .write.parquet(s"$out/documents.parquet")
       out.toString
     }
     sys.props("graft.epochTrace") = "1"
     operators.Dedup.epochTrace.clear()
     operators.Dedup.skipTrace.clear()
+    operators.Dedup.candTrace.clear()
     val t0 = System.nanoTime()
-    val rows = operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
+    val rows =
+      try operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
+      finally denseDir.foreach(operators.EventsOps.rmTree)
     val total = (System.nanoTime() - t0) / 1e9
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val epochs = {
-      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-      val it = operators.Dedup.epochTrace.iterator()
-      while (it.hasNext) b += it.next()
-      b.sortBy(_._1).toSeq
-    }
-    val body = epochs.map { case (e, s) => s"""  {"epoch": $e, "sec": ${num(s, 2)}}""" }
-      .mkString("[\n", ",\n", "\n]")
-    // the bucketed store's file-skip evidence (r14): every pruned store
-    // read's scheduled-vs-total file counts, in execution order — a
-    // growing `total` with a bounded `read` is the scan term staying
-    // probe-proportional while the store grows
-    val skips = {
-      val b = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-      val it = operators.Dedup.skipTrace.iterator()
+    def drain[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]): Seq[A] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[A]
+      val it = q.iterator()
       while (it.hasNext) b += it.next()
       b.toSeq
     }
-    val skipBody = skips.map { case (tag, t, r) =>
+    val epochs = drain(operators.Dedup.epochTrace).sortBy(_._1)
+    val body = epochs.map { case (e, s) => s"""  {"epoch": $e, "sec": ${num(s, 2)}}""" }
+      .mkString("[\n", ",\n", "\n]")
+    // the pruned store's file-skip evidence: every pruned store read's
+    // scheduled-vs-total file counts, in execution order — a growing
+    // `total` with a bounded `read` is the scan term staying
+    // probe-proportional while the store grows
+    val skipBody = drain(operators.Dedup.skipTrace).map { case (tag, t, r) =>
       s"""  {"read": "$tag", "files_total": $t, "files_read": $r}"""
     }.mkString("[\n", ",\n", "\n]")
+    // per-epoch candidate-doc cardinality, its own field (ADVICE r14: no
+    // longer overloading the file-skip rows), in kernel execution order
+    val candBody = drain(operators.Dedup.candTrace).mkString("[", ", ", "]")
     val doc =
       s"""{"probe": "q199_epoch_cost", "corpus": "$dir", "slices": $slices,
-         | "files_per_epoch": ${filesPerEpoch.getOrElse(8)},
+         | "files_per_epoch": ${filesPerEpoch.map(_.toString).getOrElse("\"auto\"")},
+         | "auto_compact_versions": ${compactEvery.map(_.toString).getOrElse("\"default\"")},
          | "dense_ids": ${sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")},
          | ${Provenance.jsonFields},
          | "note": "equal doc_id batches; store grows one batch per epoch; flat per-epoch sec = batch-proportional cost",
          | "survivor_rows": $rows, "total_sec": ${num(total, 2)},
          | "epochs": $body,
+         | "cand_docs": $candBody,
          | "store_reads": $skipBody}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))

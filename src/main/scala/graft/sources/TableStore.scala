@@ -593,16 +593,49 @@ final class TableStore(spark: SparkSession, root: String) {
       pred)
   }
 
+  /** Parsed stats sidecars of the current snapshot's files, keyed by
+    * rel path — shared by [[scanWhere]] and the metadata-only counters
+    * below. Pure file reads, no Spark job. */
+  private def currentStats(name: String,
+      files: Seq[(String, String)]): Map[String, FileStats.FileStat] =
+    files.map(_._2).distinct.flatMap { vd =>
+      val p = statsFile(name, vd.stripPrefix("v").toInt)
+      if (Files.exists(p)) FileStats.parse(new String(Files.readAllBytes(p))) else Nil
+    }.map(f => f.relPath -> f).toMap
+
+  /** Total rows of the current snapshot, summed from the per-file stats
+    * sidecars — metadata only, no Spark job. Files whose stats a writer
+    * did not record count 0 (every write path of this store records
+    * them), so the figure is a lower bound in the presence of foreign
+    * files and exact otherwise. Self-sizing callers (the dedup store's
+    * write layout) only need the order of magnitude. */
+  def statsRowCount(name: String): Long = {
+    val files = currentFiles(name)
+    val stats = currentStats(name, files)
+    files.iterator.flatMap { case (rel, _) => stats.get(rel).map(_.rows) }.sum
+  }
+
+  /** Parquet files in the current snapshot — the planning-cost metric a
+    * maintenance policy sizes compaction width from. */
+  def fileCount(name: String): Int = currentFiles(name).size
+
+  /** Length of the current append chain (manifest entries; 1 after any
+    * full rewrite) — the trigger metric for auto-compaction under
+    * continuous ingest: each [[appendBatch]] adds one entry, and entry
+    * count is exactly the term that grows read-planning cost per epoch. */
+  def chainLength(name: String): Int = {
+    val v = currentVersion(name)
+    require(v >= 0, s"no such table: $name")
+    readManifest(name, v).map(_.entries.size).getOrElse(1)
+  }
+
   /** Shared skipping-scan core: keep files whose stats pass `keep` (files
     * without stats are always kept — skipping is an optimization, never a
     * filter), then apply the exact `pred`. */
   private def scanWhere(name: String, keep: FileStats.FileStat => Boolean,
                         pred: Column): (DataFrame, FileStats.ScanReport) = {
     val files = currentFiles(name)
-    val statsByPath = files.map(_._2).distinct.flatMap { vd =>
-      val p = statsFile(name, vd.stripPrefix("v").toInt)
-      if (Files.exists(p)) FileStats.parse(new String(Files.readAllBytes(p))) else Nil
-    }.map(f => f.relPath -> f).toMap
+    val statsByPath = currentStats(name, files)
     val kept = files.filter { case (rel, _) => statsByPath.get(rel).forall(keep) }
     val df =
       if (kept.isEmpty)

@@ -82,6 +82,19 @@ object DedupIngest {
             store.appendBatch("shh", epochId, Dedup.sinkShhLayout(shh))
             store.appendBatch("bands", epochId, Dedup.sinkBandsLayout(sig))
             store.appendBatch("sig", epochId, sig) // membership marker: LAST
+            // auto-compaction policy (VERDICT r14 next #4): a continuous
+            // ingest loop must not depend on remembering offline
+            // maintenance. When any chain reaches
+            // spark.graft.state.autoCompactVersions versions (default 16;
+            // 0 disables — conf read off the BATCH's session, the
+            // stream-scoped one), collapse the store with the layout-
+            // restoring compaction; ledgers survive, so replays still
+            // no-op, and results are unchanged by construction.
+            val limit = batch.sparkSession.conf
+              .getOption("spark.graft.state.autoCompactVersions")
+              .map(_.toInt).getOrElse(16)
+            if (limit > 0 && store.chainLength("sig") >= limit)
+              Dedup.compactSignatureStore(store)
           } finally keep.unpersist()
         } finally { newDocs.unpersist(); () }
       } finally { batch.unpersist(); () }

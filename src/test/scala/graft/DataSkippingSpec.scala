@@ -291,4 +291,43 @@ class DataSkippingSpec extends SparkSpec {
     st.appendBatch("t", 4L, spark.range(9000L, 9010L).toDF("id"))
     st.table("t").count() shouldBe 5000
   }
+
+  test("band prune key: order-aligned (band, bv-prefix) longs prune a grown band region") {
+    import graft.operators.Dedup
+    val st = freshStore()
+    // a grown store's band region: 4000 band rows over 4 bands with
+    // md5 hex band values, laid out the way the dedup stores write them
+    // — range-clustered on (kind, bkt, doc_id). The r14 design hashed
+    // (band, bv) into 64 fixed buckets, so any probe with ≥ ~270 keys
+    // covered every bucket and nothing pruned; the prune key's
+    // resolution must instead scale with FILE count.
+    val rows = spark.range(0, 4000).toDF("doc_id")
+      .withColumn("kind", lit(3))
+      .withColumn("band", pmod(col("doc_id"), lit(4)).cast("int"))
+      .withColumn("bv", md5(concat(col("doc_id").cast("string"), lit("x"))))
+      .withColumn("bkt", Dedup.bandBucket(col("band"), col("bv")))
+    st.create("state", rows
+      .repartitionByRange(64, col("kind"), col("bkt"), col("doc_id"))
+      .sortWithinPartitions("kind", "bkt", "doc_id"))
+
+    // order alignment: the packed long sorts exactly like (band, bv)
+    val sample = rows.limit(500).select("band", "bv", "bkt").collect()
+    val byKey = sample.sortBy(r => (r.getInt(0), r.getString(1))).map(_.getLong(2))
+    byKey.toSeq shouldBe byKey.sorted.toSeq
+
+    // an epoch probing 6 band keys reads ~6 of the 64 files however the
+    // keys scatter over the value space
+    val probe = rows.filter(col("doc_id")
+        .isin(3L, 777L, 1500L, 2222L, 3001L, 3999L))
+      .select("band", "bv", "bkt").collect()
+    val keys = probe.map(_.getLong(2)).distinct.sorted
+    val (scan, rep) = st.scanSkippingIds("state",
+      Seq(ColumnRange("kind", Some(3), Some(3))), "bkt", keys)
+    rep.filesTotal shouldBe 64
+    rep.filesRead should be <= keys.length + 2 // boundary straddle slack
+    // lossless superset: every probed (band, bv) row survives the read
+    val got = scan.select("band", "bv").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    probe.foreach(p => got should contain((p.getInt(0), p.getString(1))))
+  }
 }

@@ -172,10 +172,9 @@ class DedupSinkPlanSpec extends SparkSpec {
         Dedup.dedupIngestEpoch(st)(epochs.last, (epochs.size - 1).toLong)
       }
       import scala.jdk.CollectionConverters._
-      // the trace also carries a cand.docs diagnostics row (candidate
-      // cardinality, not a store read) — drop it before pinning reads
+      // candidate cardinality lives in its own candTrace queue (ADVICE
+      // r14) — the skip trace holds ONLY store reads
       val skips = Dedup.skipTrace.iterator().asScala.toSeq
-        .filterNot(_._1 == "cand.docs")
       // exactly 2 pruned store reads per epoch: the band probe + the
       // candidate-hash probe. (Scan NODE count is not the invariant — a
       // pruned read over an append chain unions one scan node per
