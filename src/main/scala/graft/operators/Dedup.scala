@@ -1245,19 +1245,27 @@ object Dedup {
     * using this epoch's kernel-counted candidate cardinality as the
     * proxy for future probes (batch shape is a deployment's most stable
     * statistic) and the stats-sidecar row count as storeRows — both
-    * metadata / already-paid jobs, no extra scan. Early epochs hit the
-    * cap (store ≈ batch ⇒ any file is probe-dense); as the store
-    * outgrows the batch the count glides to the floor while the
-    * RELATIVE file width keeps shrinking — which is what the skip
-    * probability depends on. An explicit `spark.graft.state
-    * .filesPerEpoch` (read off `s` so a stream's cloned-session conf
-    * governs its own appends) still overrides — the reproducibility
-    * lever the probes use. */
+    * metadata / already-paid jobs, no extra scan. Sizing by the CURRENT
+    * store is conservative-correct for every later probe: a file
+    * written at storeRows₀ and probed at storeRows_E ≥ storeRows₀ has
+    * skip probability ≥ exp(−storeRows₀ / (2 · storeRows_E)) ≥
+    * exp(−1/2) ≈ 61%. The ramp is GATED on the store having outgrown
+    * the batch (storeRows ≥ 4 × batchRows): below that, candidate
+    * density is so high that every file of any realistic width is
+    * probe-dense — narrow files would only pay write/open overhead
+    * with nothing skippable — so short-lived bench-scale stores (q199's
+    * 2 epochs, q201's 4) stay at the floor and pay ZERO layout tax,
+    * while a probe/deployment store ramps from its 4th batch on (the
+    * early coarse layers become a vanishing fraction, and
+    * auto-compaction re-clusters them anyway). An explicit `spark.graft
+    * .state.filesPerEpoch` (read off `s` so a stream's cloned-session
+    * conf governs its own appends) still overrides — the
+    * reproducibility lever the probes use. */
   private def sizedStateFiles(s: SparkSession, storeRows: Long,
       batchRows: Long, candidates: Option[Long]): Int =
     s.conf.getOption("spark.graft.state.filesPerEpoch").map(_.toInt).getOrElse {
       val c = candidates.getOrElse(0L)
-      if (c <= 0L || batchRows <= 0L || storeRows <= 0L) StateFilesFloor
+      if (c <= 0L || batchRows <= 0L || storeRows < 4L * batchRows) StateFilesFloor
       else {
         val f = math.ceil(2.0 * batchRows * c / storeRows)
         math.max(StateFilesFloor.toDouble, math.min(StateFilesCap.toDouble, f)).toInt
