@@ -1417,16 +1417,21 @@ object Dedup {
     * rows-per-file at the same storeRows / (2 × candidates) target the
     * write layout uses — i.e. ~2 × candidates files — so maintenance
     * never silently widens files past what the per-epoch probes can
-    * skip. Falls back to halving the current file count (chain collapse
-    * with comparable width) when no candidate figure is at hand, and
+    * skip, but never MORE files than the store already has (compaction
+    * must not fragment; globally-disjoint post-compaction ranges prune
+    * at least as well at equal count). Falls back to halving the
+    * current file count (chain collapse at comparable width) when no
+    * candidate figure is at hand, and
     * [[graft.sources.TableStore.compactClustered]] still takes the
     * byte-derived width when larger, which caps file size at deployment
     * scale. */
   private def compactMinFiles(st: graft.sources.TableStore, name: String,
       candidates: Option[Long]): Int = {
+    val current = st.fileCount(name)
     val byCand = candidates.filter(_ > 0L)
-      .map(c => math.max(StateFilesFloor.toLong, math.min(4096L, 2L * c)).toInt)
-    byCand.getOrElse(math.max(StateFilesFloor, st.fileCount(name) / 2))
+      .map(c => math.max(StateFilesFloor.toLong,
+        math.min(math.min(4096L, current.toLong), 2L * c)).toInt)
+    byCand.getOrElse(math.max(StateFilesFloor, current / 2))
   }
 
   /** q199: STREAMING dedup ingest — the twelfth streaming gate and q90's
