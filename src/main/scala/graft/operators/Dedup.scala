@@ -1585,6 +1585,73 @@ object Dedup {
     } finally EventsOps.rmTree(storeRoot)
   }
 
+  /** q202: dedup ingest under POLICY-DRIVEN maintenance — q201's
+    * admission semantics with the compaction decided by the
+    * auto-compaction policy itself ([[maybeAutoCompact]] inside
+    * [[dedupIngestEpoch]]), never by the caller: four doc_id-ordered
+    * epochs with the chain-length trigger lowered to 3 (via
+    * `spark.graft.state.autoCompactVersions`, restored afterwards), so
+    * the policy compacts the store TWICE mid-run — after epochs 1 and 3
+    * — and epochs 2–3 dedupe against a policy-compacted store. Banding
+    * and verification are content-hash-determined, so the admitted set
+    * must be identical to the never-compacted run; the oracle is
+    * exactly q199's monolithic one, which upgrades "the maintenance
+    * POLICY never changes results" from a spec-level claim
+    * (DedupIngestSpec) to an oracle-gated one, the way q201 did for
+    * hand-invoked maintenance.
+    *
+    * Scale posture: per-epoch bound identical to q199/q201; each policy
+    * compaction is one range shuffle of surviving state at a width
+    * capped by the store's current file count ([[compactMinFiles]]),
+    * amortized by every later epoch's pruned reads and the collapsed
+    * manifest. */
+  val q202 = QueryDef(
+    "q202_dedup_policy_compact_ingest",
+    s"""WITH $lshPairsCtes,
+       |cut AS (SELECT DISTINCT doc_b FROM verified)
+       |SELECT d.doc_id, d.source,
+       |  len(string_split(trim(d.text), ' ')) AS n_tokens
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_b FROM cut)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-policy")
+    val confKey = "spark.graft.state.autoCompactVersions"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "3")
+    try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      buildDedupState(st, docs.limit(0))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val slices = 4
+        val step = (hi - lo) / slices + 1
+        (0 until slices).foreach { e =>
+          // no maintenance call anywhere: the policy inside the epoch
+          // fires whenever the chain reaches the configured trigger
+          dedupIngestEpoch(st)(docs.filter(
+            col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+        }
+      }
+      val cuts = stateCuts(st.table("state")).distinct()
+      Tables.documents(s, d)
+        .join(cuts, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+        // pinned: the store root is deleted in the finally below
+        .transform(pin)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+      EventsOps.rmTree(storeRoot)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147, q199, q201)
+    Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147, q199, q201, q202)
 }
