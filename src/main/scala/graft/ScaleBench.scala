@@ -169,6 +169,7 @@ object ScaleBench {
         if (coldMemo) {
           operators.Dedup.releaseLshCache(dir)
           operators.Extras.releaseGraphMemo(dir)
+          operators.DedupClusters.releaseClusterStore(dir)
         }
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()

@@ -1652,6 +1652,242 @@ object Dedup {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Incremental near-dup CLUSTER maintenance (q203, in DedupClusters):
+  // q71's component labels kept CURRENT as the corpus arrives in epochs,
+  // on the same kind-tagged signature store q199's admission uses. Two
+  // new kinds join the state schema:
+  //   kind 4 — label rows: (doc_id, h = component at append time)
+  //   kind 5 — merge mappings: (doc_id = absorbed component id, h = the
+  //            absorbing component id, resolved AT APPEND TIME)
+  // Members of an absorbed component are NEVER eagerly rewritten — the
+  // kind-5 row re-points the whole component and readers resolve through
+  // the mapping closure — so per-epoch writes stay endpoint-bounded
+  // (this epoch's pair endpoints + one row per absorbed component),
+  // never store-proportional, and the one ledgered append per epoch
+  // keeps q199's atomicity story: labels and mappings become visible
+  // with the signatures that produced them, in one flip.
+  // ------------------------------------------------------------------
+
+  /** Hop budget for [[resolveThroughMappings]]' targeted walk. Chains
+    * stay short because every appended mapping points at the component
+    * CURRENT at its epoch (path compression on write): a chain only
+    * grows another hop when that absorber is itself later absorbed. */
+  private[graft] val MappingChainRounds = 64
+
+  /** Stored label rows (kind 4) as (doc_id, component-at-append-time),
+    * file-pruned to `ids` when the endpoint set is known (a SUPERSET
+    * read — callers restrict exactly). A doc re-matched across epochs
+    * carries several kind-4 rows; each resolves to the same current
+    * component through the mapping chain, so callers may take any
+    * (min, for determinism). */
+  private def stateLabelsFor(st: graft.sources.TableStore)(
+      ids: Option[Array[Long]]): DataFrame = ids match {
+    case Some(e) =>
+      val (df, rep) = st.scanSkippingIds("state",
+        Seq(graft.sources.FileStats.ColumnRange("kind", Some(4), Some(4))),
+        "doc_id", e)
+      recordSkip("state.labels", rep)
+      df.select(col("doc_id"), col("h").as("component"))
+    case None =>
+      st.table("state").filter(col("kind") === 4)
+        .select(col("doc_id"), col("h").as("component"))
+  }
+
+  /** Stored merge mappings (kind 5) as (old_comp, new_comp). */
+  private[graft] def stateMappings(state: DataFrame): DataFrame =
+    state.filter(col("kind") === 5)
+      .select(col("doc_id").as("old_comp"), col("h").as("new_comp"))
+
+  /** Resolve raw (doc_id, component) labels through the stored merge
+    * chains. `prunedIds = true` (the epoch's endpoint set fit under the
+    * broadcast ceiling) walks hop-by-hop with kind-5 reads file-pruned
+    * to the CURRENT component id set — per-hop work is bounded by the
+    * endpoint set, never the mapping table, and hops = the longest live
+    * chain (see [[MappingChainRounds]]). `prunedIds = false` (skew
+    * fallback, same trigger as the kernel's) reads the kind-5 slice once
+    * and closes it with the distributed fixpoint instead — no driver
+    * collects on the skew path. */
+  private def resolveThroughMappings(st: graft.sources.TableStore,
+      raw: DataFrame, prunedIds: Boolean): DataFrame = {
+    if (!prunedIds) {
+      val m = stateMappings(st.table("state"))
+      val closure = DedupClusters.propagateMin(
+        m.select(col("old_comp").as("src"), col("new_comp").as("dst"))
+          .unionByName(m.select(col("new_comp").as("src"), col("old_comp").as("dst"))))
+      return raw.join(closure.toDF("component", "root"), Seq("component"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("component")).as("component"))
+    }
+    var cur = pin(raw)
+    var rounds = 0
+    while (rounds < MappingChainRounds) {
+      val ids = cur.select("component").distinct().collect().map(_.getLong(0))
+      if (ids.isEmpty) return cur
+      java.util.Arrays.sort(ids)
+      val (m, rep) = st.scanSkippingIds("state",
+        Seq(graft.sources.FileStats.ColumnRange("kind", Some(5), Some(5))),
+        "doc_id", ids)
+      recordSkip("state.maps", rep)
+      // min over re-emitted rows picks the furthest-resolved target
+      val step = m.select(col("doc_id").as("component"), col("h").as("nc"))
+        .groupBy("component").agg(min(col("nc")).as("nc"))
+      val joined = pin(cur.join(step, Seq("component"), "left")
+        .select(col("doc_id"), col("component"), col("nc")))
+      val moved = joined
+        .filter(col("nc").isNotNull && col("nc") =!= col("component")).count()
+      cur = joined.select(col("doc_id"),
+        coalesce(col("nc"), col("component")).as("component"))
+      if (moved == 0L) return cur
+      rounds += 1
+    }
+    throw new IllegalStateException(
+      s"merge-mapping chain resolution did not converge after $MappingChainRounds hops " +
+        "— compact the signature store to collapse re-emitted chains")
+  }
+
+  /** One CLUSTER epoch's state rows: the dedup state frame (kinds 0/2/3;
+    * no cut verdicts — clustering keeps every doc) plus this epoch's
+    * label rows (kind 4), merge mappings (kind 5) and optional per-doc
+    * metadata (kind 6), all in the shared [[StateCols]] schema so ONE
+    * [[stateLayout]] write lays every kind out for its own file prune. */
+  private def clusterStateFrame(sig: DataFrame, th: DataFrame,
+      labels: DataFrame, maps: DataFrame,
+      metaRows: Option[DataFrame]): DataFrame = {
+    val base = stateFrame(sig, th, th.select("doc_id").limit(0))
+      .unionByName(labels.select(col("doc_id"), lit(4).as("kind"),
+        lit(0L).as("bkt"), col("component").as("h")), allowMissingColumns = true)
+      .unionByName(maps.select(col("old_comp").as("doc_id"), lit(5).as("kind"),
+        lit(0L).as("bkt"), col("new_comp").as("h")), allowMissingColumns = true)
+    metaRows.fold(base)(m => base.unionByName(
+        m.select(col("doc_id"), lit(6).as("kind"), lit(0L).as("bkt"), col("n")),
+        allowMissingColumns = true))
+      .select(StateCols.map(col): _*)
+  }
+
+  /** Stored per-doc metadata (kind 6) as (doc_id, meta) — the sidecar a
+    * downstream maintained aggregate (q204's canonical argmax) reads so
+    * it never re-touches corpus text. One row per ingested doc. */
+  private[graft] def stateDocMeta(state: DataFrame): DataFrame =
+    state.filter(col("kind") === 6)
+      .select(col("doc_id"), col("n").as("meta")).distinct()
+
+  /** The q203 per-epoch cluster-maintenance step. Batch docs run the
+    * SAME incremental kernel as q199 (this epoch's verified pairs = the
+    * pairs whose LATER endpoint just arrived; banding and verification
+    * are content-hash-determined, so the union over epochs is exactly
+    * the monolithic pair set), then a min-label fixpoint contracts the
+    * EPOCH-BOUNDED merge graph — pair edges plus endpoint↔current-
+    * component links, so two stored clusters bridged by one new doc
+    * merge transitively through their label nodes — and ONE ledgered
+    * append commits signatures + labels + mappings atomically. A
+    * restarted epoch re-offering a committed id no-ops before any LSH
+    * work (same guard as [[dedupIngestEpoch]]); a crash mid-epoch left
+    * nothing visible (single append at the end), and the re-run is
+    * deterministic because the store it reads is unchanged. */
+  private[graft] def clusterIngestEpoch(st0: graft.sources.TableStore,
+      meta: Option[Column] = None)(
+      batch: DataFrame, epoch: Long): Unit = {
+    val t0 = System.nanoTime()
+    try clusterIngestEpochBody(st0, meta)(batch, epoch)
+    finally if (sys.props.contains("graft.epochTrace")) {
+      epochTrace.add((epoch, (System.nanoTime() - t0) / 1e9)); ()
+    }
+  }
+
+  private def clusterIngestEpochBody(st0: graft.sources.TableStore,
+      meta: Option[Column])(
+      batch: DataFrame, epoch: Long): Unit = {
+    val s = batch.sparkSession
+    val st = new graft.sources.TableStore(s, st0.rootDir)
+    if (st.batchCommitted("state", epoch)) return
+    val (newSig, newTh) = {
+      val (sig, th) = signatureFrames(batch)
+      (sig.persist(), th.persist())
+    }
+    try {
+      val storeRows = st.statsRowCount("state")
+      val k = incrementalLshKernelPruned(s,
+        stateBandsPruned(st, batchBandKeys(newSig)), stateThFor(st),
+        newSig, newTh)
+      // pin the epoch's verified pairs before releasing kernel caches —
+      // everything below derives from this (small) frame
+      val pairs =
+        try pin(k.pairs.select(col("doc_a"), col("doc_b")))
+        finally k.release()
+      val endpoints = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      // endpoint ids under the kernel's broadcast ceiling drive the
+      // kind-4/kind-5 file prunes; over it, the same skew fallback as
+      // the kernel — unpruned scans, no driver collect
+      val epIds = {
+        val n = endpoints.count()
+        if (n <= MaxBroadcastCandidateDocs) {
+          val a = endpoints.collect().map(_.getLong(0))
+          java.util.Arrays.sort(a)
+          Some(a)
+        } else None
+      }
+      val rawStored = stateLabelsFor(st)(epIds)
+        .join(endpoints, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(min(col("component")).as("component"))
+      val curStored = resolveThroughMappings(st, rawStored, epIds.isDefined)
+      // current labels of this epoch's endpoints; never-paired docs
+      // start at themselves
+      val cur = pin(endpoints.join(curStored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component")))
+      val compLinks = cur.filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id").as("src"), col("component").as("dst"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .unionByName(compLinks)
+        .unionByName(compLinks.select(col("dst").as("src"), col("src").as("dst")))
+      val fin = DedupClusters.propagateMin(edges, Some(cur))
+      val labelRows = pin(endpoints.join(fin, Seq("doc_id")))
+      // one mapping row per component this epoch absorbed: nodes whose
+      // resolved pre-epoch label lowered, keyed by that label. (A
+      // first-seen endpoint that lost to a smaller id emits its own id
+      // too — nothing was ever labeled with it, so the row is inert.)
+      val initAll = cur.unionByName(
+        compLinks.select(col("dst").as("doc_id"), col("dst").as("component")))
+        .distinct()
+      val maps = pin(initAll
+        .join(fin.toDF("doc_id", "fin"), Seq("doc_id"))
+        .filter(col("fin") < col("component"))
+        .select(col("component").as("old_comp"), col("fin").as("new_comp"))
+        .distinct())
+      // optional per-doc metadata (kind 6) — batch-bounded expression
+      // work at arrival time (the only moment the text is in hand)
+      val metaRows = meta.map(m =>
+        batch.select(col("doc_id"), m.cast("long").as("n")))
+      val files = sizedStateFiles(s, storeRows, newTh.count(), k.candCount)
+      st.appendBatch("state", epoch,
+        stateLayout(clusterStateFrame(newSig, newTh, labelRows, maps, metaRows),
+          files))
+      maybeAutoCompact(s, st, k.candCount)
+    } finally { newSig.unpersist(); newTh.unpersist(); () }
+  }
+
+  /** Current cluster labels off the state store: every kind-4 row
+    * resolved through the kind-5 mapping closure (mappings record merge
+    * events, so components connected via mappings are truly the same
+    * final cluster, and the closure's min IS the chain root — merges
+    * always adopt the smaller id). Membership is exactly q71's: a doc
+    * has a kind-4 row iff it ever appeared in a verified pair. */
+  private[graft] def clusterLabels(st: graft.sources.TableStore): DataFrame = {
+    val state = st.table("state")
+    val raw = state.filter(col("kind") === 4)
+      .select(col("doc_id"), col("h").as("component"))
+    val m = stateMappings(state)
+    val closure = DedupClusters.propagateMin(
+      m.select(col("old_comp").as("src"), col("new_comp").as("dst"))
+        .unionByName(m.select(col("new_comp").as("src"), col("old_comp").as("dst"))))
+    raw.join(closure.toDF("component", "root"), Seq("component"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("component")).as("component"))
+      .groupBy("doc_id").agg(min(col("component")).as("component"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q46, q47, q48, q49, q90, q97, q112, q121, q147, q199, q201, q202)
 }

@@ -28,8 +28,12 @@ object DedupClusters {
 
   private val MaxRounds = 50
 
-  val q71 = QueryDef(
-    "q71_neardup_components",
+  /** The component-fixpoint oracle (min reachable doc_id over the
+    * LSH-verified pair graph, membership = "appears in >= 1 pair") —
+    * shared verbatim by q71 (monolithic) and q203 (incrementally
+    * maintained): the objective is algorithm-independent, so ANY correct
+    * maintenance scheme must reproduce this exact table. */
+  private[operators] val componentsOracleSql: String =
     s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
        |pairs AS (SELECT doc_a, doc_b FROM verified),
        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
@@ -44,14 +48,24 @@ object DedupClusters {
        |SELECT c.doc_id, c.component,
        |  CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
        |  c.doc_id = c.component AS is_keeper
-       |FROM comp c ORDER BY component, doc_id""".stripMargin) { (s, d) =>
-    val labels = components(s, d)
+       |FROM comp c ORDER BY component, doc_id""".stripMargin
+
+  /** Emission shape shared by q71/q203: per-component member counts and
+    * the keeper flag over a (doc_id, component) label frame. */
+  private def withMembership(labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
     labels
       .withColumn("n_members", count(lit(1)).over(w))
       .withColumn("is_keeper", col("doc_id") === col("component"))
       .select("doc_id", "component", "n_members", "is_keeper")
       .orderBy("component", "doc_id")
+  }
+
+  val q71 = QueryDef(
+    "q71_neardup_components",
+    componentsOracleSql) { (s, d) =>
+    withMembership(components(s, d))
   }
 
   /** Connected components over the LSH-verified near-dup graph:
@@ -63,14 +77,43 @@ object DedupClusters {
     val pairs = Dedup.lshVerifiedPairs(s, d).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+    propagateMin(edges)
+  }
 
-    // min-label propagation to fixpoint; every round materializes via
-    // localCheckpoint so the next round's plan starts from stored blocks
-    // (constant-depth lineage, no recursive re-execution)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+  /** Min-label propagation to fixpoint over a DIRECTED edge frame
+    * (src, dst) — pass both directions for an undirected graph. `init`
+    * seeds node labels (doc_id, component); nodes absent from `init`
+    * (and init-only nodes with no edge) start at themselves. Returns
+    * (doc_id, component = min label reachable from the node).
+    *
+    * Shared by q71's monolithic components (init = empty: every node
+    * starts at itself, fixpoint = min reachable doc_id), q203's
+    * per-epoch merge-graph contraction (init = current resolved labels;
+    * the graph is EPOCH-bounded — pairs + component links — never the
+    * corpus), and q203's read-time mapping closure (the merge-mapping
+    * chains, whose root IS the min because merges always adopt the
+    * smaller component id).
+    *
+    * Every round materializes via [[Dedup.pin]] (localCheckpoint on a
+    * single JVM, reliable checkpoint under `spark.graft.checkpointDir`)
+    * so the next round's plan starts from stored blocks — constant-depth
+    * lineage, no recursive re-execution. Rounds needed = graph diameter;
+    * non-convergence within the budget is an ERROR, not a silently
+    * shipped wrong answer. */
+  private[operators] def propagateMin(edges0: org.apache.spark.sql.DataFrame,
+      init: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = edges0.cache()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val seeded = init match {
+      case Some(i) => nodes
+        .unionByName(i.select("doc_id")).distinct()
+        .join(i.groupBy("doc_id").agg(min(col("component")).as("c0")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c0"), col("doc_id")).as("component"))
+      case None => nodes.withColumn("component", col("doc_id"))
+    }
+    var labels = Dedup.pin(seeded)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < MaxRounds) {
@@ -78,17 +121,16 @@ object DedupClusters {
         .join(labels.toDF("dst", "nbr_component"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_component")).as("best_nbr"))
-      val stepped = labels.join(viaNeighbor, Seq("doc_id"), "left")
+      val stepped = Dedup.pin(labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"), col("component"),
-          least(col("component"), coalesce(col("best_nbr"), col("component"))).as("next_component"))
-        .localCheckpoint(true)
+          least(col("component"), coalesce(col("best_nbr"), col("component"))).as("next_component")))
       changed = stepped.filter(col("next_component") =!= col("component")).count()
       labels = stepped.select(col("doc_id"), col("next_component").as("component"))
       rounds += 1
     }
     // the loop ran eagerly (per-round count actions) and the final labels
-    // are localCheckpoint-materialized, so the edge cache is dead weight
-    // from here on — release it on the failure path too, not just success
+    // are pin-materialized, so the edge cache is dead weight from here
+    // on — release it on the failure path too, not just success
     edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
@@ -215,42 +257,57 @@ object DedupClusters {
       when(graft.functions.TextFunctions.punctCount(col("text")) * 10
           <= size(split(trim(col("text")), " ")), 1).otherwise(0)
 
+  /** The canonical-election oracle (per-component argmax(quality,
+    * tiebreak min doc_id) over the q71 fixpoint) — shared verbatim by
+    * q156 (monolithic) and q204 (maintained): the election objective is
+    * algorithm-independent, so the maintained path must reproduce this
+    * exact table. */
+  private[operators] val canonicalOracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
+       |pairs AS (SELECT doc_a, doc_b FROM verified),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |closure(a, b) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT c.a, e.t FROM closure c JOIN edges e ON e.s = c.b),
+       |comp AS (
+       |  SELECT a AS doc_id, least(min(b), a) AS component
+       |  FROM closure GROUP BY a),
+       |q AS (SELECT doc_id, $qualSql AS quality FROM documents),
+       |j AS (SELECT c.doc_id, c.component, q.quality
+       |      FROM comp c JOIN q USING (doc_id)),
+       |best AS (SELECT component, max(struct_pack(q := quality, nd := -doc_id)) AS b
+       |         FROM j GROUP BY component)
+       |SELECT j.doc_id, j.component, CAST(j.quality AS INT) AS quality_score,
+       |  -(b.b).nd AS canonical_id,
+       |  j.doc_id = -(b.b).nd AS is_canonical
+       |FROM j JOIN best b USING (component)
+       |ORDER BY component, doc_id""".stripMargin
+
+  /** Canonical election shared by q156/q204: argmax(quality, tiebreak
+    * min doc_id) per component over a (doc_id, component, quality)
+    * frame — one component-keyed max(struct) hash aggregate joined
+    * back, never a window over the corpus. */
+  private def withCanonical(j: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val best = j.groupBy("component")
+      .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("component"), (-col("b").getField("nd")).as("canonical_id"))
+    j.join(best, Seq("component"))
+      .select(col("doc_id"), col("component"),
+        col("quality").cast("int").as("quality_score"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("component", "doc_id")
+  }
+
   val q156 = {
     QueryDef(
       "q156_canonical_selection",
-      s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
-         |pairs AS (SELECT doc_a, doc_b FROM verified),
-         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |closure(a, b) AS (
-         |  SELECT s, t FROM edges
-         |  UNION
-         |  SELECT c.a, e.t FROM closure c JOIN edges e ON e.s = c.b),
-         |comp AS (
-         |  SELECT a AS doc_id, least(min(b), a) AS component
-         |  FROM closure GROUP BY a),
-         |q AS (SELECT doc_id, $qualSql AS quality FROM documents),
-         |j AS (SELECT c.doc_id, c.component, q.quality
-         |      FROM comp c JOIN q USING (doc_id)),
-         |best AS (SELECT component, max(struct_pack(q := quality, nd := -doc_id)) AS b
-         |         FROM j GROUP BY component)
-         |SELECT j.doc_id, j.component, CAST(j.quality AS INT) AS quality_score,
-         |  -(b.b).nd AS canonical_id,
-         |  j.doc_id = -(b.b).nd AS is_canonical
-         |FROM j JOIN best b USING (component)
-         |ORDER BY component, doc_id""".stripMargin) { (s, d) =>
-      val labels = components(s, d)
+      canonicalOracleSql) { (s, d) =>
       val qual = Tables.documents(s, d).select(col("doc_id"), qualityCol.as("quality"))
-      val j = labels.join(qual, Seq("doc_id"))
-      val best = j.groupBy("component")
-        .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("b"))
-        .select(col("component"), (-col("b").getField("nd")).as("canonical_id"))
-      j.join(best, Seq("component"))
-        .select(col("doc_id"), col("component"),
-          col("quality").cast("int").as("quality_score"),
-          col("canonical_id"),
-          (col("doc_id") === col("canonical_id")).as("is_canonical"))
-        .orderBy("component", "doc_id")
+      withCanonical(components(s, d).join(qual, Seq("doc_id")))
     }
   }
 
@@ -331,5 +388,107 @@ object DedupClusters {
         "exact_savings_ppm", "neardup_savings_ppm")
   }
 
-  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181)
+  /** q203: INCREMENTAL cluster maintenance — q71's component labels kept
+    * current as the corpus arrives in doc_id-ordered epochs, without ever
+    * recomputing the fixpoint over the accumulated corpus. Each epoch
+    * runs q199's incremental kernel (this epoch's verified pairs = those
+    * whose later endpoint just arrived), contracts the EPOCH-BOUNDED
+    * merge graph (pair edges + endpoint↔current-component links), and
+    * commits labels + absorbed-component mappings with the epoch's
+    * signatures in ONE ledgered append ([[Dedup.clusterIngestEpoch]]).
+    * The oracle is exactly q71's monolithic recursive-CTE fixpoint —
+    * "maintenance never changes the clustering" as an oracle-gated
+    * guarantee, the q201/q202 discipline applied to cluster resolution.
+    *
+    * Scale posture: per-epoch work is batch compute + candidate-bounded
+    * store probes (the kernel's contract) + an endpoint-bounded label
+    * fixpoint; members of an absorbed component are re-pointed by ONE
+    * kind-5 mapping row, never rewritten, so no epoch ever touches
+    * store-proportional label state. Readback resolves the mapping
+    * closure once, at query time. */
+  // One cluster-maintained store per (session, dir), built by whichever
+  // of q203/q204 runs first — the corpusStore/lshPairsMemo discipline:
+  // the ingest is the expensive part, and both gates read the SAME state
+  // the way two dashboard queries share one warehouse table. Weak session
+  // keys + root-path values so a stopped session stays collectible.
+  private val clusterStoreMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  /** The documents table ingested as four doc_id-ordered epochs through
+    * [[Dedup.clusterIngestEpoch]], with the q156 quality score carried as
+    * kind-6 per-doc metadata (computed at arrival — the only moment the
+    * text is in hand; q204 never re-touches the corpus). */
+  private def clusterIngestedStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.sources.TableStore =
+    clusterStoreMemo.synchronized {
+      val perDir = {
+        val cur = clusterStoreMemo.get(s)
+        if (cur != null) cur
+        else { val m = scala.collection.mutable.Map[String, String]();
+               clusterStoreMemo.put(s, m); m }
+      }
+      val root = perDir.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val st = new graft.sources.TableStore(s,
+          java.nio.file.Files.createTempDirectory("graft-cluster-ingest").toString)
+        Dedup.buildDedupState(st, docs.limit(0))
+        val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+        if (r.getLong(2) > 0L) {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          val slices = 4
+          val step = (hi - lo) / slices + 1
+          (0 until slices).foreach { e =>
+            Dedup.clusterIngestEpoch(st, meta = Some(qualityCol))(docs.filter(
+              col("doc_id") >= lo + e * step &&
+                col("doc_id") < lo + (e + 1) * step), e.toLong)
+          }
+        }
+        st.rootDir
+      })
+      new graft.sources.TableStore(s, root)
+    }
+
+  /** Drop the memoized cluster store for `dir` (all sessions) and delete
+    * its tempdir — the honest-timing hook ScaleBench's cold mode uses so
+    * q203 pays its full ingest at every measured scale (and the rewrite
+    * hook for anyone regenerating parquet under a previously-read dir). */
+  private[graft] def releaseClusterStore(dir: String): Unit =
+    clusterStoreMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      for (perDir <- clusterStoreMemo.values.asScala; root <- perDir.remove(dir))
+        EventsOps.rmTree(java.nio.file.Paths.get(root))
+    }
+
+  val q203 = QueryDef(
+    "q203_incremental_cluster_ingest",
+    componentsOracleSql) { (s, d) =>
+    withMembership(Dedup.clusterLabels(clusterIngestedStore(s, d)))
+  }
+
+  /** q204: INCREMENTAL canonical selection — q156's quality-argmax keeper
+    * maintained on the q203 store instead of recomputed from the corpus:
+    * labels come from the maintained kind-4/5 state, quality scores from
+    * the kind-6 metadata written when each doc ARRIVED, so electing the
+    * canonical never re-reads a byte of corpus text. Argmax is
+    * associative and commutative, so the maintained election over
+    * resolved labels equals the monolithic one — and the oracle (q156's
+    * recursive-CTE fixpoint verbatim) gates exactly that.
+    *
+    * Scale posture: readback is the mapping-closure resolve (q203) plus
+    * one store-local equi-join (labels ⋈ kind-6 meta) and a
+    * component-keyed max(struct) hash aggregate — no corpus scan, no
+    * window over the corpus. */
+  val q204 = QueryDef(
+    "q204_incremental_canonical",
+    canonicalOracleSql) { (s, d) =>
+    val st = clusterIngestedStore(s, d)
+    val j = Dedup.clusterLabels(st)
+      .join(Dedup.stateDocMeta(st.table("state"))
+        .select(col("doc_id"), col("meta").cast("int").as("quality")),
+        Seq("doc_id"))
+    withCanonical(j)
+  }
+
+  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181, q203, q204)
 }

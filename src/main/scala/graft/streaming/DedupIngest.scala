@@ -99,4 +99,22 @@ object DedupIngest {
         } finally { newDocs.unpersist(); () }
       } finally { batch.unpersist(); () }
     }
+
+  /** Continuous CLUSTER maintenance — the q203 epoch as a streaming sink:
+    * wire as `docs.writeStream.foreachBatch(clusterIngestSink(store))`.
+    * Each micro-batch extends the kind-tagged signature store (create via
+    * `Dedup.buildDedupState`, possibly empty) and keeps the near-dup
+    * component labels current — pair edges from the incremental kernel,
+    * an epoch-bounded merge-graph contraction, absorbed components
+    * re-pointed by kind-5 mapping rows — in ONE ledgered append per
+    * epoch, so restarts replay to a no-op before any LSH work. `meta`
+    * optionally stamps a per-doc long (e.g. a quality score) as kind-6
+    * sidecar rows at arrival, the input to maintained elections such as
+    * q204's canonical pick. Read labels back any time with
+    * `Dedup.clusterLabels(store)` — maintenance (auto-compaction rides
+    * the same policy conf as the dedup sink) never changes them. */
+  def clusterIngestSink(store: TableStore,
+      meta: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, Long) => Unit =
+    (batch, epochId) => Dedup.clusterIngestEpoch(store, meta)(batch, epochId)
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupClusters}
+import graft.sources.TableStore
+
+/** Incremental near-dup cluster maintenance (q203): component labels kept
+  * current per ingest epoch on the kind-tagged signature store — kind 4
+  * label rows, kind 5 absorbed-component mappings — with members of an
+  * absorbed component re-pointed by ONE mapping row instead of rewritten,
+  * and readback resolving the mapping closure.
+  *
+  * The corpus is built so the cluster graph exercises the hard shapes:
+  *   X ~ Z ~ Y at >= 0.8 Jaccard while X !~ Y (a later Z BRIDGES the two
+  *   stored clusters), and Y2 ~ Y only (a member the bridge never touches,
+  *   so its label is stale on disk and must resolve through the chain). */
+class ClusterIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d")
+  private val core = words("core", 45).mkString(" ")
+  // shingle math (3-gram shingles of distinct tokens): |Z|=43, |X|=|Y|=49,
+  // |Y2|=55; J(Z,X)=J(Z,Y)=43/49≈0.88 (bridge pairs), J(X,Y)=43/55≈0.78
+  // (below threshold — the clusters are genuinely separate), J(Y,Y2)=
+  // 49/55≈0.89 (Y2 joins Y's cluster), J(Z,Y2)=43/55≈0.78 (the bridge
+  // never touches Y2).
+  private val textX = core + " " + words("alpha", 6).mkString(" ")
+  private val textY = core + " " + words("beta", 6).mkString(" ")
+  private val textY2 = textY + " " + words("gamma", 6).mkString(" ")
+  private val textZ = core
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def labelMap(st: TableStore): Map[Long, Long] =
+    Dedup.clusterLabels(st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def kind4Raw(st: TableStore, id: Long): Seq[Long] =
+    st.table("state").filter(col("kind") === 4 && col("doc_id") === id)
+      .select("h").as[Long].collect().toSeq.sorted
+
+  test("a later doc bridges two stored clusters; the absorbed component re-points via one mapping row") {
+    val st = new TableStore(spark, tempDir("graft-cluster").toString)
+    Dedup.buildDedupState(st, docsDf().limit(0))
+
+    // epoch 0: two mutually dissimilar seeds — no pairs, no labels
+    Dedup.clusterIngestEpoch(st)(docsDf(10L -> textX, 20L -> textY), 0L)
+    labelMap(st) shouldBe empty
+
+    // epoch 1: each seed gains a near-dup — two separate clusters
+    Dedup.clusterIngestEpoch(st)(docsDf(30L -> textX, 22L -> textY2), 1L)
+    labelMap(st) shouldBe Map(10L -> 10L, 30L -> 10L, 20L -> 20L, 22L -> 20L)
+
+    // epoch 2: Z is a near-dup of BOTH X and Y (but not Y2) — the two
+    // clusters merge through the new doc; component 20 is absorbed by a
+    // mapping row, and untouched member 22 keeps its stale kind-4 row
+    Dedup.clusterIngestEpoch(st)(docsDf(50L -> textZ), 2L)
+    labelMap(st) shouldBe
+      Map(10L -> 10L, 30L -> 10L, 20L -> 10L, 22L -> 10L, 50L -> 10L)
+    val maps = Dedup.stateMappings(st.table("state"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    maps should contain(20L -> 10L)
+    // the untouched member was never rewritten: its only stored label is
+    // still the absorbed component — the mapping, not a rewrite, re-points it
+    kind4Raw(st, 22L) shouldBe Seq(20L)
+
+    // epoch 3: a SMALLER id arrives as another bridge copy — the merged
+    // cluster re-roots at 5, absorbing component 10; doc 22 now resolves
+    // through the 2-hop chain 20 -> 10 -> 5 without any row of its own
+    Dedup.clusterIngestEpoch(st)(docsDf(5L -> textZ), 3L)
+    val after = labelMap(st)
+    after.values.toSet shouldBe Set(5L)
+    after.keySet shouldBe Set(5L, 10L, 20L, 22L, 30L, 50L)
+    Dedup.stateMappings(st.table("state"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet should
+      contain.allOf(20L -> 10L, 10L -> 5L)
+    kind4Raw(st, 22L) shouldBe Seq(20L)
+  }
+
+  test("a committed epoch replays as a no-op and maintenance compaction changes nothing") {
+    val st = new TableStore(spark, tempDir("graft-cluster-replay").toString)
+    Dedup.buildDedupState(st, docsDf().limit(0))
+    Dedup.clusterIngestEpoch(st)(docsDf(10L -> textX, 20L -> textY), 0L)
+    Dedup.clusterIngestEpoch(st)(docsDf(30L -> textX, 22L -> textY2), 1L)
+    val before = labelMap(st)
+    before shouldBe Map(10L -> 10L, 30L -> 10L, 20L -> 20L, 22L -> 20L)
+    val rows = st.table("state").count()
+
+    // replay: the ledger guard must no-op before any LSH work
+    Dedup.clusterIngestEpoch(st)(docsDf(30L -> textX, 22L -> textY2), 1L)
+    st.table("state").count() shouldBe rows
+    labelMap(st) shouldBe before
+
+    // layout-restoring maintenance must never change the clustering, and
+    // later epochs must keep maintaining labels over the compacted store
+    Dedup.compactSignatureStore(st)
+    labelMap(st) shouldBe before
+    Dedup.clusterIngestEpoch(st)(docsDf(50L -> textZ), 2L)
+    labelMap(st).values.toSet shouldBe Set(10L)
+  }
+
+  test("a live stream maintains cluster labels through the foreachBatch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = new TableStore(spark, tempDir("graft-cluster-stream").toString)
+    Dedup.buildDedupState(st, docsDf().limit(0))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = tempDir("graft-cluster-ckpt").toString
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.DedupIngest.clusterIngestSink(st))
+      .start()
+    try {
+      input.addData(10L -> textX, 20L -> textY, 30L -> textX, 22L -> textY2)
+      q.processAllAvailable()
+      labelMap(st) shouldBe Map(10L -> 10L, 30L -> 10L, 20L -> 20L, 22L -> 20L)
+      // the bridge arrives on a later micro-batch: stored clusters merge
+      input.addData(50L -> textZ)
+      q.processAllAvailable()
+      labelMap(st).values.toSet shouldBe Set(10L)
+    } finally q.stop()
+  }
+
+  test("incremental maintenance reproduces the monolithic q71 fixpoint on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = DedupClusters.q203.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val mono = DedupClusters.q71.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    inc should not be empty
+    inc.toSeq shouldBe mono.toSeq
+  }
+
+  test("maintained canonical election matches the monolithic q156 without re-reading corpus text") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = DedupClusters.q204.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    val mono = DedupClusters.q156.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    inc should not be empty
+    inc.toSeq shouldBe mono.toSeq
+  }
+}

@@ -204,4 +204,63 @@ class DedupSinkPlanSpec extends SparkSpec {
       Dedup.skipTrace.clear()
     }
   }
+
+  test("q203 cluster epoch: every store read is traced and pruned, free replay") {
+    val st = new TableStore(spark, tempDir("graft-clusterplan").toString)
+    Dedup.buildDedupState(st, docsFrame(Nil).limit(0))
+    // same corpus shape as the q199 test (filler docs + one near-dup
+    // lineage member per epoch), so each epoch finds pairs and the label
+    // state grows; the last epoch also brings a SMALLER lineage id so the
+    // cluster re-roots and a kind-5 mapping row is written
+    val epochs = (0 until 4).map { e =>
+      val fillers: Seq[(Long, String)] = (0 until 12).map { i =>
+        val id = e * 100L + 60 + i
+        (id, s"epoch $e doc $i " + Seq.tabulate(12)(j => s"w${id}_$j").mkString(" "))
+      }
+      val lineage: Seq[(Long, String)] =
+        if (e == 3) Seq((e * 100L + 50L, base), (10L, base)) else Seq((e * 100L + 50L, base))
+      docsFrame(fillers ++ lineage)
+    }
+    epochs.dropRight(1).zipWithIndex.foreach { case (b, e) =>
+      Dedup.clusterIngestEpoch(st)(b, e.toLong)
+    }
+    sys.props("graft.epochTrace") = "1"
+    Dedup.skipTrace.clear()
+    try {
+      val qes = captureQueryExecutions {
+        Dedup.clusterIngestEpoch(st)(epochs.last, (epochs.size - 1).toLong)
+      }
+      import scala.jdk.CollectionConverters._
+      val skips = Dedup.skipTrace.iterator().asScala.toSeq
+      // one epoch's pruned store reads: the kernel's band + hash probes,
+      // ONE kind-4 label read for the endpoint set, and the kind-5
+      // mapping walk (one read per hop; no mappings exist before this
+      // epoch, so the walk terminates after its first — empty — read)
+      skips.map(_._1).sorted shouldBe
+        Seq("state.bands", "state.labels", "state.maps", "state.shh")
+      // the grown store file-prunes the candidate-hash AND label reads
+      Seq("state.shh", "state.labels").foreach { tag =>
+        skips.filter(_._1 == tag).foreach { case (_, total, read) =>
+          withClue(s"$tag skip $read/$total: ") { read should be < total }
+        }
+      }
+      // no untraced store I/O: every file an executed scan read arrived
+      // through the traced pruned reads
+      executedStoreScanFiles(qes, st.rootDir) shouldBe skips.map(_._3).sum
+      // the epoch did its job: the cluster re-rooted at 10 and the old
+      // root was absorbed by a mapping row
+      Dedup.clusterLabels(st).collect()
+        .map(r => r.getLong(1)).toSet shouldBe Set(10L)
+      Dedup.stateMappings(st.table("state")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)) should contain(50L -> 10L)
+      // replay of the committed epoch is FREE: no store scan at all
+      val replayQes = captureQueryExecutions {
+        Dedup.clusterIngestEpoch(st)(epochs.last, (epochs.size - 1).toLong)
+      }
+      executedStoreScans(replayQes, st.rootDir) shouldBe 0
+    } finally {
+      sys.props.remove("graft.epochTrace")
+      Dedup.skipTrace.clear()
+    }
+  }
 }
