@@ -65,10 +65,17 @@ object EpochCostProbe {
     operators.Dedup.epochTrace.clear()
     operators.Dedup.skipTrace.clear()
     operators.Dedup.candTrace.clear()
+    // SPARK_GRAFT_EPOCH_OP=cluster probes the q203 cluster-maintenance
+    // epoch instead of the q199 admission epoch — same slicing, same
+    // constant-batch/growing-store design, same trace channels
+    val op = sys.env.getOrElse("SPARK_GRAFT_EPOCH_OP", "dedup")
     val t0 = System.nanoTime()
     val rows =
-      try operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
-      finally denseDir.foreach(operators.EventsOps.rmTree)
+      try {
+        if (op == "cluster")
+          operators.DedupClusters.clusterProbeIngest(slices)(spark, corpusDir)
+        else operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
+      } finally denseDir.foreach(operators.EventsOps.rmTree)
     val total = (System.nanoTime() - t0) / 1e9
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
@@ -91,8 +98,9 @@ object EpochCostProbe {
     // per-epoch candidate-doc cardinality, its own field (ADVICE r14: no
     // longer overloading the file-skip rows), in kernel execution order
     val candBody = drain(operators.Dedup.candTrace).mkString("[", ", ", "]")
+    val probeName = if (op == "cluster") "q203_epoch_cost" else "q199_epoch_cost"
     val doc =
-      s"""{"probe": "q199_epoch_cost", "corpus": "$dir", "slices": $slices,
+      s"""{"probe": "$probeName", "corpus": "$dir", "slices": $slices,
          | "files_per_epoch": ${filesPerEpoch.map(_.toString).getOrElse("\"auto\"")},
          | "auto_compact_versions": ${compactEvery.map(_.toString).getOrElse("\"default\"")},
          | "dense_ids": ${sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")},

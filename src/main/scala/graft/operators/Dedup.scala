@@ -1845,18 +1845,19 @@ object Dedup {
         .unionByName(compLinks.select(col("dst").as("src"), col("src").as("dst")))
       val fin = DedupClusters.propagateMin(edges, Some(cur))
       val labelRows = pin(endpoints.join(fin, Seq("doc_id")))
-      // one mapping row per component this epoch absorbed: nodes whose
-      // resolved pre-epoch label lowered, keyed by that label. (A
-      // first-seen endpoint that lost to a smaller id emits its own id
-      // too — nothing was ever labeled with it, so the row is inert.)
-      val initAll = cur.unionByName(
-        compLinks.select(col("dst").as("doc_id"), col("dst").as("component")))
-        .distinct()
-      val maps = pin(initAll
+      // one mapping row per component this epoch ABSORBED — and only
+      // those: candidates are the pre-epoch LIVE components reachable
+      // from this epoch (= resolved labels of stored endpoints; a
+      // cluster can only merge if one of its members is an endpoint, and
+      // every such component is a graph node — as its own endpoint row
+      // or as a link target). First-seen endpoints that lost to a
+      // smaller id are EXCLUDED: nothing on disk is labeled with a
+      // never-stored id, so kind-5 stays O(absorbed components), not
+      // O(endpoints), however dup-heavy the corpus.
+      val maps = pin(curStored.select(col("component").as("doc_id")).distinct()
         .join(fin.toDF("doc_id", "fin"), Seq("doc_id"))
-        .filter(col("fin") < col("component"))
-        .select(col("component").as("old_comp"), col("fin").as("new_comp"))
-        .distinct())
+        .filter(col("fin") < col("doc_id"))
+        .select(col("doc_id").as("old_comp"), col("fin").as("new_comp")))
       // optional per-doc metadata (kind 6) — batch-bounded expression
       // work at arrival time (the only moment the text is in hand)
       val metaRows = meta.map(m =>

@@ -429,25 +429,47 @@ object DedupClusters {
                clusterStoreMemo.put(s, m); m }
       }
       val root = perDir.getOrElseUpdate(d, {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
         val st = new graft.sources.TableStore(s,
           java.nio.file.Files.createTempDirectory("graft-cluster-ingest").toString)
-        Dedup.buildDedupState(st, docs.limit(0))
-        val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
-        if (r.getLong(2) > 0L) {
-          val (lo, hi) = (r.getLong(0), r.getLong(1))
-          val slices = 4
-          val step = (hi - lo) / slices + 1
-          (0 until slices).foreach { e =>
-            Dedup.clusterIngestEpoch(st, meta = Some(qualityCol))(docs.filter(
-              col("doc_id") >= lo + e * step &&
-                col("doc_id") < lo + (e + 1) * step), e.toLong)
-          }
-        }
+        ingestClusterEpochs(st, s, d, slices = 4)
         st.rootDir
       })
       new graft.sources.TableStore(s, root)
     }
+
+  /** Feed the documents table into `st` as `slices` equal doc_id-ordered
+    * epochs of [[Dedup.clusterIngestEpoch]] (quality riding as kind-6
+    * metadata). Shared by the memoized q203/q204 store and the
+    * epoch-cost probe's cluster arm. */
+  private[graft] def ingestClusterEpochs(st: graft.sources.TableStore,
+      s: org.apache.spark.sql.SparkSession, d: String, slices: Int): Unit = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Dedup.buildDedupState(st, docs.limit(0))
+    val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    if (r.getLong(2) > 0L) {
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val step = (hi - lo) / slices + 1
+      (0 until slices).foreach { e =>
+        Dedup.clusterIngestEpoch(st, meta = Some(qualityCol))(docs.filter(
+          col("doc_id") >= lo + e * step &&
+            col("doc_id") < lo + (e + 1) * step), e.toLong)
+      }
+    }
+  }
+
+  /** Probe seam: the q203 ingest at an arbitrary slice count over a
+    * FRESH (never memoized) store — EpochCostProbe's cluster arm.
+    * Returns the final maintained-label count; the store is deleted
+    * before returning. */
+  private[graft] def clusterProbeIngest(slices: Int)(
+      s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cluster-probe")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      ingestClusterEpochs(st, s, d, slices)
+      Dedup.clusterLabels(st).count()
+    } finally EventsOps.rmTree(root)
+  }
 
   /** Drop the memoized cluster store for `dir` (all sessions) and delete
     * its tempdir — the honest-timing hook ScaleBench's cold mode uses so

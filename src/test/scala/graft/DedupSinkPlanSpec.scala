@@ -245,8 +245,17 @@ class DedupSinkPlanSpec extends SparkSpec {
         }
       }
       // no untraced store I/O: every file an executed scan read arrived
-      // through the traced pruned reads
-      executedStoreScanFiles(qes, st.rootDir) shouldBe skips.map(_._3).sum
+      // through the traced pruned reads. The mapping walk's terminal read
+      // may exceed the executed count: its (near-)empty pruned scan
+      // materializes as an AQE stage that empty-relation propagation then
+      // drops from the FINAL plan, so its files are traced but absent
+      // from executed-plan metrics — hence a bound, not equality, with
+      // the slack capped at exactly that read's traced files
+      val traced = skips.map(_._3.toLong).sum
+      val mapsTraced = skips.filter(_._1 == "state.maps").map(_._3.toLong).sum
+      val executed = executedStoreScanFiles(qes, st.rootDir)
+      executed should be <= traced
+      executed should be >= traced - mapsTraced
       // the epoch did its job: the cluster re-rooted at 10 and the old
       // root was absorbed by a mapping row
       Dedup.clusterLabels(st).collect()
