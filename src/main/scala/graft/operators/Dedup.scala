@@ -1748,8 +1748,10 @@ object Dedup {
   /** One CLUSTER epoch's state rows: the dedup state frame (kinds 0/2/3;
     * no cut verdicts — clustering keeps every doc) plus this epoch's
     * label rows (kind 4), merge mappings (kind 5) and optional per-doc
-    * metadata (kind 6), all in the shared [[StateCols]] schema so ONE
-    * [[stateLayout]] write lays every kind out for its own file prune. */
+    * metadata rows (kinds >= 6, caller-shaped — see
+    * [[clusterIngestEpoch]]), all in the shared [[StateCols]] schema so
+    * ONE [[stateLayout]] write lays every kind out for its own file
+    * prune. */
   private def clusterStateFrame(sig: DataFrame, th: DataFrame,
       labels: DataFrame, maps: DataFrame,
       metaRows: Option[DataFrame]): DataFrame = {
@@ -1758,18 +1760,18 @@ object Dedup {
         lit(0L).as("bkt"), col("component").as("h")), allowMissingColumns = true)
       .unionByName(maps.select(col("old_comp").as("doc_id"), lit(5).as("kind"),
         lit(0L).as("bkt"), col("new_comp").as("h")), allowMissingColumns = true)
-    metaRows.fold(base)(m => base.unionByName(
-        m.select(col("doc_id"), lit(6).as("kind"), lit(0L).as("bkt"), col("n")),
-        allowMissingColumns = true))
+    metaRows.fold(base)(m => base.unionByName(m, allowMissingColumns = true))
       .select(StateCols.map(col): _*)
   }
 
-  /** Stored per-doc metadata (kind 6) as (doc_id, meta) — the sidecar a
-    * downstream maintained aggregate (q204's canonical argmax) reads so
-    * it never re-touches corpus text. One row per ingested doc. */
-  private[graft] def stateDocMeta(state: DataFrame): DataFrame =
-    state.filter(col("kind") === 6)
-      .select(col("doc_id"), col("n").as("meta")).distinct()
+  /** Stored per-doc metadata of one kind (>= 6) as (doc_id, h, n) — the
+    * sidecar a downstream maintained aggregate (q204's canonical argmax,
+    * q205's savings report) reads so it never re-touches corpus text.
+    * One row per ingested doc per kind; `distinct` keeps a replayed
+    * probe's duplicates out (values are content-determined). */
+  private[graft] def stateDocMeta(state: DataFrame, kind: Int = 6): DataFrame =
+    state.filter(col("kind") === kind)
+      .select(col("doc_id"), col("h"), col("n")).distinct()
 
   /** The q203 per-epoch cluster-maintenance step. Batch docs run the
     * SAME incremental kernel as q199 (this epoch's verified pairs = the
@@ -1784,8 +1786,12 @@ object Dedup {
     * work (same guard as [[dedupIngestEpoch]]); a crash mid-epoch left
     * nothing visible (single append at the end), and the re-run is
     * deterministic because the store it reads is unchanged. */
+  /** `meta` (optional): batch => per-doc metadata rows to commit WITH the
+    * epoch — shape (doc_id, kind, bkt, h, n) with kind >= 6 (kinds 0-5
+    * belong to the engine) and bkt = 0; computed at arrival, the only
+    * moment the text is in hand. */
   private[graft] def clusterIngestEpoch(st0: graft.sources.TableStore,
-      meta: Option[Column] = None)(
+      meta: Option[DataFrame => DataFrame] = None)(
       batch: DataFrame, epoch: Long): Unit = {
     val t0 = System.nanoTime()
     try clusterIngestEpochBody(st0, meta)(batch, epoch)
@@ -1795,7 +1801,7 @@ object Dedup {
   }
 
   private def clusterIngestEpochBody(st0: graft.sources.TableStore,
-      meta: Option[Column])(
+      meta: Option[DataFrame => DataFrame])(
       batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
     val st = new graft.sources.TableStore(s, st0.rootDir)
@@ -1858,10 +1864,9 @@ object Dedup {
         .join(fin.toDF("doc_id", "fin"), Seq("doc_id"))
         .filter(col("fin") < col("doc_id"))
         .select(col("doc_id").as("old_comp"), col("fin").as("new_comp")))
-      // optional per-doc metadata (kind 6) — batch-bounded expression
+      // optional per-doc metadata (kinds >= 6) — batch-bounded expression
       // work at arrival time (the only moment the text is in hand)
-      val metaRows = meta.map(m =>
-        batch.select(col("doc_id"), m.cast("long").as("n")))
+      val metaRows = meta.map(f => f(batch))
       val files = sizedStateFiles(s, storeRows, newTh.count(), k.candCount)
       st.appendBatch("state", epoch,
         stateLayout(clusterStateFrame(newSig, newTh, labelRows, maps, metaRows),

@@ -322,8 +322,10 @@ object DedupClusters {
     * keepers are one digest-keyed aggregate (q46's shape); near-dup
     * removals join the component labels (candidate-bounded) against the
     * per-doc token frame on doc_id. Output is single-row scalars. */
-  val q181 = QueryDef(
-    "q181_dedup_savings",
+  /** The savings-report oracle — shared verbatim by q181 (monolithic)
+    * and q205 (maintained from store state): same objective, so the
+    * maintained path must reproduce this exact single row. */
+  private[operators] lazy val savingsOracleSql: String =
     s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
        |pairs AS (SELECT doc_a, doc_b FROM verified),
        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
@@ -358,7 +360,11 @@ object DedupClusters {
        |    AS BIGINT) AS exact_savings_ppm,
        |  CAST((nd.removed * 1000000) // greatest(tot.total, 1) AS BIGINT)
        |    AS neardup_savings_ppm
-       |FROM tot CROSS JOIN ex CROSS JOIN nd""".stripMargin) { (s, d) =>
+       |FROM tot CROSS JOIN ex CROSS JOIN nd""".stripMargin
+
+  val q181 = QueryDef(
+    "q181_dedup_savings",
+    savingsOracleSql) { (s, d) =>
     val tok = Tables.documents(s, d).select(col("doc_id"),
       size(split(trim(col("text")), " ")).cast("long").as("nt"),
       md5(trim(col("text"))).as("dg"))
@@ -376,6 +382,15 @@ object DedupClusters {
       .filter(col("doc_id") =!= col("canonical_id"))
       .join(tok.select("doc_id", "nt"), Seq("doc_id"))
       .agg(coalesce(sum(col("nt")), lit(0L)).as("removed"))
+    savingsReport(tot, keepers, removed)
+  }
+
+  /** The savings report's closing arithmetic, shared by q181/q205:
+    * single-row tot(n_docs, total) × kept(kept) × removed(removed)
+    * frames into the exact-ppm report row. */
+  private def savingsReport(tot: org.apache.spark.sql.DataFrame,
+      keepers: org.apache.spark.sql.DataFrame,
+      removed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     tot.crossJoin(broadcast(keepers)).crossJoin(broadcast(removed))
       .select(col("n_docs"), col("total").as("total_tokens"),
         col("kept").as("tokens_after_exact"),
@@ -386,7 +401,6 @@ object DedupClusters {
           .as("neardup_savings_ppm"))
       .select("n_docs", "total_tokens", "tokens_after_exact", "tokens_after_neardup",
         "exact_savings_ppm", "neardup_savings_ppm")
-  }
 
   /** q203: INCREMENTAL cluster maintenance — q71's component labels kept
     * current as the corpus arrives in doc_id-ordered epochs, without ever
@@ -437,10 +451,31 @@ object DedupClusters {
       new graft.sources.TableStore(s, root)
     }
 
+  /** Arrival-time per-doc metadata for the maintained aggregates, in the
+    * clusterIngestEpoch sidecar shape (doc_id, kind, bkt, h, n):
+    *  - kind 6: h = whitespace token count, n = the q156 quality score —
+    *    q204's election input and q205's token masses;
+    *  - kind 7: the content digest for EXACT dedup — md5(trim(text))
+    *    split into two 60-bit halves (h = hex chars 1-15, n = 16-30;
+    *    120 of 128 bits, far beyond any corpus's birthday bound), so
+    *    digest equality is two BIGINT equalities in the store schema.
+    * Text is touched exactly here; every later read is store-local. */
+  private def clusterDocMeta(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = trim(col("text"))
+    def hex60(from: Int) =
+      expr(s"CAST(conv(substring(md5(trim(text)), $from, 15), 16, 10) AS BIGINT)")
+    batch.select(col("doc_id"), lit(6).as("kind"), lit(0L).as("bkt"),
+        size(split(t, " ")).cast("long").as("h"),
+        qualityCol.cast("long").as("n"))
+      .unionByName(batch.select(col("doc_id"), lit(7).as("kind"),
+        lit(0L).as("bkt"), hex60(1).as("h"), hex60(16).as("n")))
+  }
+
   /** Feed the documents table into `st` as `slices` equal doc_id-ordered
-    * epochs of [[Dedup.clusterIngestEpoch]] (quality riding as kind-6
-    * metadata). Shared by the memoized q203/q204 store and the
-    * epoch-cost probe's cluster arm. */
+    * epochs of [[Dedup.clusterIngestEpoch]] (quality/token/digest
+    * metadata riding as kind-6/7 sidecar rows). Shared by the memoized
+    * q203/q204/q205 store and the epoch-cost probe's cluster arm. */
   private[graft] def ingestClusterEpochs(st: graft.sources.TableStore,
       s: org.apache.spark.sql.SparkSession, d: String, slices: Int): Unit = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -450,7 +485,7 @@ object DedupClusters {
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val step = (hi - lo) / slices + 1
       (0 until slices).foreach { e =>
-        Dedup.clusterIngestEpoch(st, meta = Some(qualityCol))(docs.filter(
+        Dedup.clusterIngestEpoch(st, meta = Some(clusterDocMeta))(docs.filter(
           col("doc_id") >= lo + e * step &&
             col("doc_id") < lo + (e + 1) * step), e.toLong)
       }
@@ -507,10 +542,46 @@ object DedupClusters {
     val st = clusterIngestedStore(s, d)
     val j = Dedup.clusterLabels(st)
       .join(Dedup.stateDocMeta(st.table("state"))
-        .select(col("doc_id"), col("meta").cast("int").as("quality")),
+        .select(col("doc_id"), col("n").cast("int").as("quality")),
         Seq("doc_id"))
     withCanonical(j)
   }
 
-  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181, q203, q204)
+  /** q205: MAINTAINED dedup-savings report — q181's headline numbers
+    * ("X% of training tokens were duplicates") computed entirely from
+    * the q203 store, never from corpus text: token masses and quality
+    * from the kind-6 sidecar, exact-dup keepers from the kind-7 content
+    * digests (min doc_id per 120-bit md5 key — one hash aggregate),
+    * near-dup removals from the maintained labels + the q204 election.
+    * The oracle is q181's monolithic SQL verbatim, so "the dashboard a
+    * continuous ingest keeps current equals the batch recomputation" is
+    * oracle-gated like the rest of the maintained family.
+    *
+    * Scale posture: every input is a store-local scan of per-doc rows
+    * (2 BIGINTs each); the aggregates are hash aggregates keyed by
+    * digest/component; output is one row. */
+  val q205 = QueryDef(
+    "q205_maintained_dedup_savings",
+    savingsOracleSql) { (s, d) =>
+    val st = clusterIngestedStore(s, d)
+    val state = st.table("state")
+    val tok = Dedup.stateDocMeta(state, kind = 6)
+      .select(col("doc_id"), col("h").as("nt"), col("n").cast("int").as("quality"))
+    val dig = Dedup.stateDocMeta(state, kind = 7)
+      .select(col("doc_id"), col("h").as("d1"), col("n").as("d2"))
+    val tot = tok.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total"))
+    val keepers = dig.groupBy("d1", "d2").agg(min(col("doc_id")).as("doc_id"))
+      .join(tok.select("doc_id", "nt"), Seq("doc_id"))
+      .agg(sum(col("nt")).as("kept"))
+    val j = Dedup.clusterLabels(st).join(tok, Seq("doc_id"))
+    val best = j.groupBy("component")
+      .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("component"), (-col("b").getField("nd")).as("canonical_id"))
+    val removed = j.join(best, Seq("component"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("removed"))
+    savingsReport(tot, keepers, removed)
+  }
+
+  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181, q203, q204, q205)
 }

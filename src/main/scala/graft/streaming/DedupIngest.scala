@@ -108,13 +108,15 @@ object DedupIngest {
     * an epoch-bounded merge-graph contraction, absorbed components
     * re-pointed by kind-5 mapping rows — in ONE ledgered append per
     * epoch, so restarts replay to a no-op before any LSH work. `meta`
-    * optionally stamps a per-doc long (e.g. a quality score) as kind-6
-    * sidecar rows at arrival, the input to maintained elections such as
-    * q204's canonical pick. Read labels back any time with
+    * optionally stamps per-doc sidecar rows (kinds >= 6: quality scores,
+    * token counts, content digests — see Dedup.clusterIngestEpoch for
+    * the shape) at arrival, the input to maintained aggregates such as
+    * q204's canonical pick and q205's savings report. Read labels back
+    * any time with
     * `Dedup.clusterLabels(store)` — maintenance (auto-compaction rides
     * the same policy conf as the dedup sink) never changes them. */
   def clusterIngestSink(store: TableStore,
-      meta: Option[org.apache.spark.sql.Column] = None)
+      meta: Option[DataFrame => DataFrame] = None)
       : (DataFrame, Long) => Unit =
     (batch, epochId) => Dedup.clusterIngestEpoch(store, meta)(batch, epochId)
 }

@@ -141,4 +141,12 @@ class ClusterIngestSpec extends SparkSpec {
     inc should not be empty
     inc.toSeq shouldBe mono.toSeq
   }
+
+  test("maintained savings report matches the monolithic q181 from store state alone") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = DedupClusters.q205.build(spark, dir).collect().map(_.toSeq)
+    val mono = DedupClusters.q181.build(spark, dir).collect().map(_.toSeq)
+    inc.length shouldBe 1
+    inc.toSeq shouldBe mono.toSeq
+  }
 }
