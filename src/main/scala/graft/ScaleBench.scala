@@ -170,6 +170,7 @@ object ScaleBench {
           operators.Dedup.releaseLshCache(dir)
           operators.Extras.releaseGraphMemo(dir)
           operators.DedupClusters.releaseClusterStore(dir)
+          operators.SearchOps.releaseSearchIndex(dir)
         }
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()

@@ -313,7 +313,7 @@ object Dedup {
     * file leaves each file's [min, max] covering the whole bucket space
     * and no probe ever prunes. The shuffle it costs is bounded by the
     * frame being written (batch-bounded on every append path). */
-  private def bucketLayout(df: DataFrame, files: Int, keys: String*): DataFrame =
+  private[graft] def bucketLayout(df: DataFrame, files: Int, keys: String*): DataFrame =
     df.repartitionByRange(files, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
 

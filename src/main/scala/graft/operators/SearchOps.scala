@@ -82,12 +82,18 @@ object SearchOps {
   /** q99: conjunctive search via the index vs. a direct corpus scan (the
     * oracle) — same result, but the index path reads two posting lists
     * where the scan reads every document. */
-  val q99 = QueryDef(
-    "q99_conjunctive_search",
+  /** The conjunctive-query oracle (a direct corpus scan that never
+    * touches any index) — shared verbatim by q99 (inline index) and
+    * q207 (the maintained store's serving path). */
+  private val conjunctiveOracleSql: String =
     """SELECT doc_id FROM documents
       |WHERE list_contains(string_split(trim(text), ' '), 'dup')
       |  AND list_contains(string_split(trim(text), ' '), 'window')
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val q99 = QueryDef(
+    "q99_conjunctive_search",
+    conjunctiveOracleSql) { (s, d) =>
     conjunctiveSearch(s, d, Seq("dup", "window"))
   }
 
@@ -133,8 +139,10 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
-  val q101 = QueryDef(
-    "q101_bm25_rank",
+  /** The 2-term BM25 oracle (monolithic corpus recomputation) — shared
+    * verbatim by q101 (inline) and q206 (served from the maintained
+    * index store). */
+  private val bm25OracleSql: String =
     """WITH dl AS (
       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
       |stats AS (
@@ -152,7 +160,11 @@ object SearchOps {
       |FROM tf CROSS JOIN stats
       |JOIN df ON df.w = tf.w
       |JOIN dl ON dl.doc_id = tf.doc_id
-      |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin) { (s, d) =>
+      |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+
+  val q101 = QueryDef(
+    "q101_bm25_rank",
+    bm25OracleSql) { (s, d) =>
     bm25(s, d, Seq("dup", "window"), 20)
   }
 
@@ -475,5 +487,180 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id"), col("chunk_id")).limit(10)
   }
 
-  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119, q125, q165)
+  // ------------------------------------------------------------------
+  // Incremental retrieval-index maintenance (q206/q207): the q98/q101
+  // index kept CURRENT as the corpus arrives in epochs, in one
+  // kind-tagged store table laid out for query-time file pruning:
+  //   kind 0 — postings: (w, doc_id, tf), term-clustered
+  //   kind 1 — doc lengths: (doc_id, dl)
+  //   kind 2 — per-epoch corpus-stats partial: (n_docs, sum_dl)
+  // Maintenance is READ-FREE: an epoch tokenizes its batch and commits
+  // one ledgered append — no store scan, no rebuild, cost strictly
+  // batch-proportional. Every global statistic BM25 needs is either
+  // additive across epochs (n, sum_dl — kind-2 partials summed at read
+  // time) or derivable from the QUERY TERMS' own pruned postings (tf,
+  // df), because a doc lands in exactly one epoch — so serving reads
+  // prune to the probed terms' files and the maintained scores are
+  // bit-identical to the monolithic recomputation (the q101 oracle).
+  // ------------------------------------------------------------------
+
+  /** One epoch of index maintenance: tokenize the batch, commit postings
+    * + doc lengths + the stats partial as ONE ledgered append (replay
+    * no-ops on the epoch ledger). The write lays rows out by
+    * (kind, w, doc_id), so kind-0 files carry disjoint term ranges —
+    * the prune [[bm25FromIndex]] relies on. */
+  private[graft] def indexIngestEpoch(st: graft.sources.TableStore)(
+      batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
+    if (st.batchCommitted("index", epoch)) return
+    st.appendBatch("index", epoch,
+      Dedup.bucketLayout(indexRows(batch), 8, "kind", "w", "doc_id"))
+    ()
+  }
+
+  private def indexRows(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = batch.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nulL = lit(null).cast("long")
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      .select(lit(0).as("kind"), col("w"), col("doc_id"), col("tf"),
+        nulL.as("dl"), nulL.as("n_docs"), nulL.as("sum_dl"))
+    val dl = toks
+      .select(lit(1).as("kind"), lit("").as("w"), col("doc_id"), nulL.as("tf"),
+        size(col("toks")).cast("long").as("dl"), nulL.as("n_docs"), nulL.as("sum_dl"))
+    val stats = toks
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).cast("long").as("sum_dl"))
+      .select(lit(2).as("kind"), lit("").as("w"), lit(0L).as("doc_id"), nulL.as("tf"),
+        nulL.as("dl"), col("n_docs"), col("sum_dl"))
+    tf.unionByName(dl).unionByName(stats)
+  }
+
+  /** Create the (empty) index table [[indexIngestEpoch]] appends to. */
+  private[graft] def buildSearchIndex(st: graft.sources.TableStore,
+      seed: org.apache.spark.sql.DataFrame): Unit = {
+    st.create("index", indexRows(seed)); ()
+  }
+
+  /** The probed terms' posting rows, file-pruned to kind-0 files whose
+    * term range admits a query term (string min/max stats — a SUPERSET
+    * read, filtered exactly below). */
+  private def prunedPostings(st: graft.sources.TableStore, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val (df, rep) = st.scanSkippingValues("index",
+      Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
+      "w", terms)
+    if (sys.props.contains("graft.epochTrace")) {
+      Dedup.skipTrace.add(("index.postings", rep.filesTotal, rep.filesRead)); ()
+    }
+    df.filter(col("kind") === 0 && col("w").isin(terms: _*))
+      .select("w", "doc_id", "tf")
+  }
+
+  /** BM25 served from the maintained store — [[bm25]]'s exact scoring
+    * expression over store-local inputs: tf/df from the pruned postings,
+    * doc lengths from the kind-1 sidecar, (n, avgdl) from the summed
+    * kind-2 partials. Bit-identical to the monolithic scores: tf and df
+    * are the same counts (a doc lands in exactly one epoch), n/sum_dl
+    * are exact integer sums, and the double expression tree is a literal
+    * mirror of [[bm25]]'s. */
+  private[graft] def bm25FromIndex(st: graft.sources.TableStore,
+      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val idx = st.table("index")
+    val tf = prunedPostings(st, terms)
+      .select(col("w"), col("doc_id"), col("tf").cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val dl = idx.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
+    val stats = idx.filter(col("kind") === 2)
+      .agg((sum(col("sum_dl")).cast("double") /
+        sum(col("n_docs")).cast("double")).as("avgdl"),
+        sum(col("n_docs")).cast("double").as("n"))
+    tf.crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+          .as("s"))
+      .groupBy("doc_id").agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  // One maintained index store per (session, dir) — the q203-family
+  // memo discipline: whichever of q206/q207 runs first pays the 4-epoch
+  // build, both serve from the same store (weak session keys, root-path
+  // values).
+  private val indexStoreMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def maintainedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.sources.TableStore =
+    indexStoreMemo.synchronized {
+      val perDir = {
+        val cur = indexStoreMemo.get(s)
+        if (cur != null) cur
+        else { val m = scala.collection.mutable.Map[String, String]();
+               indexStoreMemo.put(s, m); m }
+      }
+      val root = perDir.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val st = new graft.sources.TableStore(s,
+          java.nio.file.Files.createTempDirectory("graft-search-index").toString)
+        buildSearchIndex(st, docs.limit(0))
+        val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+        if (r.getLong(2) > 0L) {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          val slices = 4
+          val step = (hi - lo) / slices + 1
+          (0 until slices).foreach { e =>
+            indexIngestEpoch(st)(docs.filter(
+              col("doc_id") >= lo + e * step &&
+                col("doc_id") < lo + (e + 1) * step), e.toLong)
+          }
+        }
+        st.rootDir
+      })
+      new graft.sources.TableStore(s, root)
+    }
+
+  /** Drop the memoized index store for `dir` (all sessions) and delete
+    * its tempdir — ScaleBench's cold-timing hook. */
+  private[graft] def releaseSearchIndex(dir: String): Unit =
+    indexStoreMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      for (perDir <- indexStoreMemo.values.asScala; root <- perDir.remove(dir))
+        EventsOps.rmTree(java.nio.file.Paths.get(root))
+    }
+
+  /** q206: INCREMENTAL BM25 index maintenance — q101's ranked retrieval
+    * served from an index the ingest keeps current, never from corpus
+    * text. Maintenance is read-free appends (cost strictly batch-
+    * proportional); serving file-prunes to the query terms' posting
+    * files; and the maintained scores are bit-identical to the
+    * monolithic recomputation, which IS the oracle — the maintained-
+    * family discipline (q203–q205) applied to retrieval. */
+  val q206 = QueryDef(
+    "q206_incremental_bm25_index",
+    bm25OracleSql) { (s, d) =>
+    bm25FromIndex(maintainedIndex(s, d), Seq("dup", "window"), 20)
+  }
+
+  /** q207: conjunctive serving from the maintained index — q99's AND
+    * query answered by the pruned posting intersection (touch only the
+    * probed terms' files, count distinct matched terms per doc), against
+    * the direct-corpus-scan oracle. */
+  val q207 = QueryDef(
+    "q207_index_conjunctive_serving",
+    conjunctiveOracleSql) { (s, d) =>
+    val terms = Seq("dup", "window")
+    prunedPostings(maintainedIndex(s, d), terms)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("w")).as("n_hit"))
+      .filter(col("n_hit") === terms.length)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119, q125, q165, q206, q207)
 }

@@ -593,6 +593,24 @@ final class TableStore(spark: SparkSession, root: String) {
       pred)
   }
 
+  /** The small-probe-set sibling of [[scanSkippingIds]] for arbitrary
+    * (e.g. string) values: schedules only files whose `ranges` stats
+    * match AND whose `valueCol` [min, max] admits one of `values` — the
+    * term-lookup prune of a token-clustered index table. A SUPERSET
+    * read: callers still filter exactly. */
+  def scanSkippingValues(name: String, ranges: Seq[FileStats.ColumnRange],
+                         valueCol: String, values: Seq[Any])
+      : (DataFrame, FileStats.ScanReport) = {
+    if (values.isEmpty) return scanWhere(name, _ => false, lit(false))
+    val pred = ranges.flatMap { r =>
+      r.lo.map(v => col(r.column) >= lit(v)) ++ r.hi.map(v => col(r.column) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    scanWhere(name,
+      fs => FileStats.mightMatch(fs, ranges) &&
+        FileStats.mightContainAny(fs, valueCol, values),
+      pred)
+  }
+
   /** Parsed stats sidecars of the current snapshot's files, keyed by
     * rel path — shared by [[scanWhere]] and the metadata-only counters
     * below. Pure file reads, no Spark job. */

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SearchOps
+import graft.sources.TableStore
+
+/** Incremental retrieval-index maintenance (q206/q207): read-free
+  * per-epoch appends into the kind-tagged index store, term-pruned
+  * serving reads, and score parity with the monolithic recomputation. */
+class IndexIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("maintained BM25 and conjunctive serving match the monolithic recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val inc206 = SearchOps.q206.build(spark, dir).collect().map(_.toSeq)
+    val mono101 = SearchOps.q101.build(spark, dir).collect().map(_.toSeq)
+    inc206 should not be empty
+    inc206.toSeq shouldBe mono101.toSeq
+
+    val inc207 = SearchOps.q207.build(spark, dir).collect().map(_.getLong(0))
+    val mono99 = SearchOps.q99.build(spark, dir).collect().map(_.getLong(0))
+    inc207 should not be empty
+    inc207.toSeq shouldBe mono99.toSeq
+  }
+
+  test("epochs append read-free and replay as no-ops; serving reads term-prune the store") {
+    val st = new TableStore(spark, tempDir("graft-index").toString)
+    SearchOps.buildSearchIndex(st, docsDf().limit(0))
+    // four epochs with token ranges spread across the alphabet, so
+    // kind-0 files carry genuinely disjoint term ranges
+    (0 until 4).foreach { e =>
+      val batch = docsDf((0 until 6).map { i =>
+        val id = e * 10L + i
+        (id, (0 until 8).map(j => f"w${(e * 6 + i) % 24}%02d_$j").mkString(" ") + " shared")
+      }: _*)
+      SearchOps.indexIngestEpoch(st)(batch, e.toLong)
+    }
+    val rows = st.table("index").count()
+
+    // replay: the epoch ledger no-ops a committed epoch
+    SearchOps.indexIngestEpoch(st)(docsDf(99L -> "never lands"), 3L)
+    st.table("index").count() shouldBe rows
+
+    // a one-term probe schedules strictly fewer kind-0 files than the
+    // snapshot holds (string min/max pruning is REAL)
+    val (df, rep) = st.scanSkippingValues("index",
+      Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
+      "w", Seq("w00_0"))
+    rep.filesRead should be < rep.filesTotal
+    df.filter(col("w") === "w00_0").select("doc_id").as[Long].collect() should not be empty
+
+    // the maintained stats partials sum to the corpus truth
+    val stats = st.table("index").filter(col("kind") === 2)
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+    stats.getLong(0) shouldBe 24L
+    stats.getLong(1) shouldBe 24L * 9L
+  }
+}
