@@ -137,9 +137,10 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  /** IVF-style probe-1 ANN: search only the query's coarse cluster. */
-  val q51 = QueryDef(
-    "q51_ann_ivf_probe",
+  /** The probe-1 IVF oracle (monolithic same-cluster cosine top-3 for 20
+    * query vectors) — shared verbatim by q51 (inline) and q208 (served
+    * from the maintained list store). */
+  private val ivfOracleSql: String =
     s"""WITH n AS ($normedSql),
        |q AS (SELECT * FROM n WHERE vec_id < 20),
        |scored AS (
@@ -149,7 +150,12 @@ object Similarity {
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
        |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
-       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  /** IVF-style probe-1 ANN: search only the query's coarse cluster. */
+  val q51 = QueryDef(
+    "q51_ann_ivf_probe",
+    ivfOracleSql) { (s, d) =>
     // the IVF restriction IS the join condition: keying pairSums on
     // (label, i) means only same-cluster candidate components ever match —
     // the probe-1 N-per-cluster shape, fully codegen'd
@@ -773,5 +779,140 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174)
+  // ------------------------------------------------------------------
+  // Maintained IVF index (q208): q51's probe served from inverted LISTS
+  // the ingest keeps current — the ANN-index member of the maintained
+  // family (q203–q207). One kind-tagged store table:
+  //   kind 0 — list rows: (label, vec_id, i, xd) exploded exact-decimal
+  //            components, label-clustered (the FAISS inverted list as
+  //            a range-laid-out parquet table)
+  //   kind 1 — directory: (vec_id, label), tiny (one row per vector)
+  // Maintenance is READ-FREE (assignment = the coarse label, content-
+  // determined, so incremental union across epochs = the monolithic
+  // index); serving reads file-prune to the PROBED clusters' files —
+  // the inverted-list seek, as file skipping.
+  // ------------------------------------------------------------------
+
+  private def ivfRows(batch: DataFrame): DataFrame = {
+    val el = batch
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        col("x").cast("double").cast("decimal(9,7)").as("xd"))
+    el.select(lit(0).as("kind"), col("label"), col("vec_id"), col("i"), col("xd"))
+      .unionByName(batch.select(lit(1).as("kind"), col("label"), col("vec_id"),
+        lit(0).as("i"), lit(null).cast("decimal(9,7)").as("xd")))
+  }
+
+  /** One epoch of IVF maintenance: ONE ledgered, read-free append of the
+    * batch's list rows + directory rows, range-laid-out on
+    * (kind, label, vec_id, i) so kind-0 files carry disjoint label
+    * ranges — the prune [[ivfProbe]] relies on. Replay no-ops on the
+    * epoch ledger. */
+  private[graft] def ivfIngestEpoch(st: graft.sources.TableStore)(
+      batch: DataFrame, epoch: Long): Unit = {
+    if (st.batchCommitted("ivf", epoch)) return
+    st.appendBatch("ivf", epoch,
+      Dedup.bucketLayout(ivfRows(batch), 8, "kind", "label", "vec_id", "i"))
+    ()
+  }
+
+  /** Create the (empty) list table [[ivfIngestEpoch]] appends to. */
+  private[graft] def buildIvfStore(st: graft.sources.TableStore,
+      seed: DataFrame): Unit = {
+    st.create("ivf", ivfRows(seed)); ()
+  }
+
+  /** q51's probe off the maintained store: the tiny kind-1 directory
+    * yields the query vectors' labels; the kind-0 read then schedules
+    * ONLY files whose label range holds a probed cluster (superset read,
+    * the (label, i) join restricts exactly); scoring is [[pairSums]]'
+    * exact-decimal kernel, bit-identical to the monolithic oracle. */
+  private[graft] def ivfProbe(st: graft.sources.TableStore,
+      nQueries: Int, k: Int): DataFrame = {
+    val dir = st.table("ivf").filter(col("kind") === 1)
+      .select(col("vec_id"), col("label"))
+    val probed = dir.filter(col("vec_id") < nQueries)
+      .select("label").distinct().collect()
+      .map(_.getAs[Number]("label").longValue())
+    java.util.Arrays.sort(probed)
+    val (lists, rep) = st.scanSkippingIds("ivf",
+      Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
+      "label", probed)
+    if (sys.props.contains("graft.epochTrace")) {
+      Dedup.skipTrace.add(("ivf.lists", rep.filesTotal, rep.filesRead)); ()
+    }
+    val el = lists
+      .filter(col("kind") === 0 && col("label").isin(probed.map(Long.box): _*))
+      .select(col("vec_id"), col("label"), col("i"), col("xd").as("c"))
+    pairSums(el, Seq("label", "i"), nQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
+  // one maintained list store per (session, dir) — the maintained-family
+  // memo discipline (weak session keys, root-path values)
+  private val ivfStoreMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def maintainedIvf(s: SparkSession, d: String): graft.sources.TableStore =
+    ivfStoreMemo.synchronized {
+      val perDir = {
+        val cur = ivfStoreMemo.get(s)
+        if (cur != null) cur
+        else { val m = scala.collection.mutable.Map[String, String]();
+               ivfStoreMemo.put(s, m); m }
+      }
+      val root = perDir.getOrElseUpdate(d, {
+        val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+        val st = new graft.sources.TableStore(s,
+          java.nio.file.Files.createTempDirectory("graft-ivf").toString)
+        buildIvfStore(st, vecs.limit(0))
+        val r = vecs.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+        if (r.getLong(2) > 0L) {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          val slices = 4
+          val step = (hi - lo) / slices + 1
+          (0 until slices).foreach { e =>
+            ivfIngestEpoch(st)(vecs.filter(
+              col("vec_id") >= lo + e * step &&
+                col("vec_id") < lo + (e + 1) * step), e.toLong)
+            // maintenance mid-run: collapse the chain with the
+            // layout-preserving clustered compaction — the oracle gates
+            // across it (q201's discipline applied to the ANN lists)
+            if (e == 1)
+              st.compactClustered("ivf", Seq("kind", "label", "vec_id", "i"), 8)
+          }
+        }
+        st.rootDir
+      })
+      new graft.sources.TableStore(s, root)
+    }
+
+  /** ScaleBench's cold-timing hook: drop the memoized list store for
+    * `dir` (all sessions) and delete its tempdir. */
+  private[graft] def releaseIvfStore(dir: String): Unit =
+    ivfStoreMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      for (perDir <- ivfStoreMemo.values.asScala; root <- perDir.remove(dir))
+        EventsOps.rmTree(java.nio.file.Paths.get(root))
+    }
+
+  /** q208: MAINTAINED IVF index — q51's probe-1 ANN served from inverted
+    * lists a read-free ingest keeps current, with a layout-preserving
+    * compaction mid-build; the probe's list read file-prunes to the
+    * queried clusters (the inverted-list seek as file skipping), and
+    * the oracle is q51's monolithic recomputation verbatim. */
+  val q208 = QueryDef(
+    "q208_maintained_ivf_index",
+    ivfOracleSql) { (s, d) =>
+    ivfProbe(maintainedIvf(s, d), nQueries = 20, k = 3)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208)
 }
