@@ -514,7 +514,17 @@ object SearchOps {
     if (st.batchCommitted("index", epoch)) return
     st.appendBatch("index", epoch,
       Dedup.bucketLayout(indexRows(batch), 8, "kind", "w", "doc_id"))
-    ()
+    // auto-compaction under continuous ingest — same policy conf as the
+    // dedup state store: when the append chain reaches the trigger,
+    // collapse it with the layout-PRESERVING clustered compaction (the
+    // (kind, w, doc_id) ranges stay disjoint, so term pruning survives;
+    // the epoch ledger survives, so replays still no-op)
+    val limit = batch.sparkSession.conf
+      .getOption("spark.graft.state.autoCompactVersions").map(_.toInt).getOrElse(16)
+    if (limit > 0 && st.chainLength("index") >= limit) {
+      st.compactClustered("index", Seq("kind", "w", "doc_id"),
+        math.max(8, st.fileCount("index") / 2)); ()
+    }
   }
 
   private def indexRows(batch: org.apache.spark.sql.DataFrame)
@@ -566,10 +576,32 @@ object SearchOps {
   private[graft] def bm25FromIndex(st: graft.sources.TableStore,
       terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
     val idx = st.table("index")
-    val tf = prunedPostings(st, terms)
+    val tf0 = prunedPostings(st, terms)
       .select(col("w"), col("doc_id"), col("tf").cast("double").as("tf"))
+    // pin: tf feeds the df aggregate, the matched-id collect AND the
+    // scoring join — one execution of the pruned posting read
+    val tf = Dedup.pin(tf0)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    val dl = idx.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
+    // doc lengths pruned to the MATCHED docs (kind-1 rows sort by doc_id
+    // within their kind range, so the id probe skips files) — the dl
+    // read is then matched-bounded, not corpus-proportional. Guarded by
+    // the kernel's broadcast ceiling: a stop-term probe over the cap
+    // falls back to the full kind-1 slice instead of a driver collect.
+    val matched = tf.select("doc_id").distinct()
+    val dl = {
+      val n = matched.count()
+      if (n <= Dedup.MaxBroadcastCandidateDocs) {
+        val ids = matched.collect().map(_.getLong(0))
+        java.util.Arrays.sort(ids)
+        val (df, rep) = st.scanSkippingIds("index",
+          Seq(graft.sources.FileStats.ColumnRange("kind", Some(1), Some(1))),
+          "doc_id", ids)
+        if (sys.props.contains("graft.epochTrace")) {
+          Dedup.skipTrace.add(("index.doclen", rep.filesTotal, rep.filesRead)); ()
+        }
+        df.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
+      } else idx.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
+    }
     val stats = idx.filter(col("kind") === 2)
       .agg((sum(col("sum_dl")).cast("double") /
         sum(col("n_docs")).cast("double")).as("avgdl"),

@@ -122,6 +122,29 @@ class ClusterIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the auto-compaction policy fires mid-ingest without changing the clustering") {
+    val st = new TableStore(spark, tempDir("graft-cluster-policy").toString)
+    Dedup.buildDedupState(st, docsDf().limit(0))
+    val confKey = "spark.graft.state.autoCompactVersions"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "3")
+    try {
+      Dedup.clusterIngestEpoch(st)(docsDf(10L -> textX, 20L -> textY), 0L)
+      Dedup.clusterIngestEpoch(st)(docsDf(30L -> textX, 22L -> textY2), 1L)
+      Dedup.clusterIngestEpoch(st)(docsDf(50L -> textZ), 2L)
+      Dedup.clusterIngestEpoch(st)(docsDf(5L -> textZ), 3L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    // the POLICY (not the test) collapsed the chain at least once, and
+    // the maintained clustering is byte-for-byte the no-compaction one
+    st.chainLength("state") should be < 4
+    val after = labelMap(st)
+    after.values.toSet shouldBe Set(5L)
+    after.keySet shouldBe Set(5L, 10L, 20L, 22L, 30L, 50L)
+  }
+
   test("incremental maintenance reproduces the monolithic q71 fixpoint on real data") {
     val dir = "/root/testdata/sf0.001"
     val inc = DedupClusters.q203.build(spark, dir).collect()

@@ -29,14 +29,27 @@ class IndexIngestSpec extends SparkSpec {
     val st = new TableStore(spark, tempDir("graft-index").toString)
     SearchOps.buildSearchIndex(st, docsDf().limit(0))
     // four epochs with token ranges spread across the alphabet, so
-    // kind-0 files carry genuinely disjoint term ranges
-    (0 until 4).foreach { e =>
-      val batch = docsDf((0 until 6).map { i =>
-        val id = e * 10L + i
-        (id, (0 until 8).map(j => f"w${(e * 6 + i) % 24}%02d_$j").mkString(" ") + " shared")
-      }: _*)
-      SearchOps.indexIngestEpoch(st)(batch, e.toLong)
+    // kind-0 files carry genuinely disjoint term ranges; the lowered
+    // auto-compaction trigger makes the POLICY fire mid-loop (never the
+    // test), collapsing the chain with the layout-preserving compaction
+    val confKey = "spark.graft.state.autoCompactVersions"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "3")
+    try {
+      (0 until 4).foreach { e =>
+        val batch = docsDf((0 until 6).map { i =>
+          val id = e * 10L + i
+          (id, (0 until 8).map(j => f"w${(e * 6 + i) % 24}%02d_$j").mkString(" ") + " shared")
+        }: _*)
+        SearchOps.indexIngestEpoch(st)(batch, e.toLong)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
     }
+    // the policy compacted at least once: the chain is shorter than the
+    // number of appended epochs
+    st.chainLength("index") should be < 4
     val rows = st.table("index").count()
 
     // replay: the epoch ledger no-ops a committed epoch
@@ -44,12 +57,30 @@ class IndexIngestSpec extends SparkSpec {
     st.table("index").count() shouldBe rows
 
     // a one-term probe schedules strictly fewer kind-0 files than the
-    // snapshot holds (string min/max pruning is REAL)
+    // snapshot holds (string min/max pruning is REAL, and it survived
+    // the policy compaction above)
     val (df, rep) = st.scanSkippingValues("index",
       Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
       "w", Seq("w00_0"))
     rep.filesRead should be < rep.filesTotal
     df.filter(col("w") === "w00_0").select("doc_id").as[Long].collect() should not be empty
+
+    // the serving path's doc-length read prunes to the MATCHED docs —
+    // both traced reads schedule fewer files than the snapshot holds
+    sys.props("graft.epochTrace") = "1"
+    graft.operators.Dedup.skipTrace.clear()
+    try {
+      SearchOps.bm25FromIndex(st, Seq("w00_0"), 5).collect() should not be empty
+      import scala.jdk.CollectionConverters._
+      val reads = graft.operators.Dedup.skipTrace.iterator().asScala.toSeq
+      reads.map(_._1).sorted shouldBe Seq("index.doclen", "index.postings")
+      reads.foreach { case (tag, total, read) =>
+        withClue(s"$tag $read/$total: ") { read should be < total }
+      }
+    } finally {
+      sys.props.remove("graft.epochTrace")
+      graft.operators.Dedup.skipTrace.clear()
+    }
 
     // the maintained stats partials sum to the corpus truth
     val stats = st.table("index").filter(col("kind") === 2)
