@@ -88,4 +88,26 @@ class IndexIngestSpec extends SparkSpec {
     stats.getLong(0) shouldBe 24L
     stats.getLong(1) shouldBe 24L * 9L
   }
+
+  test("a live stream maintains the index through the foreachBatch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = new TableStore(spark, tempDir("graft-index-stream").toString)
+    SearchOps.buildSearchIndex(st, docsDf().limit(0))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = tempDir("graft-index-ckpt").toString
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.IndexIngest.indexIngestSink(st))
+      .start()
+    try {
+      input.addData(1L -> "alpha beta gamma", 2L -> "beta delta")
+      q.processAllAvailable()
+      input.addData(3L -> "beta epsilon zeta")
+      q.processAllAvailable()
+      // df(beta) spans both micro-batches; the shortest doc ranks first,
+      // the two equal-length docs tiebreak by id
+      val hits = SearchOps.bm25FromIndex(st, Seq("beta"), 3).collect()
+      hits.map(_.getLong(0)).toSeq shouldBe Seq(2L, 1L, 3L)
+    } finally q.stop()
+  }
 }
