@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // CBO consumes only catalog-table statistics (TableStore.registerCbo
+      // after maintenance compactions); path-based reads — every ordinary
+      // query — plan exactly as before
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

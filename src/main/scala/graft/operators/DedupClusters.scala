@@ -26,7 +26,15 @@ import graft.core.{QueryDef, Tables}
   */
 object DedupClusters {
 
-  private val MaxRounds = 50
+  /** THE fixpoint round budget — shared by [[propagateMin]]'s label
+    * propagation AND [[Dedup.resolveThroughMappings]]' hop-by-hop
+    * mapping walk (one constant, ADVICE r15 #1: distinct ingest-side and
+    * read-side budgets let a store ingest a chain its own readback then
+    * refused). Chains stay short because mappings are path-compressed on
+    * write and [[Dedup.compactSignatureStore]] collapses surviving
+    * chains to single hops, so the budget is a diameter guard, not a
+    * tuning knob. */
+  private[graft] val MaxRounds = 64
 
   /** The component-fixpoint oracle (min reachable doc_id over the
     * LSH-verified pair graph, membership = "appears in >= 1 pair") —

@@ -514,17 +514,11 @@ object SearchOps {
     if (st.batchCommitted("index", epoch)) return
     st.appendBatch("index", epoch,
       Dedup.bucketLayout(indexRows(batch), 8, "kind", "w", "doc_id"))
-    // auto-compaction under continuous ingest — same policy conf as the
-    // dedup state store: when the append chain reaches the trigger,
-    // collapse it with the layout-PRESERVING clustered compaction (the
-    // (kind, w, doc_id) ranges stay disjoint, so term pruning survives;
-    // the epoch ledger survives, so replays still no-op)
-    val limit = batch.sparkSession.conf
-      .getOption("spark.graft.state.autoCompactVersions").map(_.toInt).getOrElse(16)
-    if (limit > 0 && st.chainLength("index") >= limit) {
-      st.compactClustered("index", Seq("kind", "w", "doc_id"),
-        math.max(8, st.fileCount("index") / 2)); ()
-    }
+    // shared auto-compaction policy (one helper across the state/index/
+    // ivf stores — ADVICE r15 #3): layout-preserving collapse, ledger
+    // survives, stats handed to the CBO after the collapse
+    Dedup.maybeAutoCompactClustered(batch.sparkSession, st, "index",
+      Seq("kind", "w", "doc_id"))
   }
 
   private def indexRows(batch: org.apache.spark.sql.DataFrame)

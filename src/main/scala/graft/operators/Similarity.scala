@@ -813,16 +813,11 @@ object Similarity {
     if (st.batchCommitted("ivf", epoch)) return
     st.appendBatch("ivf", epoch,
       Dedup.bucketLayout(ivfRows(batch), 8, "kind", "label", "vec_id", "i"))
-    // auto-compaction under continuous ingest — the shared policy conf:
-    // chain-length trigger, layout-preserving clustered collapse (label
-    // ranges stay disjoint, so the probe prune survives; ledger survives,
-    // so replays still no-op)
-    val limit = batch.sparkSession.conf
-      .getOption("spark.graft.state.autoCompactVersions").map(_.toInt).getOrElse(16)
-    if (limit > 0 && st.chainLength("ivf") >= limit) {
-      st.compactClustered("ivf", Seq("kind", "label", "vec_id", "i"),
-        math.max(8, st.fileCount("ivf") / 2)); ()
-    }
+    // shared auto-compaction policy (one helper across the state/index/
+    // ivf stores — ADVICE r15 #3): layout-preserving collapse, ledger
+    // survives, stats handed to the CBO after the collapse
+    Dedup.maybeAutoCompactClustered(batch.sparkSession, st, "ivf",
+      Seq("kind", "label", "vec_id", "i"))
   }
 
   /** Create the (empty) list table [[ivfIngestEpoch]] appends to. */

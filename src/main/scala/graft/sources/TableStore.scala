@@ -594,22 +594,17 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** The small-probe-set sibling of [[scanSkippingIds]] for arbitrary
-    * (e.g. string) values: schedules only files whose `ranges` stats
-    * match AND whose `valueCol` [min, max] admits one of `values` — the
-    * term-lookup prune of a token-clustered index table. A SUPERSET
-    * read: callers still filter exactly. */
+    * (e.g. string) values — the term-lookup prune of a token-clustered
+    * index table. Probe sets here are a few terms by contract, so the
+    * IN-set is cheap as a row predicate too and this is exactly
+    * [[scanSkippingIn]] (ADVICE r15: the two bodies had drifted into
+    * near-identical triplicate); kept as a named entry point because
+    * "values" callers read the result as a SUPERSET and re-apply their
+    * own exact filter — which is idempotent over the delegate's. */
   def scanSkippingValues(name: String, ranges: Seq[FileStats.ColumnRange],
                          valueCol: String, values: Seq[Any])
-      : (DataFrame, FileStats.ScanReport) = {
-    if (values.isEmpty) return scanWhere(name, _ => false, lit(false))
-    val pred = ranges.flatMap { r =>
-      r.lo.map(v => col(r.column) >= lit(v)) ++ r.hi.map(v => col(r.column) <= lit(v))
-    }.reduceOption(_ && _).getOrElse(lit(true))
-    scanWhere(name,
-      fs => FileStats.mightMatch(fs, ranges) &&
-        FileStats.mightContainAny(fs, valueCol, values),
-      pred)
-  }
+      : (DataFrame, FileStats.ScanReport) =
+    scanSkippingIn(name, ranges, valueCol, values)
 
   /** Parsed stats sidecars of the current snapshot's files, keyed by
     * rel path — shared by [[scanWhere]] and the metadata-only counters
@@ -791,7 +786,11 @@ final class TableStore(spark: SparkSession, root: String) {
     lastRead.get.update(name, v) // snapshot a later publish CASes against
     readManifest(name, v) match {
       case Some(m) => readEntries(name, v, m.entries)
-      case None => fillAddCols(spark.read.parquet(dataPath(name, v)), readAddCols(name, v), v)
+      case None =>
+        val addCols = readAddCols(name, v)
+        if (addCols.isEmpty)
+          cboTable(name, v).getOrElse(spark.read.parquet(dataPath(name, v)))
+        else fillAddCols(spark.read.parquet(dataPath(name, v)), addCols, v)
     }
   }
 
@@ -1726,11 +1725,36 @@ final class TableStore(spark: SparkSession, root: String) {
     require(readAddCols(name, v).isEmpty,
       s"registerCbo($name): pending ADD COLUMN defaults are applied at read " +
         "time and would be missing from a raw catalog scan — compact() first")
-    val cat = s"graft_cbo_$name"
+    // store-unique catalog name: maintained stores live in per-store
+    // roots (often tempdirs), and two stores compacting a same-named
+    // table concurrently must not fight over one catalog entry
+    val cat = s"graft_cbo_${name}_${Integer.toHexString(root.hashCode)}"
     spark.sql(s"DROP TABLE IF EXISTS `$cat`")
     spark.sql(s"CREATE TABLE `$cat` USING parquet LOCATION '${dataPath(name, v)}'")
     spark.sql(s"ANALYZE TABLE `$cat` COMPUTE STATISTICS FOR ALL COLUMNS")
+    // durable marker: ANY handle over this root (stores are re-opened
+    // per call throughout the suite) routes [[table]] through the
+    // analyzed catalog relation while this exact version is current, so
+    // serving-path joins plan on row/NDV statistics instead of defaults
+    Files.write(cboFile(name), s"$cat\t$v".getBytes)
     cat
+  }
+
+  private def cboFile(name: String) = Paths.get(s"$root/$name/cbo.cat")
+
+  /** The catalog-backed read for a version that was CBO-registered: same
+    * files, but the relation carries ANALYZE'd statistics. Any append or
+    * rewrite bumps the version and silently falls back to the plain
+    * path read until the next registration — stats can go missing, never
+    * stale. */
+  private def cboTable(name: String, v: Int): Option[DataFrame] = {
+    val p = cboFile(name)
+    if (!Files.exists(p)) return None
+    new String(Files.readAllBytes(p)).trim.split("\t", -1) match {
+      case Array(cat, ver) if ver.toInt == v && spark.catalog.tableExists(cat) =>
+        Some(spark.table(cat))
+      case _ => None
+    }
   }
 
   /** §2.1 S11 — catalog introspection (the reference reads pg_constraint,

@@ -90,9 +90,7 @@ object DedupIngest {
             // stream-scoped one), collapse the store with the layout-
             // restoring compaction; ledgers survive, so replays still
             // no-op, and results are unchanged by construction.
-            val limit = batch.sparkSession.conf
-              .getOption("spark.graft.state.autoCompactVersions")
-              .map(_.toInt).getOrElse(16)
+            val limit = Dedup.autoCompactLimit(batch.sparkSession)
             if (limit > 0 && store.chainLength("sig") >= limit)
               Dedup.compactSignatureStore(store)
           } finally keep.unpersist()
@@ -118,5 +116,13 @@ object DedupIngest {
   def clusterIngestSink(store: TableStore,
       meta: Option[DataFrame => DataFrame] = None)
       : (DataFrame, Long) => Unit =
-    (batch, epochId) => Dedup.clusterIngestEpoch(store, meta)(batch, epochId)
+    (batch0, epochId) => {
+      // persist: the epoch evaluates the batch at least twice (its
+      // signature frames and the optional meta sidecar), and a source
+      // with expensive upstream transforms must not recompute them per
+      // reference (ADVICE r15 #4 — the dedupIngestSink discipline)
+      val batch = batch0.cache()
+      try Dedup.clusterIngestEpoch(store, meta)(batch, epochId)
+      finally { batch.unpersist(); () }
+    }
 }
