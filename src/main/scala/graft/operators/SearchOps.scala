@@ -688,5 +688,72 @@ object SearchOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q98, q99, q101, q119, q125, q165, q206, q207)
+  /** q209: the maintained BM25 index under a REAL `writeStream` — the
+    * thirteenth streaming gate. q206 proved "maintained store ≡
+    * monolithic recomputation" with direct epoch calls; here the SAME
+    * store is built by Structured Streaming driving
+    * [[graft.streaming.IndexIngest.indexIngestSink]] over a
+    * strictly-sliced staged file replay (the q199 discipline: doc_id
+    * slices staged as aligned parquet files, `maxFilesPerTrigger` =
+    * slice width, AvailableNow), so the stream wiring — micro-batch
+    * sessions, epoch ids, replay-on-restart — is on the oracle-gated
+    * path, not just the epoch body. Serving then file-prunes to the
+    * query terms' posting files exactly as q206. Oracle = q101's
+    * monolithic corpus recomputation verbatim.
+    *
+    * Scale posture: per-epoch work is read-free batch tokenization + one
+    * ledgered append (cost strictly batch-proportional); the shared
+    * auto-compaction policy bounds the chain under an unbounded
+    * ingest. */
+  val q209 = QueryDef(
+    "q209_streamed_bm25_index",
+    bm25OracleSql)(streamedIndexImpl()(_, _))
+
+  /** q209 body; `rowsPerFile` sizes the staged replay files (specs pass
+    * a tiny value to force the multi-file aligned-batch path). */
+  private[graft] def streamedIndexImpl(
+      rowsPerFile: Long = EventsOps.OuterStageRowsPerFile, slices: Int = 2)(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-index-stream")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-index-stage")
+    try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      buildSearchIndex(st, docs.limit(0))
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val nFiles = math.max(1L,
+          math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
+        val width = EventsOps.stageAligned(streamDir,
+          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, slices), nFiles)
+        val sinkName = "q209_index_sink"
+        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", width.toString)
+          .parquet(streamDir.toString)
+          .writeStream
+          .queryName(sinkName)
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            // bounded replay (the q183 8-partition rule), set on the
+            // stream's cloned session only
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+            graft.streaming.IndexIngest.indexIngestSink(st)(batch, epoch)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // pinned: the store root is deleted in the finally below
+      Dedup.pin(bm25FromIndex(st, Seq("dup", "window"), 20))
+    } finally {
+      EventsOps.rmTree(streamDir)
+      EventsOps.rmTree(storeRoot)
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209)
 }

@@ -917,6 +917,62 @@ object Similarity {
     ivfProbe(maintainedIvf(s, d), nQueries = 20, k = 3)
   }
 
+  /** q210: the maintained IVF index under a REAL `writeStream` — the
+    * ANN sibling of q209: the embedding stream drives
+    * [[graft.streaming.IndexIngest.ivfIngestSink]] over a
+    * strictly-sliced staged file replay (vec_id slices, aligned files,
+    * AvailableNow), so the stream wiring is on the oracle-gated path;
+    * q208 covers the direct-epoch-call build with a mid-run compaction.
+    * Serving is [[ivfProbe]] — file-pruned to the probed clusters'
+    * list files. Oracle = q51's monolithic recomputation verbatim. */
+  val q210 = QueryDef(
+    "q210_streamed_ivf_index",
+    ivfOracleSql)(streamedIvfImpl()(_, _))
+
+  /** q210 body; `rowsPerFile` sizes the staged replay files (specs pass
+    * a tiny value to force the multi-file aligned-batch path). */
+  private[graft] def streamedIvfImpl(
+      rowsPerFile: Long = EventsOps.OuterStageRowsPerFile, slices: Int = 2)(
+      s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+    val r = vecs.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ivf-stage")
+    try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      buildIvfStore(st, vecs.limit(0))
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val nFiles = math.max(1L,
+          math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
+        val width = EventsOps.stageAligned(streamDir,
+          EventsOps.slicedStages(vecs, col("vec_id"), lo, hi, slices), nFiles)
+        val sinkName = "q210_ivf_sink"
+        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+        val q = s.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", width.toString)
+          .parquet(streamDir.toString)
+          .writeStream
+          .queryName(sinkName)
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            // bounded replay (the q183 8-partition rule), set on the
+            // stream's cloned session only
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+            graft.streaming.IndexIngest.ivfIngestSink(st)(batch, epoch)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // pinned: the store root is deleted in the finally below
+      Dedup.pin(ivfProbe(st, nQueries = 20, k = 3))
+    } finally {
+      EventsOps.rmTree(streamDir)
+      EventsOps.rmTree(storeRoot)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208)
+    Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208, q210)
 }

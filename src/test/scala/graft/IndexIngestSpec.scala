@@ -110,4 +110,59 @@ class IndexIngestSpec extends SparkSpec {
       hits.map(_.getLong(0)).toSeq shouldBe Seq(2L, 1L, 3L)
     } finally q.stop()
   }
+
+  test("a replayed index-ingest epoch no-ops on the store ledger after a crash-restart") {
+    val docs = docsDf((1L to 24L).map { i =>
+      (i, (0 until 6).map(j => f"t${i % 12}%02d_$j").mkString(" ") + " shared")
+    }: _*)
+    val storeRoot = tempDir("graft-index-restart-store")
+    val srcDir = tempDir("graft-index-restart-src")
+    val ckpt = tempDir("graft-index-restart-ckpt")
+    try {
+      val st = new TableStore(spark, storeRoot.toString)
+      SearchOps.buildSearchIndex(st, docs.limit(0))
+      val width = graft.operators.EventsOps.stageAligned(srcDir,
+        graft.operators.EventsOps.slicedStages(docs, col("doc_id"), 1L, 24L, 4), 1)
+      var applied = Vector.empty[Long]
+      def run(crashAfter: Option[Long]): Unit = {
+        val q = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", width.toString).parquet(srcDir.toString)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            graft.streaming.IndexIngest.indexIngestSink(st)(batch, epoch)
+            applied :+= epoch
+            if (crashAfter.contains(epoch))
+              throw new RuntimeException("injected crash: store committed, marker not")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      }
+      run(crashAfter = Some(1L))
+      run(crashAfter = None)
+      applied.count(_ == 1L) shouldBe 2 // the replay really happened
+      // no double-appended rows: one doc-length row per doc, stats
+      // partials sum to the corpus truth, not truth + a replayed batch
+      st.table("index").filter(col("kind") === 1)
+        .groupBy("doc_id").count().filter(col("count") > 1).count() shouldBe 0L
+      val stats = st.table("index").filter(col("kind") === 2)
+        .agg(sum("n_docs"), sum("sum_dl")).head()
+      stats.getLong(0) shouldBe 24L
+      stats.getLong(1) shouldBe 24L * 7L
+    } finally {
+      graft.operators.EventsOps.rmTree(srcDir)
+      graft.operators.EventsOps.rmTree(ckpt)
+      graft.operators.EventsOps.rmTree(storeRoot)
+    }
+  }
+
+  test("q209: the writeStream-driven index store serves q101's exact results") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SearchOps.streamedIndexImpl(rowsPerFile = 200L, slices = 3)(spark, dir)
+      .collect().map(_.toSeq)
+    val mono = SearchOps.q101.build(spark, dir).collect().map(_.toSeq)
+    streamed should not be empty
+    streamed.toSeq shouldBe mono.toSeq
+  }
 }

@@ -77,4 +77,91 @@ class IvfIngestSpec extends SparkSpec {
       graft.operators.Dedup.skipTrace.clear()
     }
   }
+
+  private def vecRows(ids: Seq[Long]) = ids.map { id =>
+    (id, (id % 8).toInt,
+      Array.tabulate(64)(j => ((id * 31 + j * 7) % 97).toFloat / 97f))
+  }
+
+  test("a live stream maintains the IVF lists through the foreachBatch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = new TableStore(spark, tempDir("graft-ivf-live").toString)
+    val empty = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    Similarity.buildIvfStore(st, empty)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Array[Float])]
+    val ckpt = tempDir("graft-ivf-live-ckpt").toString
+    val q = input.toDF().toDF("vec_id", "label", "embedding").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.IndexIngest.ivfIngestSink(st))
+      .start()
+    try {
+      input.addData(vecRows(0L until 8L): _*)
+      q.processAllAvailable()
+      input.addData(vecRows(8L until 16L): _*)
+      q.processAllAvailable()
+      // every vector landed exactly once across the two micro-batches
+      st.table("ivf").filter(col("kind") === 1).count() shouldBe 16L
+      val out = Similarity.ivfProbe(st, nQueries = 2, k = 3).collect()
+      out.map(_.getLong(0)).distinct.sorted.toSeq shouldBe Seq(0L, 1L)
+    } finally q.stop()
+  }
+
+  test("a replayed IVF-ingest epoch no-ops on the store ledger after a crash-restart") {
+    val vecs = vecRows(0L until 32L).toDF("vec_id", "label", "embedding")
+    val storeRoot = tempDir("graft-ivf-restart-store")
+    val srcDir = tempDir("graft-ivf-restart-src")
+    val ckpt = tempDir("graft-ivf-restart-ckpt")
+    try {
+      val st = new TableStore(spark, storeRoot.toString)
+      Similarity.buildIvfStore(st, vecs.limit(0))
+      val width = graft.operators.EventsOps.stageAligned(srcDir,
+        graft.operators.EventsOps.slicedStages(vecs, col("vec_id"), 0L, 31L, 4), 1)
+      var applied = Vector.empty[Long]
+      def run(crashAfter: Option[Long]): Unit = {
+        val q = spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", width.toString).parquet(srcDir.toString)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            graft.streaming.IndexIngest.ivfIngestSink(st)(batch, epoch)
+            applied :+= epoch
+            if (crashAfter.contains(epoch))
+              throw new RuntimeException("injected crash: store committed, marker not")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      }
+      run(crashAfter = Some(1L))
+      run(crashAfter = None)
+      applied.count(_ == 1L) shouldBe 2 // the replay really happened
+      // no double-appended rows: one directory row per vector, and the
+      // probe equals a store built by direct (never-crashed) epoch calls
+      st.table("ivf").filter(col("kind") === 1)
+        .groupBy("vec_id").count().filter(col("count") > 1).count() shouldBe 0L
+      val direct = new TableStore(spark, tempDir("graft-ivf-restart-direct").toString)
+      Similarity.buildIvfStore(direct, vecs.limit(0))
+      (0 until 4).foreach { e =>
+        Similarity.ivfIngestEpoch(direct)(
+          vecs.filter(col("vec_id") >= e * 8L && col("vec_id") < (e + 1) * 8L),
+          e.toLong)
+      }
+      Similarity.ivfProbe(st, nQueries = 2, k = 3).collect().toSeq shouldBe
+        Similarity.ivfProbe(direct, nQueries = 2, k = 3).collect().toSeq
+    } finally {
+      graft.operators.EventsOps.rmTree(srcDir)
+      graft.operators.EventsOps.rmTree(ckpt)
+      graft.operators.EventsOps.rmTree(storeRoot)
+    }
+  }
+
+  test("q210: the writeStream-driven IVF store serves q51's exact results") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Similarity.streamedIvfImpl(rowsPerFile = 200L, slices = 3)(spark, dir)
+      .collect().map(_.toSeq)
+    val mono = Similarity.q51.build(spark, dir).collect().map(_.toSeq)
+    streamed should not be empty
+    streamed.toSeq shouldBe mono.toSeq
+  }
 }
