@@ -242,13 +242,24 @@ object SearchOps {
     * gate hashes are bit-identical. */
   private def sparseCosine(s: org.apache.spark.sql.SparkSession, d: String,
                            queryPred: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    sparseCosineFrom(Tables.documents(s, d).select("doc_id"),
+      tfidfWeights(s, d), queryPred, k)
+
+  /** [[sparseCosine]]'s engine over EXPLICIT inputs — `allDocs` (one
+    * doc_id per corpus document; the query-id source) and `wd` (the
+    * fixed-point weight frame) — so the corpus path (q119/q125) and the
+    * maintained-index path (q211/q212) share one scoring kernel and can
+    * never drift. */
+  private def sparseCosineFrom(allDocs: org.apache.spark.sql.DataFrame,
+                               wd: org.apache.spark.sql.DataFrame,
+                               queryPred: org.apache.spark.sql.Column, k: Int)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.TopKAggregator._
-    // query ids from the raw documents scan: no tokenization, no shuffle
-    val qids = Tables.documents(s, d).filter(queryPred)
+    // query ids from the id frame alone: no tokenization, no shuffle
+    val qids = allDocs.filter(queryPred)
       .select("doc_id").collect().map(_.getLong(0)).sorted
     require(qids.nonEmpty, "sparseCosine: queryPred selected no documents")
-    val wd = tfidfWeights(s, d)
     val nrm = wd.groupBy("doc_id")
       .agg(sum(col("wi").cast("long") * col("wi").cast("long")).as("nr"))
     // |vocab ∩ query tokens| × |queries| weight matrix — broadcast-bounded
@@ -289,8 +300,22 @@ object SearchOps {
         col("sc.score").as("cosine"))
   }
 
-  val q119 = QueryDef(
-    "q119_tfidf_cosine_topk",
+  /** Per-query rank emission shared by q119 (corpus) and q211 (served
+    * from the maintained index): the top-k window over an already
+    * k-bounded per-query frame — tiny input, never the corpus. */
+  private def rankCosineTopK(scored: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    scored
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+
+  /** The 20-query tf-idf cosine oracle (monolithic corpus
+    * recomputation) — shared verbatim by q119 (inline) and q211 (served
+    * from the maintained index store). */
+  private val tfidfOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -314,13 +339,12 @@ object SearchOps {
       |SELECT query_id, doc_id, cosine, CAST(rk AS INT) AS rk FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |            ORDER BY cosine DESC, doc_id) AS rk FROM cosp)
-      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    sparseCosine(s, d, col("doc_id") < 20, k = 3)
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
-      .filter(col("rk") <= 3)
-      .orderBy("query_id", "rk")
+      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  val q119 = QueryDef(
+    "q119_tfidf_cosine_topk",
+    tfidfOracleSql) { (s, d) =>
+    rankCosineTopK(sparseCosine(s, d, col("doc_id") < 20, k = 3), 3)
   }
 
   /** Reciprocal-rank fusion of a sparse (BM25) and a dense-style (tf-idf
@@ -335,8 +359,10 @@ object SearchOps {
     * reciprocal sum on both engines. Scale: two top-50 rankings (tiny)
     * full-outer joined on doc_id — the fusion itself is free; the cost is
     * the two retrievals, each already scale-shaped. */
-  val q125 = QueryDef(
-    "q125_rrf_hybrid",
+  /** The RRF-hybrid oracle (monolithic corpus recomputation of both
+    * rankings + the fusion) — shared verbatim by q125 (inline) and q212
+    * (both rankings served from the maintained index store). */
+  private val rrfOracleSql: String =
     s"""WITH dl AS (
        |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
        |stats AS (
@@ -388,13 +414,21 @@ object SearchOps {
        |  FROM bmr b FULL OUTER JOIN dnr v ON v.doc_id = b.doc_id)
        |SELECT doc_id, bm25_rk, dense_rk, rrf, CAST(frk AS INT) AS frk FROM (
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frk FROM fused)
-       |WHERE frk <= 10 ORDER BY frk""".stripMargin) { (s, d) =>
+       |WHERE frk <= 10 ORDER BY frk""".stripMargin
+
+  /** The RRF fusion over two pre-built rankings — `bm` (doc_id, score)
+    * top-50 and `dense` (doc_id, cosine) per-query scored rows — shared
+    * by q125 and q212. Both inputs are ≤ 50 rows; the windows here sort
+    * bounded frames, never the corpus. */
+  private def rrfFuse(bm: org.apache.spark.sql.DataFrame,
+                      dense: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bmr = bm25(s, d, Seq("dup", "window"), 50)
+    val bmr = bm
       .withColumn("bm25_rk", org.apache.spark.sql.functions.row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .select("doc_id", "bm25_rk")
-    val dnr = sparseCosine(s, d, col("doc_id") === 0, k = 50)
+    val dnr = dense
       .withColumn("dense_rk", org.apache.spark.sql.functions.row_number().over(
         Window.orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
       .filter(col("dense_rk") <= 50)
@@ -408,6 +442,13 @@ object SearchOps {
       .filter(col("frk") <= 10)
       .select("doc_id", "bm25_rk", "dense_rk", "rrf", "frk")
       .orderBy("frk")
+  }
+
+  val q125 = QueryDef(
+    "q125_rrf_hybrid",
+    rrfOracleSql) { (s, d) =>
+    rrfFuse(bm25(s, d, Seq("dup", "window"), 50),
+      sparseCosine(s, d, col("doc_id") === 0, k = 50))
   }
 
   /** q165: chunk-level BM25 retrieval — q101's log-free Okapi scoring run
@@ -754,6 +795,73 @@ object SearchOps {
     }
   }
 
+  /** [[tfidfWeights]] recomputed from the maintained store alone: tf is
+    * the kind-0 posting's own count (a doc lands in exactly one epoch,
+    * so per-epoch tf IS global tf), df counts each token's posting rows,
+    * and n counts kind-1 docs with ≥ 1 token (= the oracle's
+    * COUNT(DISTINCT doc_id) over the tf pairs). Same fixed-point weight
+    * expression as the corpus path, so every downstream bit matches. */
+  private def tfidfWeightsFromIndex(st: graft.sources.TableStore)
+      : org.apache.spark.sql.DataFrame = {
+    val idx = st.table("index")
+    val tf = idx.filter(col("kind") === 0)
+      .select(col("doc_id"), col("w").as("tok"), col("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n1 = idx.filter(col("kind") === 1 && col("dl") > 0)
+      .agg(count(lit(1)).as("n"))
+    // no broadcast hint on dfreq — corpus-vocabulary cardinality (the
+    // same contract as the corpus-path weights); only the 1-row n frame
+    // broadcasts
+    tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("tok"),
+        floor(lit(1000.0) * col("tf") * (col("n") + 1) / (col("df") + 1))
+          .cast("long").cast("decimal(18,0)").as("wi"))
+  }
+
+  /** Every ingested doc id, from the kind-1 doc-length sidecar — the
+    * maintained stand-in for the corpus doc_id scan (one row per doc,
+    * including zero-token docs, exactly like the raw documents table). */
+  private def docIdsFromIndex(st: graft.sources.TableStore)
+      : org.apache.spark.sql.DataFrame =
+    st.table("index").filter(col("kind") === 1).select("doc_id")
+
+  /** q211: tf-idf cosine retrieval SERVED from the maintained index —
+    * q119's 20-query top-3 computed entirely from the q206 store (kind-0
+    * postings → weights, kind-1 sidecar → query ids), never from corpus
+    * text: at 100 TB the corpus-recompute path is the one a user would
+    * be forbidden from running, and the store already holds exactly the
+    * postings the weights need. Oracle = q119's monolithic recomputation
+    * verbatim (the maintained-family discipline q206 applied to BM25).
+    *
+    * Scale posture: one full kind-0 index scan (the index IS the
+    * tokenized corpus — no term prune exists for all-pairs vector
+    * similarity), then [[sparseCosineFrom]]'s broadcast-pivot kernel:
+    * input stays |postings| rows, partial state is docs-per-partition
+    * accumulator rows, top-k is the bounded TopKAggregator. */
+  val q211 = QueryDef(
+    "q211_index_tfidf_serving",
+    tfidfOracleSql) { (s, d) =>
+    val st = maintainedIndex(s, d)
+    rankCosineTopK(sparseCosineFrom(docIdsFromIndex(st),
+      tfidfWeightsFromIndex(st), col("doc_id") < 20, k = 3), 3)
+  }
+
+  /** q212: RRF hybrid retrieval SERVED from the maintained index — both
+    * of q125's input rankings (the BM25 top-50 and the doc-0 tf-idf
+    * cosine) computed from the q206 store, fused by the shared
+    * [[rrfFuse]]; the oracle is q125's monolithic recomputation
+    * verbatim. The lexical leg file-prunes to the query terms' posting
+    * files ([[bm25FromIndex]]); the dense leg pays the kind-0 scan
+    * (q211's shape). */
+  val q212 = QueryDef(
+    "q212_index_rrf_serving",
+    rrfOracleSql) { (s, d) =>
+    val st = maintainedIndex(s, d)
+    rrfFuse(bm25FromIndex(st, Seq("dup", "window"), 50),
+      sparseCosineFrom(docIdsFromIndex(st),
+        tfidfWeightsFromIndex(st), col("doc_id") === 0, k = 50))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209)
+    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212)
 }

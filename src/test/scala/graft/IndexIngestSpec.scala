@@ -157,6 +157,44 @@ class IndexIngestSpec extends SparkSpec {
     }
   }
 
+  test("q211/q212 serve q119/q125 exactly, and their plans scan only the store") {
+    val dir = "/root/testdata/sf0.001"
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def walk(p: SparkPlan): Seq[String] = {
+        val self = p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case c: InMemoryTableScanExec => walk(c.relation.cachedPlan)
+          case _ => Nil
+        }
+        self ++ nested ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val inc211 = SearchOps.q211.build(spark, dir)
+    inc211.collect().map(_.toSeq).toSeq shouldBe
+      SearchOps.q119.build(spark, dir).collect().map(_.toSeq).toSeq
+    val p211 = scanPaths(inc211)
+    p211 should not be empty
+    // serving never touches corpus text: every file scan is store-rooted
+    all(p211) should include("graft-search-index")
+
+    val inc212 = SearchOps.q212.build(spark, dir)
+    inc212.collect().map(_.toSeq).toSeq shouldBe
+      SearchOps.q125.build(spark, dir).collect().map(_.toSeq).toSeq
+    val p212 = scanPaths(inc212)
+    p212 should not be empty
+    all(p212) should include("graft-search-index")
+  }
+
   test("q209: the writeStream-driven index store serves q101's exact results") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SearchOps.streamedIndexImpl(rowsPerFile = 200L, slices = 3)(spark, dir)
