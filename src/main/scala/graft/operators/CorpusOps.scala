@@ -611,6 +611,89 @@ object CorpusOps {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** One epoch of INCREMENTAL decontamination: the arriving batch's
+    * distinct 8-gram shingles are checked against the static benchmark
+    * gram set — `benchPrune` (the q130 bloom literal, built ONCE by the
+    * caller since the benchmark never changes) drops the ~all
+    * non-matching shingles at the scan, the broadcast join restores
+    * exactness — and the per-doc verdict rows commit as ONE ledgered
+    * append, so contaminated docs are flagged the moment they land and a
+    * replayed epoch no-ops (the q199 append discipline). Per-doc counts
+    * are complete because a doc lands wholly in one epoch; the union
+    * over epochs is exactly the monolithic q63/q130 result, which IS
+    * q213's oracle. */
+  private[graft] def decontamIngestEpoch(st: graft.sources.TableStore,
+      benchGrams: org.apache.spark.sql.DataFrame,
+      benchPrune: Option[org.apache.spark.sql.Column])(
+      batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
+    if (st.batchCommitted("contam", epoch)) return
+    val sh = batch
+      .withColumn("t", tokens(col("text")))
+      .withColumn("g", explode(shinglesN("t", 8)))
+      .select("doc_id", "g").distinct()
+    val pruned = benchPrune.map(sh.filter).getOrElse(sh)
+    val verdicts = pruned.join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    st.appendBatch("contam", epoch, verdicts); ()
+  }
+
+  /** The distinct benchmark gram set (bench_id, g) + its bloom-prune
+    * literal, built once before ingest begins — the benchmark is
+    * held-out state known up front. Caller persists/unpersists. */
+  private[graft] def benchGramSet(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Option[org.apache.spark.sql.Column]) = {
+    val bench = docs.filter(col("doc_id") < 50)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("g", explode(shinglesN("t", 8)))
+      .select(col("doc_id").as("bench_id"), col("g")).distinct()
+      .persist()
+    (bench, BloomJoin.prunePredicate(bench.select("g"), col("g"), estItems = 4096L))
+  }
+
+  /** q213: decontamination UNDER INGEST — q63/q130's benchmark check run
+    * the moment each batch arrives instead of as an offline sweep: four
+    * doc_id-ordered epochs append their verdict rows through the epoch
+    * ledger ([[decontamIngestEpoch]]), and the accumulated verdict table
+    * must equal the monolithic recomputation over the full corpus — the
+    * maintained-family discipline applied to contamination flagging. A
+    * training pipeline reads the verdicts store-locally at release time;
+    * no corpus rescan ever happens.
+    *
+    * Scale posture: per-epoch cost is batch shingling + the bloom-pruned
+    * broadcast join (benchmark side tiny by construction); the corpus is
+    * never re-read, and the verdict table grows only by actual hits. */
+  val q213 = QueryDef(
+    "q213_incremental_decontamination",
+    contaminationOracle) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val (bench, prune) = benchGramSet(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft-contam")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      st.create("contam", docs.limit(0).select(col("doc_id"),
+        col("doc_id").as("bench_id"), col("doc_id").as("n_shared_grams")))
+      val corpus = docs.filter(col("doc_id") >= 50)
+      val r = corpus.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val slices = 4
+        val step = (hi - lo) / slices + 1
+        (0 until slices).foreach { e =>
+          decontamIngestEpoch(st, bench, prune)(corpus.filter(
+            col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+        }
+      }
+      // pinned: the store root is deleted in the finally below
+      Dedup.pin(st.table("contam").orderBy("doc_id", "bench_id"))
+    } finally {
+      bench.unpersist()
+      EventsOps.rmTree(root)
+    }
+  }
+
   /** q157: cross-source containment matrix — for every ordered source
     * pair, how much of source A's distinct 5-gram set also appears in
     * source B (ppm). The corpus-mixing diagnostic: high containment means
@@ -1037,8 +1120,9 @@ object CorpusOps {
     * Spark's exact aggregate over the per-group length multisets — at
     * corpus scale swap in percentile_approx with a documented error
     * budget, same plan shape. No windows, no joins, no driver state. */
-  val q198 = QueryDef(
-    "q198_dataset_card",
+  /** The dataset-card oracle — shared verbatim by q198 (monolithic) and
+    * q214 (maintained from the cluster store's per-doc card sidecar). */
+  private[operators] val datasetCardOracleSql: String =
     """WITH t AS (
       |  SELECT source, lang, n_chars,
       |    len(string_split(trim(text), ' ')) AS ntok
@@ -1052,10 +1136,15 @@ object CorpusOps {
       |  CAST(MAX(ntok) AS BIGINT) AS max_tokens,
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
       |  CAST((SUM(n_chars) * 1000) // SUM(ntok) AS BIGINT) AS chars_per_token_ppk
-      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("source"), col("lang"), col("n_chars"),
-        size(tokens(col("text"))).cast("long").as("ntok"))
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** The card aggregation over a per-doc (source, lang, n_chars, ntok)
+    * frame — shared by q198 (from the documents table) and q214 (from
+    * the cluster store's card sidecar), so the two emissions can never
+    * drift. ONE hash aggregate keyed by source. */
+  private[operators] def datasetCard(perDoc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    perDoc
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).cast("long").as("sum_tokens"),
@@ -1068,6 +1157,13 @@ object CorpusOps {
         expr("(sum(n_chars) * 1000) div sum(ntok)").cast("long")
           .as("chars_per_token_ppk"))
       .orderBy("source")
+
+  val q198 = QueryDef(
+    "q198_dataset_card",
+    datasetCardOracleSql) { (s, d) =>
+    datasetCard(Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("ntok")))
   }
 
   /** q195: span-level decontamination forensics — q63/q130 flag WHICH
@@ -1117,5 +1213,5 @@ object CorpusOps {
   }
 
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157, q168, q191, q192, q194, q195, q196, q197, q198)
+    q130, q151, q157, q168, q191, q192, q194, q195, q196, q197, q198, q213)
 }

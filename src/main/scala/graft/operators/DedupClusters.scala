@@ -480,22 +480,41 @@ object DedupClusters {
         lit(0L).as("bkt"), hex60(1).as("h"), hex60(16).as("n")))
   }
 
+  /** Per-doc dataset-card rows stamped at arrival — the typed sidecar
+    * TABLE (`card`: doc_id, source, lang, n_chars, ntok) the maintained
+    * q214 card aggregates, carrying the string dimensions the long-only
+    * kind-tagged state schema cannot (VERDICT r15 next #4). Text is
+    * touched exactly here. */
+  private def cardRows(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    batch.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("ntok"))
+
   /** Feed the documents table into `st` as `slices` equal doc_id-ordered
     * epochs of [[Dedup.clusterIngestEpoch]] (quality/token/digest
-    * metadata riding as kind-6/7 sidecar rows). Shared by the memoized
-    * q203/q204/q205 store and the epoch-cost probe's cluster arm. */
+    * metadata riding as kind-6/7 sidecar rows), each epoch also stamping
+    * its [[cardRows]] into the `card` table. The card append commits
+    * AFTER the state flip under the same epoch id on its own ledger (the
+    * dedup sink's multi-table discipline): a crash between the two
+    * replays to state-no-op + card-apply, so the pair converges. Shared
+    * by the memoized q203–q205/q214 store and the epoch-cost probe's
+    * cluster arm. */
   private[graft] def ingestClusterEpochs(st: graft.sources.TableStore,
       s: org.apache.spark.sql.SparkSession, d: String, slices: Int): Unit = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "source", "lang", "n_chars")
     Dedup.buildDedupState(st, docs.limit(0))
+    st.create("card", cardRows(docs.limit(0)))
     val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
     if (r.getLong(2) > 0L) {
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val step = (hi - lo) / slices + 1
       (0 until slices).foreach { e =>
-        Dedup.clusterIngestEpoch(st, meta = Some(clusterDocMeta))(docs.filter(
-          col("doc_id") >= lo + e * step &&
-            col("doc_id") < lo + (e + 1) * step), e.toLong)
+        val batch = docs.filter(col("doc_id") >= lo + e * step &&
+          col("doc_id") < lo + (e + 1) * step)
+        Dedup.clusterIngestEpoch(st, meta = Some(clusterDocMeta))(batch, e.toLong)
+        st.appendBatch("card", e.toLong, cardRows(batch)); ()
       }
     }
   }
@@ -591,5 +610,27 @@ object DedupClusters {
     savingsReport(tot, keepers, removed)
   }
 
-  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181, q203, q204, q205)
+  /** q214: MAINTAINED dataset card — q198's per-source release-notes
+    * table computed entirely from the q203 store's card sidecar, never
+    * from corpus text: every per-doc dimension (source, lang, n_chars,
+    * token count) was stamped when the doc ARRIVED, so the release
+    * dashboard reads store-local rows however large the corpus grew —
+    * completing the "dashboards from state" story q205 started. The
+    * oracle is q198's monolithic SQL verbatim, and the aggregation body
+    * is shared with q198 ([[CorpusOps.datasetCard]]), so parity is
+    * structural.
+    *
+    * Scale posture: one store-local scan of 4-column per-doc rows into
+    * one source-keyed hash aggregate; at corpus scale the exact
+    * percentile swaps for percentile_approx with a documented error
+    * budget (same plan shape — q198's contract). */
+  val q214 = QueryDef(
+    "q214_maintained_dataset_card",
+    CorpusOps.datasetCardOracleSql) { (s, d) =>
+    CorpusOps.datasetCard(
+      clusterIngestedStore(s, d).table("card")
+        .select("source", "lang", "n_chars", "ntok"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181, q203, q204, q205, q214)
 }

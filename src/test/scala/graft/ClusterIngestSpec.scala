@@ -172,4 +172,29 @@ class ClusterIngestSpec extends SparkSpec {
     inc.length shouldBe 1
     inc.toSeq shouldBe mono.toSeq
   }
+
+  test("maintained dataset card matches the monolithic q198 from the card sidecar alone") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = DedupClusters.q214.build(spark, dir)
+    inc.collect().map(_.toSeq).toSeq shouldBe
+      graft.operators.CorpusOps.q198.build(spark, dir).collect().map(_.toSeq).toSeq
+    // plan purity: the card aggregate reads only store files
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => Nil
+      }
+      self ++ nested ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    val paths = walk(inc.queryExecution.executedPlan)
+    paths should not be empty
+    all(paths) should include("graft-cluster-ingest")
+  }
 }
