@@ -24,7 +24,18 @@ import org.apache.spark.sql.SparkSession
   *    first (order-preserving). The ScaleBench replicas offset each
   *    replica by 10^7, so doc_id-RANGE slicing lands whole replicas in
   *    some epochs and none in others — fine for the gated query, but
-  *    this probe's control variable is CONSTANT batch size. */
+  *    this probe's control variable is CONSTANT batch size.
+  *  - SPARK_GRAFT_EPOCH_SALT=1: prefix every token with its replica
+  *    index (replica = doc_id div 10^7 — applied BEFORE any dense
+  *    remap) so cross-replica shingle sets are DISJOINT by
+  *    construction: within-replica near-dup structure is preserved
+  *    exactly (uniform prefixing is a shingle bijection), but replicas
+  *    can no longer band-collide with their salted copies. This is the
+  *    realistic-density regime (VERDICT r15 next #3): the ScaleBench
+  *    word-salt keeps cross-replica Jaccard under the 0.8 VERIFY bar
+  *    but still band-collides ~11% of the store into candidates — a
+  *    replication artifact; real corpora grow by NEW content. Leave
+  *    unset to probe that adversarial dense-candidate regime. */
 object EpochCostProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -50,12 +61,24 @@ object EpochCostProbe {
     // Window.orderBy single-partition sort was an OOM hazard at larger
     // replicas); order-preserving, so the strictly-increasing-ingest
     // contract holds
-    var denseDir: Option[java.nio.file.Path] = None
-    val corpusDir = if (!sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")) dir else {
-      val out = java.nio.file.Files.createTempDirectory("graft-epoch-dense")
-      denseDir = Some(out)
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    val saltedDir = if (!sys.env.contains("SPARK_GRAFT_EPOCH_SALT")) dir else {
+      val out = java.nio.file.Files.createTempDirectory("graft-epoch-salt")
+      tmpDirs += out
       import org.apache.spark.sql.functions._
-      val src = spark.read.parquet(s"$dir/documents.parquet")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", array_join(
+          transform(split(trim(col("text")), " "),
+            t => concat(lit("r"), expr("doc_id div 10000000"), lit("_"), t)),
+          " "))
+        .write.parquet(s"$out/documents.parquet")
+      out.toString
+    }
+    val corpusDir = if (!sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")) saltedDir else {
+      val out = java.nio.file.Files.createTempDirectory("graft-epoch-dense")
+      tmpDirs += out
+      import org.apache.spark.sql.functions._
+      val src = spark.read.parquet(s"$saltedDir/documents.parquet")
       operators.CorpusOps.globalRowIndex(src, col("doc_id"))
         .withColumn("doc_id", col("i")).drop("i")
         .write.parquet(s"$out/documents.parquet")
@@ -75,7 +98,7 @@ object EpochCostProbe {
         if (op == "cluster")
           operators.DedupClusters.clusterProbeIngest(slices)(spark, corpusDir)
         else operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
-      } finally denseDir.foreach(operators.EventsOps.rmTree)
+      } finally tmpDirs.foreach(operators.EventsOps.rmTree)
     val total = (System.nanoTime() - t0) / 1e9
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
@@ -104,6 +127,7 @@ object EpochCostProbe {
          | "files_per_epoch": ${filesPerEpoch.map(_.toString).getOrElse("\"auto\"")},
          | "auto_compact_versions": ${compactEvery.map(_.toString).getOrElse("\"default\"")},
          | "dense_ids": ${sys.env.contains("SPARK_GRAFT_EPOCH_DENSE")},
+         | "replica_salt": ${sys.env.contains("SPARK_GRAFT_EPOCH_SALT")},
          | ${Provenance.jsonFields},
          | "note": "equal doc_id batches; store grows one batch per epoch; flat per-epoch sec = batch-proportional cost",
          | "survivor_rows": $rows, "total_sec": ${num(total, 2)},
