@@ -78,6 +78,38 @@ class ClusterIngestSpec extends SparkSpec {
     kind4Raw(st, 22L) shouldBe Seq(20L)
   }
 
+  test("compaction collapses multi-hop mapping chains to single hops without changing labels") {
+    val st = new TableStore(spark, tempDir("graft-cluster-chainfold").toString)
+    Dedup.buildDedupState(st, docsDf().limit(0))
+    // build the 2-hop chain 20 -> 10 -> 5 (the bridge shape above)
+    Dedup.clusterIngestEpoch(st)(docsDf(10L -> textX, 20L -> textY), 0L)
+    Dedup.clusterIngestEpoch(st)(docsDf(30L -> textX, 22L -> textY2), 1L)
+    Dedup.clusterIngestEpoch(st)(docsDf(50L -> textZ), 2L)
+    Dedup.clusterIngestEpoch(st)(docsDf(5L -> textZ), 3L)
+    def mapSet = Dedup.stateMappings(st.table("state"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    mapSet should contain.allOf(20L -> 10L, 10L -> 5L) // genuinely chained
+    val before = labelMap(st)
+    before.values.toSet shouldBe Set(5L)
+
+    Dedup.compactSignatureStore(st)
+    // every surviving mapping row points STRAIGHT at the chain root —
+    // resolution is single-hop from here on, which is exactly the remedy
+    // the non-convergence error message prescribes
+    val folded = mapSet
+    folded.map(_._2) shouldBe Set(5L)
+    folded.map(_._1) should contain.allOf(10L, 20L)
+    // labels unchanged; the untouched member still has only its stale
+    // kind-4 row and resolves through the (now 1-hop) mapping
+    labelMap(st) shouldBe before
+    kind4Raw(st, 22L) shouldBe Seq(20L)
+    // and later epochs keep maintaining over the folded store
+    Dedup.clusterIngestEpoch(st)(docsDf(60L -> textZ), 4L)
+    val after = labelMap(st)
+    after(60L) shouldBe 5L
+    after.values.toSet shouldBe Set(5L)
+  }
+
   test("a committed epoch replays as a no-op and maintenance compaction changes nothing") {
     val st = new TableStore(spark, tempDir("graft-cluster-replay").toString)
     Dedup.buildDedupState(st, docsDf().limit(0))
