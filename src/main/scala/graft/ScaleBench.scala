@@ -171,6 +171,7 @@ object ScaleBench {
           operators.Extras.releaseGraphMemo(dir)
           operators.DedupClusters.releaseClusterStore(dir)
           operators.SearchOps.releaseSearchIndex(dir)
+          operators.SearchOps.releaseChunkIndex(dir)
           operators.Similarity.releaseIvfStore(dir)
         }
         val t0 = System.nanoTime()

@@ -466,8 +466,29 @@ object SearchOps {
     * only data-sized shuffle joins term-bearing chunks against chunk
     * lengths on the (doc, chunk) key. Top-10 is a fully-tiebroken
     * TakeOrdered. */
-  val q165 = QueryDef(
-    "q165_chunk_bm25",
+  /** q152's overlapping 64/48-token chunks of a documents frame:
+    * (doc_id, chunk_id, start_tok, ctoks, dl) — per-document fan-out,
+    * shared by q165 (inline) and the maintained chunk index (q215), so
+    * the chunk boundaries can never drift between the two. */
+  private def chunkFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= 64, lit(1L)).otherwise(expr("(n - 17) div 48 + 1")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 48).as("start_tok"),
+        expr("slice(toks, cast(chunk_id * 48 + 1 as int), " +
+          "cast(least(64, n - chunk_id * 48) as int))").as("ctoks"),
+        least(lit(64L), col("n") - col("chunk_id") * 48).as("dl"))
+
+  /** The chunk-BM25 oracle (monolithic chunking + scoring) — shared
+    * verbatim by q165 (inline) and q215 (served from the maintained
+    * chunk index store). */
+  private val chunkBm25OracleSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
        |             len(string_split(trim(text), ' ')) AS n FROM documents),
        |c AS (SELECT doc_id, toks, n,
@@ -494,20 +515,13 @@ object SearchOps {
        |JOIN df ON df.w = tf.w
        |JOIN ch ON ch.doc_id = tf.doc_id AND ch.chunk_id = tf.chunk_id
        |GROUP BY 1, 2, 3
-       |ORDER BY score DESC, tf.doc_id, tf.chunk_id LIMIT 10""".stripMargin) { (s, d) =>
+       |ORDER BY score DESC, tf.doc_id, tf.chunk_id LIMIT 10""".stripMargin
+
+  val q165 = QueryDef(
+    "q165_chunk_bm25",
+    chunkBm25OracleSql) { (s, d) =>
     val terms = Seq("dup", "window")
-    val ch = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("n_chunks",
-        when(col("n") <= 64, lit(1L)).otherwise(expr("(n - 17) div 48 + 1")))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        (col("chunk_id") * 48).as("start_tok"),
-        expr("slice(toks, cast(chunk_id * 48 + 1 as int), " +
-          "cast(least(64, n - chunk_id * 48) as int))").as("ctoks"),
-        least(lit(64L), col("n") - col("chunk_id") * 48).as("dl"))
+    val ch = chunkFrame(Tables.documents(s, d))
     val stats = ch.agg(
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).cast("double").as("n"))
@@ -862,6 +876,171 @@ object SearchOps {
         tfidfWeightsFromIndex(st), col("doc_id") === 0, k = 50))
   }
 
+  // ------------------------------------------------------------------
+  // Maintained CHUNK index (q215): q165's passage retrieval served from
+  // a store the ingest keeps current — the RAG-serving member of the
+  // maintained-index family. One kind-tagged table (`chunkindex`):
+  //   kind 0 — chunk postings: (w, doc_id, chunk_id, tf), term-clustered
+  //   kind 1 — chunk sidecar: (doc_id, chunk_id, start_tok, dl)
+  //   kind 2 — per-epoch stats partial: (n_chunks, sum_dl)
+  // Chunking is per-document fan-out and a doc lands in exactly ONE
+  // epoch, so chunk tf/df and the additive stats reconstruct the
+  // monolithic values exactly — the q206 argument, one level down.
+  // ------------------------------------------------------------------
+
+  private def chunkIndexRows(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ch = chunkFrame(batch)
+    val nulL = lit(null).cast("long")
+    val tf = ch.select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("w"))
+      .groupBy("w", "doc_id", "chunk_id").agg(count(lit(1)).as("tf"))
+      .select(lit(0).as("kind"), col("w"), col("doc_id"), col("chunk_id"),
+        nulL.as("start_tok"), col("tf"), nulL.as("dl"),
+        nulL.as("n_chunks"), nulL.as("sum_dl"))
+    val lens = ch
+      .select(lit(1).as("kind"), lit("").as("w"), col("doc_id"), col("chunk_id"),
+        col("start_tok"), nulL.as("tf"), col("dl"),
+        nulL.as("n_chunks"), nulL.as("sum_dl"))
+    val stats = ch
+      .agg(count(lit(1)).as("n_chunks"), sum(col("dl")).cast("long").as("sum_dl"))
+      .select(lit(2).as("kind"), lit("").as("w"), lit(0L).as("doc_id"),
+        lit(0L).as("chunk_id"), nulL.as("start_tok"), nulL.as("tf"),
+        nulL.as("dl"), col("n_chunks"), col("sum_dl"))
+    tf.unionByName(lens).unionByName(stats)
+  }
+
+  /** One epoch of chunk-index maintenance: chunk + tokenize the batch
+    * and commit postings + chunk sidecar + stats partial as ONE
+    * ledgered, READ-FREE append (replay no-ops); the shared
+    * auto-compaction policy collapses long chains layout-preservingly
+    * and hands stats to the CBO. */
+  private[graft] def chunkIndexIngestEpoch(st: graft.sources.TableStore)(
+      batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
+    if (st.batchCommitted("chunkindex", epoch)) return
+    st.appendBatch("chunkindex", epoch,
+      Dedup.bucketLayout(chunkIndexRows(batch), 8, "kind", "w", "doc_id", "chunk_id"))
+    Dedup.maybeAutoCompactClustered(batch.sparkSession, st, "chunkindex",
+      Seq("kind", "w", "doc_id", "chunk_id"))
+  }
+
+  /** Create the (empty) chunk-index table [[chunkIndexIngestEpoch]]
+    * appends to. */
+  private[graft] def buildChunkIndex(st: graft.sources.TableStore,
+      seed: org.apache.spark.sql.DataFrame): Unit = {
+    st.create("chunkindex", chunkIndexRows(seed)); ()
+  }
+
+  /** q165's scoring served from the maintained chunk store — the exact
+    * expression tree over store-local inputs: tf/df from the term-pruned
+    * kind-0 postings, chunk lengths from the kind-1 sidecar (pruned to
+    * the MATCHED docs' id range, ceiling-guarded), (n, avgdl) from the
+    * summed kind-2 partials. Bit-identical to the monolithic scores for
+    * the q206 reasons. */
+  private[graft] def chunkBm25FromIndex(st: graft.sources.TableStore,
+      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val idx = st.table("chunkindex")
+    val (tfScan, rep) = st.scanSkippingValues("chunkindex",
+      Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
+      "w", terms)
+    if (sys.props.contains("graft.epochTrace")) {
+      Dedup.skipTrace.add(("chunkindex.postings", rep.filesTotal, rep.filesRead)); ()
+    }
+    val tf = Dedup.pin(tfScan
+      .filter(col("kind") === 0 && col("w").isin(terms: _*))
+      .select(col("doc_id"), col("chunk_id"), col("w"),
+        col("tf").cast("double").as("tf")))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val matched = tf.select("doc_id").distinct()
+    val ch = {
+      val n = matched.count()
+      if (n <= Dedup.MaxBroadcastCandidateDocs) {
+        val ids = matched.collect().map(_.getLong(0))
+        java.util.Arrays.sort(ids)
+        val (df, lrep) = st.scanSkippingIds("chunkindex",
+          Seq(graft.sources.FileStats.ColumnRange("kind", Some(1), Some(1))),
+          "doc_id", ids)
+        if (sys.props.contains("graft.epochTrace")) {
+          Dedup.skipTrace.add(("chunkindex.lens", lrep.filesTotal, lrep.filesRead)); ()
+        }
+        df.filter(col("kind") === 1)
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("dl"))
+      } else idx.filter(col("kind") === 1)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("dl"))
+    }
+    val stats = idx.filter(col("kind") === 2)
+      .agg((sum(col("sum_dl")).cast("double") /
+        sum(col("n_chunks")).cast("double")).as("avgdl"),
+        sum(col("n_chunks")).cast("double").as("n"))
+    tf.crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), Seq("w"))
+      .join(ch, Seq("doc_id", "chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+          .as("s"))
+      .groupBy("doc_id", "chunk_id", "start_tok").agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_id")).limit(k)
+  }
+
+  // one maintained chunk store per (session, dir) — the q206 memo
+  // discipline (weak session keys, root-path values)
+  private val chunkStoreMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def maintainedChunkIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.sources.TableStore =
+    chunkStoreMemo.synchronized {
+      val perDir = {
+        val cur = chunkStoreMemo.get(s)
+        if (cur != null) cur
+        else { val m = scala.collection.mutable.Map[String, String]();
+               chunkStoreMemo.put(s, m); m }
+      }
+      val root = perDir.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val st = new graft.sources.TableStore(s,
+          java.nio.file.Files.createTempDirectory("graft-chunk-index").toString)
+        buildChunkIndex(st, docs.limit(0))
+        val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+        if (r.getLong(2) > 0L) {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          val slices = 4
+          val step = (hi - lo) / slices + 1
+          (0 until slices).foreach { e =>
+            chunkIndexIngestEpoch(st)(docs.filter(
+              col("doc_id") >= lo + e * step &&
+                col("doc_id") < lo + (e + 1) * step), e.toLong)
+          }
+        }
+        st.rootDir
+      })
+      new graft.sources.TableStore(s, root)
+    }
+
+  /** ScaleBench's cold-timing hook: drop the memoized chunk store for
+    * `dir` (all sessions) and delete its tempdir. */
+  private[graft] def releaseChunkIndex(dir: String): Unit =
+    chunkStoreMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      for (perDir <- chunkStoreMemo.values.asScala; root <- perDir.remove(dir))
+        EventsOps.rmTree(java.nio.file.Paths.get(root))
+    }
+
+  /** q215: MAINTAINED chunk-BM25 index — q165's passage retrieval (the
+    * RAG serving shape) answered from chunk-level inverted postings a
+    * read-free ingest keeps current, never from corpus text. With q206
+    * (doc BM25), q207 (conjunctive), q211 (tf-idf cosine) and q212
+    * (RRF), every retrieval gate in the suite now has a maintained
+    * serving path. Oracle = q165's monolithic recomputation verbatim. */
+  val q215 = QueryDef(
+    "q215_maintained_chunk_index",
+    chunkBm25OracleSql) { (s, d) =>
+    chunkBm25FromIndex(maintainedChunkIndex(s, d), Seq("dup", "window"), 10)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212)
+    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212, q215)
 }

@@ -26,4 +26,12 @@ object IndexIngest {
     * possibly empty). Serve any time with `Similarity.ivfProbe`. */
   def ivfIngestSink(store: TableStore): (DataFrame, Long) => Unit =
     (batch, epochId) => Similarity.ivfIngestEpoch(store)(batch, epochId)
+
+  /** Wire as `docs.writeStream.foreachBatch(chunkIndexIngestSink(store))`
+    * — each micro-batch of (doc_id, text) extends the term-clustered
+    * CHUNK-level index (create via `SearchOps.buildChunkIndex`, possibly
+    * empty). Serve passages any time with
+    * `SearchOps.chunkBm25FromIndex`. */
+  def chunkIndexIngestSink(store: TableStore): (DataFrame, Long) => Unit =
+    (batch, epochId) => SearchOps.chunkIndexIngestEpoch(store)(batch, epochId)
 }

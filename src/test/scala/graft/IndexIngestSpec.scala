@@ -237,6 +237,64 @@ class IndexIngestSpec extends SparkSpec {
     all(p212) should include("graft-search-index")
   }
 
+  test("q215: the maintained chunk index serves q165's exact passages, term-pruned") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = SearchOps.q215.build(spark, dir).collect().map(_.toSeq)
+    val mono = SearchOps.q165.build(spark, dir).collect().map(_.toSeq)
+    inc should not be empty
+    inc.toSeq shouldBe mono.toSeq
+  }
+
+  test("chunk-index epochs replay as no-ops, serve through the live sink, and prune both reads") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = new TableStore(spark, tempDir("graft-chunk-spec").toString)
+    SearchOps.buildChunkIndex(st, docsDf().limit(0))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = tempDir("graft-chunk-ckpt").toString
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.IndexIngest.chunkIndexIngestSink(st))
+      .start()
+    try {
+      // long docs (>64 tokens) so chunking genuinely splits; the probe
+      // term sits in ONE chunk of doc 1 and nowhere in doc 2
+      val mk = (id: Long, inject: String, at: Int) => {
+        val toks = (0 until 150).map(j => f"tok${id}_$j").updated(at, inject)
+        (id, toks.mkString(" "))
+      }
+      input.addData(mk(1L, "needle", 100), mk(2L, "hay", 10))
+      q.processAllAvailable()
+      input.addData(mk(3L, "needle", 5))
+      q.processAllAvailable()
+      val hits = SearchOps.chunkBm25FromIndex(st, Seq("needle"), 5).collect()
+      // 0-based token 100 sits in BOTH overlapping chunks 1 (48..111)
+      // and 2 (96..149) of doc 1; token 5 in chunk 0 of doc 3
+      hits.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+        Set((1L, 1L), (1L, 2L), (3L, 0L))
+      val rows = st.table("chunkindex").count()
+      // direct replay of a committed epoch no-ops on the ledger
+      SearchOps.chunkIndexIngestEpoch(st)(
+        Seq(99L -> "never lands").toDF("doc_id", "text"), 1L)
+      st.table("chunkindex").count() shouldBe rows
+      // both serving reads schedule fewer files than the snapshot holds
+      sys.props("graft.epochTrace") = "1"
+      graft.operators.Dedup.skipTrace.clear()
+      try {
+        SearchOps.chunkBm25FromIndex(st, Seq("needle"), 5).collect()
+        import scala.jdk.CollectionConverters._
+        val reads = graft.operators.Dedup.skipTrace.iterator().asScala.toSeq
+          .filter(_._1.startsWith("chunkindex."))
+        reads.map(_._1).sorted shouldBe Seq("chunkindex.lens", "chunkindex.postings")
+        reads.foreach { case (tag, total, read) =>
+          withClue(s"$tag $read/$total: ") { read should be < total }
+        }
+      } finally {
+        sys.props.remove("graft.epochTrace")
+        graft.operators.Dedup.skipTrace.clear()
+      }
+    } finally q.stop()
+  }
+
   test("q209: the writeStream-driven index store serves q101's exact results") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SearchOps.streamedIndexImpl(rowsPerFile = 200L, slices = 3)(spark, dir)
