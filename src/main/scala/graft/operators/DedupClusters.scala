@@ -485,7 +485,7 @@ object DedupClusters {
     * q214 card aggregates, carrying the string dimensions the long-only
     * kind-tagged state schema cannot (VERDICT r15 next #4). Text is
     * touched exactly here. */
-  private def cardRows(batch: org.apache.spark.sql.DataFrame)
+  private[graft] def cardRows(batch: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     batch.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
       size(graft.functions.TextFunctions.tokens(col("text")))

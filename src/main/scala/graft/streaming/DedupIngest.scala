@@ -113,8 +113,15 @@ object DedupIngest {
     * any time with
     * `Dedup.clusterLabels(store)` — maintenance (auto-compaction rides
     * the same policy conf as the dedup sink) never changes them. */
+  /** `card` optionally stamps typed per-doc rows into a side TABLE (the
+    * q214 dataset-card sidecar: batch => rows for `appendBatch(cardTable,
+    * epoch, ...)`) AFTER the state flip, on the card table's own ledger —
+    * the dedup sink's multi-table discipline: a crash between the two
+    * appends replays to state-no-op + card-apply, so the pair
+    * converges. Create the card table (possibly empty) first. */
   def clusterIngestSink(store: TableStore,
-      meta: Option[DataFrame => DataFrame] = None)
+      meta: Option[DataFrame => DataFrame] = None,
+      card: Option[(String, DataFrame => DataFrame)] = None)
       : (DataFrame, Long) => Unit =
     (batch0, epochId) => {
       // persist: the epoch evaluates the batch at least twice (its
@@ -122,7 +129,11 @@ object DedupIngest {
       // with expensive upstream transforms must not recompute them per
       // reference (ADVICE r15 #4 — the dedupIngestSink discipline)
       val batch = batch0.cache()
-      try Dedup.clusterIngestEpoch(store, meta)(batch, epochId)
-      finally { batch.unpersist(); () }
+      try {
+        Dedup.clusterIngestEpoch(store, meta)(batch, epochId)
+        card.foreach { case (table, rows) =>
+          store.appendBatch(table, epochId, rows(batch)); ()
+        }
+      } finally { batch.unpersist(); () }
     }
 }

@@ -136,21 +136,33 @@ class ClusterIngestSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val st = new TableStore(spark, tempDir("graft-cluster-stream").toString)
     Dedup.buildDedupState(st, docsDf().limit(0))
+    // the card sidecar rides the same sink (the q214 shape): stamp a
+    // typed per-doc row per arriving doc on the card table's own ledger
+    val cardOf = (b: org.apache.spark.sql.DataFrame) => b.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+    st.create("livecard", cardOf(docsDf().limit(0)))
 
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val ckpt = tempDir("graft-cluster-ckpt").toString
     val q = input.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch(graft.streaming.DedupIngest.clusterIngestSink(st))
+      .foreachBatch(graft.streaming.DedupIngest.clusterIngestSink(st,
+        card = Some("livecard" -> cardOf)))
       .start()
     try {
       input.addData(10L -> textX, 20L -> textY, 30L -> textX, 22L -> textY2)
       q.processAllAvailable()
       labelMap(st) shouldBe Map(10L -> 10L, 30L -> 10L, 20L -> 20L, 22L -> 20L)
+      // card rows are already visible mid-stream
+      st.table("livecard").count() shouldBe 4L
       // the bridge arrives on a later micro-batch: stored clusters merge
       input.addData(50L -> textZ)
       q.processAllAvailable()
       labelMap(st).values.toSet shouldBe Set(10L)
+      st.table("livecard").count() shouldBe 5L
+      st.table("livecard").groupBy("doc_id").count()
+        .filter(col("count") > 1).count() shouldBe 0L
     } finally q.stop()
   }
 
