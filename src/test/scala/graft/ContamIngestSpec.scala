@@ -93,6 +93,55 @@ class ContamIngestSpec extends SparkSpec {
     } finally bench.unpersist()
   }
 
+  test("a replayed contam epoch no-ops on the ledger after a crash-restart") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = mkDocs
+    val (bench, prune) = CorpusOps.benchGramSet(docs)
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val storeRoot = tempDir("graft-contam-restart-store")
+    val srcDir = tempDir("graft-contam-restart-src")
+    val ckpt = tempDir("graft-contam-restart-ckpt")
+    try {
+      val st = new TableStore(spark, storeRoot.toString)
+      st.create("contam", docs.limit(0).select(col("doc_id"),
+        col("doc_id").as("bench_id"), col("doc_id").as("n_shared_grams")))
+      val staged = corpus.select("doc_id", "text")
+      val width = graft.operators.EventsOps.stageAligned(srcDir,
+        graft.operators.EventsOps.slicedStages(staged, col("doc_id"), 50L, 75L, 3), 1)
+      var applied = Vector.empty[Long]
+      def run(crashAfter: Option[Long]): Unit = {
+        val q = spark.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", width.toString).parquet(srcDir.toString)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            graft.streaming.ContamIngest.contamIngestSink(st, bench, prune)(batch, epoch)
+            applied :+= epoch
+            if (crashAfter.contains(epoch))
+              throw new RuntimeException("injected crash: store committed, marker not")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      }
+      run(crashAfter = Some(0L))
+      run(crashAfter = None)
+      applied.count(_ == 0L) shouldBe 2 // the replay really happened
+      // no duplicated verdicts, and the accumulated table is exactly the
+      // monolithic result
+      st.table("contam").groupBy("doc_id", "bench_id").count()
+        .filter(col("count") > 1).count() shouldBe 0L
+      st.table("contam").orderBy("doc_id", "bench_id")
+        .collect().map(_.toSeq).toSeq shouldBe
+        monolithic(docs).collect().map(_.toSeq).toSeq
+    } finally {
+      bench.unpersist()
+      graft.operators.EventsOps.rmTree(srcDir)
+      graft.operators.EventsOps.rmTree(ckpt)
+      graft.operators.EventsOps.rmTree(storeRoot)
+    }
+  }
+
   test("q213 matches the monolithic q63 on real data") {
     val dir = "/root/testdata/sf0.001"
     val inc = CorpusOps.q213.build(spark, dir).collect().map(_.toSeq)
