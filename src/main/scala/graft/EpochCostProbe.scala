@@ -88,15 +88,21 @@ object EpochCostProbe {
     operators.Dedup.epochTrace.clear()
     operators.Dedup.skipTrace.clear()
     operators.Dedup.candTrace.clear()
-    // SPARK_GRAFT_EPOCH_OP=cluster probes the q203 cluster-maintenance
-    // epoch instead of the q199 admission epoch — same slicing, same
-    // constant-batch/growing-store design, same trace channels
+    // SPARK_GRAFT_EPOCH_OP selects the probed epoch body on the same
+    // slicing / constant-batch / growing-store design and trace channels:
+    //   dedup (default) — the q199 admission epoch;
+    //   cluster         — the q203 cluster-maintenance epoch;
+    //   index           — the q206 read-free index append (flat walls by
+    //                     construction) + ONE serving probe at the end,
+    //                     whose term/id file prunes land on store_reads.
     val op = sys.env.getOrElse("SPARK_GRAFT_EPOCH_OP", "dedup")
     val t0 = System.nanoTime()
     val rows =
       try {
         if (op == "cluster")
           operators.DedupClusters.clusterProbeIngest(slices)(spark, corpusDir)
+        else if (op == "index")
+          operators.SearchOps.indexProbeIngest(slices)(spark, corpusDir)
         else operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
       } finally tmpDirs.foreach(operators.EventsOps.rmTree)
     val total = (System.nanoTime() - t0) / 1e9
@@ -121,7 +127,11 @@ object EpochCostProbe {
     // per-epoch candidate-doc cardinality, its own field (ADVICE r14: no
     // longer overloading the file-skip rows), in kernel execution order
     val candBody = drain(operators.Dedup.candTrace).mkString("[", ", ", "]")
-    val probeName = if (op == "cluster") "q203_epoch_cost" else "q199_epoch_cost"
+    val probeName = op match {
+      case "cluster" => "q203_epoch_cost"
+      case "index" => "q206_epoch_cost"
+      case _ => "q199_epoch_cost"
+    }
     val doc =
       s"""{"probe": "$probeName", "corpus": "$dir", "slices": $slices,
          | "files_per_epoch": ${filesPerEpoch.map(_.toString).getOrElse("\"auto\"")},

@@ -667,6 +667,39 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Probe seam (EpochCostProbe's index arm): ingest the documents table
+    * into a FRESH index store as `slices` doc_id-ordered epochs — each
+    * epoch's wall recorded on [[Dedup.epochTrace]]; appends are read-free
+    * so flat walls are by construction, and the interesting trace is the
+    * SERVING side: one [[bm25FromIndex]] probe at the end, whose
+    * postings/doc-length file prunes land on [[Dedup.skipTrace]].
+    * Returns the served row count; the store is deleted before
+    * returning. */
+  private[graft] def indexProbeIngest(slices: Int)(
+      s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val root = java.nio.file.Files.createTempDirectory("graft-index-probe")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      buildSearchIndex(st, docs.limit(0))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val step = (hi - lo) / slices + 1
+        (0 until slices).foreach { e =>
+          val t0 = System.nanoTime()
+          indexIngestEpoch(st)(docs.filter(
+            col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+          if (sys.props.contains("graft.epochTrace")) {
+            Dedup.epochTrace.add((e.toLong, (System.nanoTime() - t0) / 1e9)); ()
+          }
+        }
+      }
+      bm25FromIndex(st, Seq("dup", "window"), 20).count()
+    } finally EventsOps.rmTree(root)
+  }
+
   // One maintained index store per (session, dir) — the q203-family
   // memo discipline: whichever of q206/q207 runs first pays the 4-epoch
   // build, both serve from the same store (weak session keys, root-path
