@@ -655,6 +655,18 @@ object SearchOps {
       .agg((sum(col("sum_dl")).cast("double") /
         sum(col("n_docs")).cast("double")).as("avgdl"),
         sum(col("n_docs")).cast("double").as("n"))
+    okapiRank(tf, dfreq, dl, stats, k)
+  }
+
+  /** The Okapi ranking tail shared by the pruned serving read
+    * ([[bm25FromIndex]]) and the time-travel snapshot read
+    * ([[bm25FromSnapshot]]): the same literal expression tree as
+    * [[bm25]]'s, so every consumer stays bit-identical to the
+    * monolithic oracle. */
+  private def okapiRank(tf: org.apache.spark.sql.DataFrame,
+      dfreq: org.apache.spark.sql.DataFrame, dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
     tf.crossJoin(broadcast(stats))
       .join(broadcast(dfreq), "w")
       .join(dl, "doc_id")
@@ -665,6 +677,23 @@ object SearchOps {
           .as("s"))
       .groupBy("doc_id").agg(sum(col("s")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** [[bm25FromIndex]] over a TIME-TRAVEL snapshot frame
+    * ([[graft.sources.TableStore.tableAt]]) instead of the current
+    * store: the audit/reproducibility path, so it reads the historical
+    * version's files plainly (file-prune stats belong to the current
+    * snapshot) — correct first, hot-path second. */
+  private[graft] def bm25FromSnapshot(idx: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = Dedup.pin(idx.filter(col("kind") === 0 && col("w").isin(terms: _*))
+      .select(col("w"), col("doc_id"), col("tf").cast("double").as("tf")))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val dl = idx.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
+    val stats = idx.filter(col("kind") === 2)
+      .agg((sum(col("sum_dl")).cast("double") /
+        sum(col("n_docs")).cast("double")).as("avgdl"),
+        sum(col("n_docs")).cast("double").as("n"))
+    okapiRank(tf, dfreq, dl, stats, k)
   }
 
   /** Probe seam (EpochCostProbe's index arm): ingest the documents table
@@ -1074,6 +1103,85 @@ object SearchOps {
     chunkBm25FromIndex(maintainedChunkIndex(s, d), Seq("dup", "window"), 10)
   }
 
+  /** q216: TIME-TRAVEL serving of the maintained index — "search
+    * yesterday's index": every maintenance epoch publishes a new store
+    * version, so a snapshot read
+    * ([[graft.sources.TableStore.tableAt]]) serves the index exactly as
+    * it stood after any given epoch. The gate ingests four doc_id
+    * epochs, pins the version published by epoch 1, serves BM25 from
+    * THAT snapshot after two further epochs have landed, and the oracle
+    * is the monolithic q101 recomputation over the first two epochs'
+    * corpus prefix — point-in-time retrieval reproducibility (the
+    * training-data-lineage property: re-running yesterday's retrieval
+    * yields yesterday's results bit-for-bit) as an oracle-gated
+    * guarantee, not a spec claim.
+    *
+    * Scale posture: snapshot reads scan the historical version's files
+    * plainly (audit path); maintenance cost is q206's read-free append
+    * bound; nothing here is corpus-proportional beyond the snapshot
+    * itself. */
+  val q216 = QueryDef(
+    "q216_index_time_travel",
+    s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |docs AS (
+       |  SELECT d.doc_id, d.text FROM documents d, b
+       |  WHERE d.doc_id < b.lo + 2 * ((b.hi - b.lo) // 4 + 1)),
+       |dl AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM docs),
+       |stats AS (
+       |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |         CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |tf AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM docs)
+       |  WHERE w IN ('dup', 'window') GROUP BY 1, 2),
+       |df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+       |SELECT tf.doc_id AS doc_id,
+       |  SUM(((stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      ((tf.tf * 2.2) /
+       |       (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))) AS score
+       |FROM tf CROSS JOIN stats
+       |JOIN df ON df.w = tf.w
+       |JOIN dl ON dl.doc_id = tf.doc_id
+       |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-index-tt")
+    // compaction VACUUMS superseded versions (by contract), so a
+    // time-travel consumer runs its maintenance with auto-compaction off
+    // and compacts on ITS retention schedule — pin the conf for the
+    // build, restore after
+    val confKey = "spark.graft.state.autoCompactVersions"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "0")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      buildSearchIndex(st, docs.limit(0))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      var snapV = 0
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val slices = 4
+        val step = (hi - lo) / slices + 1
+        (0 until slices).foreach { e =>
+          indexIngestEpoch(st)(docs.filter(
+            col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+          // the version epoch 1 published — the snapshot the gate serves
+          if (e == 1) snapV = st.liveVersions("index").last
+        }
+      }
+      // pinned: the store root is deleted in the finally below
+      Dedup.pin(bm25FromSnapshot(st.tableAt("index", snapV),
+        Seq("dup", "window"), 20))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+      EventsOps.rmTree(root)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212, q215)
+    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212, q215, q216)
 }

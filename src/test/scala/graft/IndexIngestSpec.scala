@@ -295,6 +295,23 @@ class IndexIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q216: a time-travel snapshot serves the index exactly as it stood after its epoch") {
+    val dir = "/root/testdata/sf0.001"
+    val snap = SearchOps.q216.build(spark, dir).collect().map(_.toSeq)
+    snap should not be empty
+    // monolithic recomputation over the same 2-epoch corpus prefix: stage
+    // the prefix as its own corpus dir and run the q101 gate on it
+    val docs = core.Tables.documents(spark, dir)
+    val r = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = r.getLong(0) + 2 * ((r.getLong(1) - r.getLong(0)) / 4 + 1)
+    val prefixDir = tempDir("graft-tt-prefix")
+    docs.filter(col("doc_id") < cut)
+      .write.mode("overwrite").parquet(s"$prefixDir/documents.parquet")
+    val mono = SearchOps.q101.build(spark, prefixDir.toString)
+      .collect().map(_.toSeq)
+    snap.toSeq shouldBe mono.toSeq
+  }
+
   test("q209: the writeStream-driven index store serves q101's exact results") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SearchOps.streamedIndexImpl(rowsPerFile = 200L, slices = 3)(spark, dir)
