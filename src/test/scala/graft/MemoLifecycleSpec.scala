@@ -60,4 +60,22 @@ class MemoLifecycleSpec extends SparkSpec {
     java.nio.file.Files.exists(memoDir.get.resolve("edges.parquet")) shouldBe true
     Extras.releaseGraphMemo(sf)
   }
+
+  test("store-memo release hooks are idempotent and a rebuild still serves exactly") {
+    import graft.operators.{SearchOps, Similarity}
+    // index store (q206 family): release drops the tempdir-backed memo;
+    // the next gate call pays a fresh build and must answer identically
+    val before = SearchOps.q206.build(spark, sf).collect().map(_.toSeq)
+    SearchOps.releaseSearchIndex(sf)
+    SearchOps.releaseSearchIndex(sf) // idempotent on an already-released dir
+    SearchOps.q206.build(spark, sf).collect().map(_.toSeq).toSeq shouldBe before.toSeq
+    // ivf store (q208): same contract
+    val ivfBefore = Similarity.q208.build(spark, sf).collect().map(_.toSeq)
+    Similarity.releaseIvfStore(sf)
+    Similarity.releaseIvfStore(sf)
+    Similarity.q208.build(spark, sf).collect().map(_.toSeq).toSeq shouldBe ivfBefore.toSeq
+    // releases of a never-memoized dir are safe no-ops
+    SearchOps.releaseChunkIndex("/nonexistent")
+    graft.operators.DedupClusters.releaseClusterStore("/nonexistent")
+  }
 }
