@@ -596,6 +596,16 @@ object Dedup {
       .join(closure.toDF("old_comp", "root"), Seq("old_comp"))
       .select(lit(5).as("kind"), col("old_comp").as("doc_id"),
         col("root").as("root_h")))
+    // The "undirected min = directed endpoint" equivalence rests on the
+    // merge invariant that every mapping adopts the SMALLER component id;
+    // under it the closure min is strictly below every rewritten
+    // old_comp. Assert it on the (tiny, pinned) rewrite set so a future
+    // violation fails loudly at compaction instead of silently changing
+    // labels (ADVICE r16).
+    val bad = roots.filter(col("root_h") >= col("doc_id")).limit(1).count()
+    if (bad > 0) throw new IllegalStateException(
+      "collapseMappingChains: merge-order invariant violated (closure min " +
+        ">= old component id); refusing to rewrite kind-5 mappings")
     st.updateFrom("state", roots, Seq("kind", "doc_id"),
       Map("h" -> col("root_h")))
   }

@@ -1639,9 +1639,78 @@ final class TableStore(spark: SparkSession, root: String) {
   def validateTable(name: String): Seq[Violation] =
     validate(table(name), constraintsOf(name), table _)
 
+  // ------------------------------------------------------------------
+  // Retention pins (VERDICT r16 next #1): time travel and compaction
+  // were mutually exclusive — [[analyze]]'s vacuum reclaims every
+  // superseded version by contract, so a lineage consumer had to turn
+  // auto-compaction off to keep a reproducible snapshot. A PIN names a
+  // version and carries it THROUGH compact/vacuum: the pinned version's
+  // data directories and read-path sidecars (manifest, addcols) are
+  // exempt from reclamation until unpinned, while everything else keeps
+  // the bounded-chain guarantee. Pins live in one durable PINS sidecar
+  // (label \t version per line, atomic rewrite) — at 100 TB a pin costs
+  // exactly the pinned snapshot's bytes, the price of keeping history.
+  // ------------------------------------------------------------------
+
+  private def pinsFile(name: String) = Paths.get(s"$root/$name/PINS")
+
+  /** Durable named snapshots of `name`: label → pinned version. */
+  def pinnedVersions(name: String): Map[String, Int] = {
+    val p = pinsFile(name)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p)).split("\n").toSeq.filter(_.nonEmpty)
+      .map { l =>
+        l.split("\t", -1) match {
+          case Array(label, ver) => label -> ver.toInt
+          case other => sys.error(s"corrupt pin line in $p: ${other.mkString("\\t")}")
+        }
+      }.toMap
+  }
+
+  private def writePins(name: String, pins: Map[String, Int]): Unit = {
+    val tmp = Paths.get(s"${pinsFile(name)}.tmp")
+    Files.write(tmp, pins.toSeq.sortBy(_._1)
+      .map { case (l, pv) => s"$l\t$pv" }.mkString("\n").getBytes)
+    Files.move(tmp, pinsFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Pin a still-readable version (default: the current one) under
+    * `label`, shielding it from every later vacuum until
+    * [[unpinVersion]]. Re-pinning an existing label re-points it.
+    * Returns the pinned version number. */
+  def pinVersion(name: String, label: String, version: Int = -1): Int = {
+    require(label.nonEmpty && !label.contains('\t') && !label.contains('\n'),
+      "pin label must be non-empty and free of tab/newline")
+    val cur = currentVersion(name)
+    require(cur >= 0, s"no such table: $name")
+    val v = if (version < 0) cur else version
+    tableAt(name, v) // loud failure on a vacuumed or never-existing version
+    writePins(name, pinnedVersions(name).updated(label, v))
+    v
+  }
+
+  /** Drop the pin `label`; its version is reclaimed by the NEXT vacuum
+    * (nothing is deleted here). Returns whether the label existed. */
+  def unpinVersion(name: String, label: String): Boolean = {
+    val pins = pinnedVersions(name)
+    if (!pins.contains(label)) false
+    else { writePins(name, pins - label); true }
+  }
+
+  /** Time travel to a pinned snapshot by label — the read side of
+    * [[pinVersion]]. */
+  def tableAtPin(name: String, label: String): DataFrame = {
+    val v = pinnedVersions(name).getOrElse(label,
+      throw new IllegalArgumentException(s"$name has no pinned snapshot '$label'"))
+    tableAt(name, v)
+  }
+
   // §2.1 S10 — VACUUM ANALYZE analog: refresh statistics for planning
   // (row count + on-disk bytes; a real catalog would feed these to CBO)
-  // and drop superseded versions (the VACUUM half).
+  // and drop superseded versions (the VACUUM half). PINNED versions
+  // ([[pinVersion]]) are exempt: their data dirs and read-path sidecars
+  // survive so time travel to a named snapshot outlives maintenance.
   def analyze(name: String): TableStore.TableStats = {
     val v = currentVersion(name)
     import scala.jdk.CollectionConverters._
@@ -1651,12 +1720,35 @@ final class TableStore(spark: SparkSession, root: String) {
       if (!Files.exists(p)) 0L
       else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
         .map(Files.size(_)).sum
+    // a pinned version's entries count as LIVE for the vacuum below:
+    // every data dir (or partition subdir) its read path stitches
+    // together must survive, whatever shape the CURRENT version has
+    val pinned = pinnedVersions(name).values.toSet.filter(_ < v)
+    def entriesOf(ver: Int): Seq[(String, String)] =
+      readManifest(name, ver).map(_.entries).getOrElse(Seq("." -> s"v$ver"))
+    val pinnedEntries = pinned.toSeq.flatMap(entriesOf)
+    def dropSidecars(old: Int): Unit = {
+      // pinned versions keep their manifest (the read path's file list)
+      // and addcols (schema replay); stats sidecars are handled per arm
+      // (stats of still-referenced old dirs must survive for scanSkipping)
+      if (!pinned(old)) {
+        Files.deleteIfExists(manifestFile(name, old))
+        Files.deleteIfExists(addColsFile(name, old))
+      }
+      Files.deleteIfExists(batchesFile(name, old))
+      Files.deleteIfExists(constraintsFile(name, old))
+      // claim tombstones are deliberately KEPT: deleting v{old}.claim
+      // would let a stale writer re-claim that number and regress
+      // VERSION — the lost-update hole the CAS exists to close
+      ()
+    }
     readManifest(name, v) match {
       case Some(m) =>
         // vacuum (partitioned): drop whole version dirs with no live
         // entries AND dead partition subdirs inside still-referenced old
         // dirs (repeated pruned updates otherwise leak superseded files)
-        val liveByDir = m.entries.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        val liveByDir = (m.entries ++ pinnedEntries)
+          .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
         (0 until v).foreach { old =>
           val od = Paths.get(dataPath(name, old))
           liveByDir.get(s"v$old") match {
@@ -1670,13 +1762,7 @@ final class TableStore(spark: SparkSession, root: String) {
                 .foreach(sub => rm(od.resolve(sub)))
             case _ => ()
           }
-          Files.deleteIfExists(manifestFile(name, old))
-          Files.deleteIfExists(batchesFile(name, old))
-          Files.deleteIfExists(addColsFile(name, old))
-          Files.deleteIfExists(constraintsFile(name, old))
-          // claim tombstones are deliberately KEPT: deleting v{old}.claim
-          // would let a stale writer re-claim that number and regress
-          // VERSION — the lost-update hole the CAS exists to close
+          dropSidecars(old)
         }
         // live bytes: sum exactly the manifest's entries, not whole dirs
         val bytes = m.entries.map { case (sub, vd) =>
@@ -1686,17 +1772,17 @@ final class TableStore(spark: SparkSession, root: String) {
         TableStore.TableStats(table(name).count(), bytes, v)
       case None =>
         val bytes = sizeOf(Paths.get(dataPath(name, v)))
+        val protectedDirs = pinnedEntries.map(_._2).toSet
         (0 until v).foreach { old =>
           val od = Paths.get(dataPath(name, old))
-          if (Files.exists(od)) rm(od)
+          if (Files.exists(od) && !protectedDirs(s"v$old")) {
+            rm(od)
+            Files.deleteIfExists(statsFile(name, old))
+          }
           // a formerly-partitioned table mutated through the plain path
-          // leaves superseded manifests behind — clear those too
-          Files.deleteIfExists(manifestFile(name, old))
-          Files.deleteIfExists(statsFile(name, old))
-          Files.deleteIfExists(batchesFile(name, old))
-          Files.deleteIfExists(addColsFile(name, old))
-          Files.deleteIfExists(constraintsFile(name, old))
-          // claim tombstones deliberately kept (see the partitioned arm)
+          // leaves superseded manifests behind — clear those too (pins
+          // keep theirs via dropSidecars)
+          dropSidecars(old)
         }
         TableStore.TableStats(table(name).count(), bytes, v)
     }
@@ -1735,8 +1821,13 @@ final class TableStore(spark: SparkSession, root: String) {
     // durable marker: ANY handle over this root (stores are re-opened
     // per call throughout the suite) routes [[table]] through the
     // analyzed catalog relation while this exact version is current, so
-    // serving-path joins plan on row/NDV statistics instead of defaults
-    Files.write(cboFile(name), s"$cat\t$v".getBytes)
+    // serving-path joins plan on row/NDV statistics instead of defaults.
+    // tmp + ATOMIC_MOVE: a plain Files.write can tear under a crash and
+    // a torn marker must never poison every later table() read
+    val tmp = Paths.get(s"${cboFile(name)}.tmp")
+    Files.write(tmp, s"$cat\t$v".getBytes)
+    Files.move(tmp, cboFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     cat
   }
 
@@ -1750,12 +1841,32 @@ final class TableStore(spark: SparkSession, root: String) {
   private def cboTable(name: String, v: Int): Option[DataFrame] = {
     val p = cboFile(name)
     if (!Files.exists(p)) return None
-    new String(Files.readAllBytes(p)).trim.split("\t", -1) match {
-      case Array(cat, ver) if ver.toInt == v && spark.catalog.tableExists(cat) =>
-        Some(spark.table(cat))
-      case _ => None
-    }
+    // Try-wrapped end to end: a torn/corrupt marker (or any catalog
+    // hiccup) degrades to the plain path read — stats can go missing,
+    // never break table()
+    scala.util.Try {
+      new String(Files.readAllBytes(p)).trim.split("\t", -1) match {
+        case Array(cat, ver) if ver.toInt == v && spark.catalog.tableExists(cat) &&
+            catalogLocationIs(cat, dataPath(name, v)) =>
+          Some(spark.table(cat))
+        case _ => None
+      }
+    }.toOption.flatten
   }
+
+  /** Does catalog table `cat` point at exactly `path`? The catalog name
+    * embeds only a 32-bit hash of the store root, so two roots with a
+    * same-named table can collide on the entry; version-matching alone
+    * would then silently serve the OTHER store's files. The LOCATION
+    * check makes a collision degrade to the plain path read instead. */
+  private def catalogLocationIs(cat: String, path: String): Boolean =
+    scala.util.Try {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(cat))
+        .location
+      Paths.get(loc.getPath).toAbsolutePath.normalize ==
+        Paths.get(path).toAbsolutePath.normalize
+    }.getOrElse(false)
 
   /** §2.1 S11 — catalog introspection (the reference reads pg_constraint,
     * All-Tasks-of-SQL.sql:33-36): list tables with their constraints. */

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TableStore
+
+/** Retention pins (VERDICT r16 next #1): a pinned version's snapshot
+  * outlives vacuum/compaction — time travel and maintenance are no
+  * longer mutually exclusive — while unpinned neighbors are still
+  * reclaimed on schedule. */
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, tempDir("graft-retention").toString)
+
+  test("pinned snapshot outlives a compaction that vacuumed its neighbors") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))           // v0
+    st.appendBatch("t", 0L, Seq((2L, "b")).toDF("id", "v"))  // v1
+    val pinnedV = st.pinVersion("t", "release-1")            // pins v1
+    pinnedV shouldBe 1
+    st.appendBatch("t", 1L, Seq((3L, "c")).toDF("id", "v"))  // v2
+    st.appendBatch("t", 2L, Seq((4L, "d")).toDF("id", "v"))  // v3
+    st.compact("t") // publish v4 + analyze: vacuums v0, v2, v3 — NOT v1
+
+    // neighbors reclaimed, the pin survives with exactly its rows
+    // (v0 also survives: pinned v1's append manifest stitches v0's dir —
+    // a pin keeps precisely the file set its snapshot reads)
+    val live = st.liveVersions("t")
+    live should contain(pinnedV)
+    live should not contain 2
+    live should not contain 3
+    st.tableAtPin("t", "release-1").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    // current reads are untouched by the pin
+    st.table("t").count() shouldBe 4
+  }
+
+  test("pins survive repeated maintenance and a clustered compaction") {
+    val st = freshStore()
+    st.create("t", (0L until 8L).map(i => (i, i % 3)).toDF("id", "k"))
+    st.appendBatch("t", 0L, Seq((100L, 1L)).toDF("id", "k"))
+    st.pinVersion("t", "epoch0")
+    st.appendBatch("t", 1L, Seq((101L, 2L)).toDF("id", "k"))
+    st.compactClustered("t", Seq("k", "id"), minFiles = 2)
+    st.appendBatch("t", 2L, Seq((102L, 0L)).toDF("id", "k"))
+    st.compactClustered("t", Seq("k", "id"), minFiles = 2)
+    st.tableAtPin("t", "epoch0").count() shouldBe 9
+    st.table("t").count() shouldBe 11
+  }
+
+  test("unpin releases the version to the next vacuum") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))
+    st.appendBatch("t", 0L, Seq((2L, "b")).toDF("id", "v"))
+    st.pinVersion("t", "tmp")
+    st.appendBatch("t", 1L, Seq((3L, "c")).toDF("id", "v"))
+    st.compact("t")
+    st.tableAtPin("t", "tmp").count() shouldBe 2 // held through the first vacuum
+    st.unpinVersion("t", "tmp") shouldBe true
+    st.unpinVersion("t", "tmp") shouldBe false // idempotent report
+    st.analyze("t")
+    an[IllegalArgumentException] should be thrownBy st.tableAt("t", 1)
+  }
+
+  test("pins are durable across store handles and validated on creation") {
+    val root = tempDir("graft-retention-dur").toString
+    val st = new TableStore(spark, root)
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))
+    st.update("t", col("id") === 1, Map("v" -> lit("z")))
+    st.pinVersion("t", "audit", version = 0) shouldBe 0
+    // a fresh handle over the same root sees (and honors) the pin
+    val st2 = new TableStore(spark, root)
+    st2.pinnedVersions("t") shouldBe Map("audit" -> 0)
+    st2.update("t", col("id") === 1, Map("v" -> lit("y")))
+    st2.analyze("t")
+    st2.tableAtPin("t", "audit").head.getString(1) shouldBe "a"
+    // pinning a nonexistent / vacuumed version fails loudly
+    an[IllegalArgumentException] should be thrownBy st2.pinVersion("t", "bad", version = 1)
+    an[IllegalArgumentException] should be thrownBy st2.pinVersion("t", "bad", version = 99)
+  }
+
+  test("pinned partitioned snapshot keeps superseded partition dirs") {
+    val st = freshStore()
+    st.createPartitioned("t",
+      Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "p"), "p")
+    st.pinVersion("t", "before")
+    st.updateWherePruned("t", col("p") === "p1", Map("v" -> lit("z")))
+    st.analyze("t")
+    // the pinned snapshot still reads the pre-update partition bytes
+    st.tableAtPin("t", "before").filter($"p" === "p1")
+      .head.getString(1) shouldBe "x"
+    st.table("t").filter($"p" === "p1").head.getString(1) shouldBe "z"
+  }
+}
