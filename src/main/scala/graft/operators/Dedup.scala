@@ -1475,10 +1475,14 @@ object Dedup {
     * to Catalyst's CBO ([[graft.sources.TableStore.registerCbo]]) —
     * serving-path joins over a maintained store plan on analyzed
     * row/NDV stats instead of defaults (VERDICT r15 next #6). */
+  /** `limitOverride` threads an explicit per-caller policy (a lineage
+    * gate forcing compactions mid-build) WITHOUT touching the shared
+    * session conf — toggling `spark.graft.state.autoCompactVersions`
+    * globally raced concurrent gates on the same session (ADVICE r16). */
   private[graft] def maybeAutoCompactClustered(s: SparkSession,
       st: graft.sources.TableStore, name: String,
-      clusterCols: Seq[String]): Unit = {
-    val limit = autoCompactLimit(s)
+      clusterCols: Seq[String], limitOverride: Option[Int] = None): Unit = {
+    val limit = limitOverride.getOrElse(autoCompactLimit(s))
     if (limit > 0 && st.chainLength(name) >= limit) {
       st.compactClustered(name, clusterCols,
         math.max(StateFilesFloor, st.fileCount(name) / 2))

@@ -564,16 +564,18 @@ object SearchOps {
     * no-ops on the epoch ledger). The write lays rows out by
     * (kind, w, doc_id), so kind-0 files carry disjoint term ranges —
     * the prune [[bm25FromIndex]] relies on. */
-  private[graft] def indexIngestEpoch(st: graft.sources.TableStore)(
+  private[graft] def indexIngestEpoch(st: graft.sources.TableStore,
+      compactLimit: Option[Int] = None)(
       batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
     if (st.batchCommitted("index", epoch)) return
     st.appendBatch("index", epoch,
       Dedup.bucketLayout(indexRows(batch), 8, "kind", "w", "doc_id"))
     // shared auto-compaction policy (one helper across the state/index/
     // ivf stores — ADVICE r15 #3): layout-preserving collapse, ledger
-    // survives, stats handed to the CBO after the collapse
+    // survives, stats handed to the CBO after the collapse; compactLimit
+    // threads a per-caller policy without touching the session conf
     Dedup.maybeAutoCompactClustered(batch.sparkSession, st, "index",
-      Seq("kind", "w", "doc_id"))
+      Seq("kind", "w", "doc_id"), compactLimit)
   }
 
   private def indexRows(batch: org.apache.spark.sql.DataFrame)
@@ -1103,23 +1105,27 @@ object SearchOps {
     chunkBm25FromIndex(maintainedChunkIndex(s, d), Seq("dup", "window"), 10)
   }
 
-  /** q216: TIME-TRAVEL serving of the maintained index — "search
-    * yesterday's index": every maintenance epoch publishes a new store
-    * version, so a snapshot read
-    * ([[graft.sources.TableStore.tableAt]]) serves the index exactly as
-    * it stood after any given epoch. The gate ingests four doc_id
-    * epochs, pins the version published by epoch 1, serves BM25 from
-    * THAT snapshot after two further epochs have landed, and the oracle
-    * is the monolithic q101 recomputation over the first two epochs'
-    * corpus prefix — point-in-time retrieval reproducibility (the
-    * training-data-lineage property: re-running yesterday's retrieval
-    * yields yesterday's results bit-for-bit) as an oracle-gated
-    * guarantee, not a spec claim.
+  /** q216: TIME-TRAVEL serving of the maintained index THROUGH live
+    * maintenance — "search yesterday's index": every maintenance epoch
+    * publishes a new store version, and a RETENTION PIN
+    * ([[graft.sources.TableStore.pinVersion]]) carries the chosen
+    * snapshot through the compact+vacuum cycles that reclaim its
+    * neighbors. The gate ingests four doc_id epochs with the
+    * auto-compaction policy FORCED HOT (compactLimit = 2, threaded as a
+    * parameter — never by toggling the shared session conf), pins the
+    * post-epoch-1 version, lets two further epochs land — each tripping
+    * a real policy compaction whose vacuum reclaims the pin's unpinned
+    * neighbors — and serves BM25 from the pinned snapshot. The oracle is
+    * the monolithic q101 recomputation over the first two epochs' corpus
+    * prefix: point-in-time retrieval reproducibility (re-running
+    * yesterday's retrieval yields yesterday's results bit-for-bit) as an
+    * oracle-gated guarantee that now COEXISTS with bounded-chain
+    * maintenance instead of requiring compaction off (VERDICT r16 #1).
     *
     * Scale posture: snapshot reads scan the historical version's files
     * plainly (audit path); maintenance cost is q206's read-free append
-    * bound; nothing here is corpus-proportional beyond the snapshot
-    * itself. */
+    * bound plus the forced compactions; a pin costs exactly the pinned
+    * snapshot's bytes. */
   val q216 = QueryDef(
     "q216_index_time_travel",
     s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
@@ -1146,40 +1152,30 @@ object SearchOps {
        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-index-tt")
-    // compaction VACUUMS superseded versions (by contract), so a
-    // time-travel consumer runs its maintenance with auto-compaction off
-    // and compacts on ITS retention schedule — pin the conf for the
-    // build, restore after
-    val confKey = "spark.graft.state.autoCompactVersions"
-    val prev = s.conf.getOption(confKey)
-    s.conf.set(confKey, "0")
     try {
       val st = new graft.sources.TableStore(s, root.toString)
       buildSearchIndex(st, docs.limit(0))
       val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
-      var snapV = 0
+      var pinnedAny = false
       if (r.getLong(2) > 0L) {
         val (lo, hi) = (r.getLong(0), r.getLong(1))
         val slices = 4
         val step = (hi - lo) / slices + 1
         (0 until slices).foreach { e =>
-          indexIngestEpoch(st)(docs.filter(
+          // compactLimit = 2: every epoch's append trips a REAL policy
+          // compaction (+ vacuum) — the pin must carry the snapshot
+          // through them, which is exactly what this gate checks
+          indexIngestEpoch(st, compactLimit = Some(2))(docs.filter(
             col("doc_id") >= lo + e * step &&
               col("doc_id") < lo + (e + 1) * step), e.toLong)
-          // the version epoch 1 published — the snapshot the gate serves
-          if (e == 1) snapV = st.liveVersions("index").last
+          if (e == 1) { st.pinVersion("index", "epoch1"); pinnedAny = true }
         }
       }
-      // pinned: the store root is deleted in the finally below
-      Dedup.pin(bm25FromSnapshot(st.tableAt("index", snapV),
+      if (!pinnedAny) st.pinVersion("index", "epoch1") // empty-corpus shape
+      // pinned frame: the store root is deleted in the finally below
+      Dedup.pin(bm25FromSnapshot(st.tableAtPin("index", "epoch1"),
         Seq("dup", "window"), 20))
-    } finally {
-      prev match {
-        case Some(v) => s.conf.set(confKey, v)
-        case None => s.conf.unset(confKey)
-      }
-      EventsOps.rmTree(root)
-    }
+    } finally EventsOps.rmTree(root)
   }
 
   val all: Seq[QueryDef] =

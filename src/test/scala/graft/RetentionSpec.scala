@@ -80,6 +80,32 @@ class RetentionSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy st2.pinVersion("t", "bad", version = 99)
   }
 
+  test("index pin survives forced policy compactions (q216's build shape)") {
+    val docs = (0L until 40L).map(i => (i, s"tok$i dup window common"))
+      .toDF("doc_id", "text")
+    val st = freshStore()
+    graft.operators.SearchOps.buildSearchIndex(st, docs.limit(0))
+    (0 until 4).foreach { e =>
+      graft.operators.SearchOps.indexIngestEpoch(st, compactLimit = Some(2))(
+        docs.filter(col("doc_id") >= e * 10 && col("doc_id") < (e + 1) * 10),
+        e.toLong)
+      if (e == 1) st.pinVersion("index", "epoch1")
+    }
+    // the per-epoch policy compaction really ran: the head chain is
+    // collapsed, and versions between the pin and the head were vacuumed
+    st.chainLength("index") shouldBe 1
+    val pinnedV = st.pinnedVersions("index")("epoch1")
+    st.liveVersions("index") should contain(pinnedV)
+    st.liveVersions("index").size should be < (st.currentVersionOf("index") + 1)
+    // the pinned snapshot serves exactly the first two epochs' docs
+    graft.operators.SearchOps.bm25FromSnapshot(
+      st.tableAtPin("index", "epoch1"), Seq("dup", "window"), 50)
+      .collect().map(_.getLong(0)).toSet shouldBe (0L until 20L).toSet
+    // the live index serves all four epochs
+    graft.operators.SearchOps.bm25FromIndex(st, Seq("dup", "window"), 50)
+      .count() shouldBe 40
+  }
+
   test("pinned partitioned snapshot keeps superseded partition dirs") {
     val st = freshStore()
     st.createPartitioned("t",
