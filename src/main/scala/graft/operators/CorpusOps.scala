@@ -694,6 +694,50 @@ object CorpusOps {
     }
   }
 
+  /** q219: decontamination under a REAL `writeStream` — q213's verdict
+    * store built by Structured Streaming driving
+    * [[graft.streaming.ContamIngest.contamIngestSink]] over the shared
+    * staged replay (VERDICT r16 next #3: the sink had a crash-injected
+    * writeStream SPEC but no oracle gate drove it end-to-end), so the
+    * stream wiring — micro-batch sessions, epoch ids, replay-on-restart
+    * — is on the gated path for contamination flagging too. Oracle =
+    * q63/q130's monolithic recomputation verbatim.
+    *
+    * Scale posture: q213's — per-epoch cost is batch shingling + the
+    * bloom-pruned broadcast join; the corpus is never re-read. */
+  val q219 = QueryDef(
+    "q219_streamed_decontamination",
+    contaminationOracle)(streamedContamImpl()(_, _))
+
+  /** q219 body; `rowsPerFile` sizes the staged replay files (specs pass
+    * a tiny value to force the multi-file aligned-batch path). */
+  private[graft] def streamedContamImpl(
+      rowsPerFile: Long = EventsOps.OuterStageRowsPerFile, slices: Int = 2)(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val (bench, prune) = benchGramSet(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft-contam-stream")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      st.create("contam", docs.limit(0).select(col("doc_id"),
+        col("doc_id").as("bench_id"), col("doc_id").as("n_shared_grams")))
+      val corpus = docs.filter(col("doc_id") >= 50)
+      val r = corpus.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      if (r.getLong(2) > 0L)
+        EventsOps.stagedReplayDrive(s, corpus, col("doc_id"),
+          r.getLong(0), r.getLong(1), r.getLong(2), rowsPerFile, slices,
+          "q219_contam_sink")(
+          graft.streaming.ContamIngest.contamIngestSink(st, bench, prune))
+      // pinned: the store root is deleted in the finally below
+      Dedup.pin(st.table("contam").orderBy("doc_id", "bench_id"))
+    } finally {
+      bench.unpersist()
+      EventsOps.rmTree(root)
+    }
+  }
+
   /** q157: cross-source containment matrix — for every ordered source
     * pair, how much of source A's distinct 5-gram set also appears in
     * source B (ppm). The corpus-mixing diagnostic: high containment means
@@ -1213,5 +1257,5 @@ object CorpusOps {
   }
 
   val all: Seq[QueryDef] = Seq(q59, q60, q61, q62, q63, q75, q79, q84, q92, q93, q111,
-    q130, q151, q157, q168, q191, q192, q194, q195, q196, q197, q198, q213)
+    q130, q151, q157, q168, q191, q192, q194, q195, q196, q197, q198, q213, q219)
 }

@@ -829,7 +829,8 @@ object SearchOps {
     bm25OracleSql)(streamedIndexImpl()(_, _))
 
   /** q209 body; `rowsPerFile` sizes the staged replay files (specs pass
-    * a tiny value to force the multi-file aligned-batch path). */
+    * a tiny value to force the multi-file aligned-batch path). One call
+    * into the shared [[EventsOps.stagedReplayDrive]] scaffold. */
   private[graft] def streamedIndexImpl(
       rowsPerFile: Long = EventsOps.OuterStageRowsPerFile, slices: Int = 2)(
       s: org.apache.spark.sql.SparkSession, d: String)
@@ -837,40 +838,51 @@ object SearchOps {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-index-stream")
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-index-stage")
     try {
       val st = new graft.sources.TableStore(s, storeRoot.toString)
       buildSearchIndex(st, docs.limit(0))
-      if (r.getLong(2) > 0L) {
-        val (lo, hi) = (r.getLong(0), r.getLong(1))
-        val nFiles = math.max(1L,
-          math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
-        val width = EventsOps.stageAligned(streamDir,
-          EventsOps.slicedStages(docs, col("doc_id"), lo, hi, slices), nFiles)
-        val sinkName = "q209_index_sink"
-        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-        val q = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", width.toString)
-          .parquet(streamDir.toString)
-          .writeStream
-          .queryName(sinkName)
-          .outputMode("append")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-            // bounded replay (the q183 8-partition rule), set on the
-            // stream's cloned session only
-            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
-            graft.streaming.IndexIngest.indexIngestSink(st)(batch, epoch)
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      if (r.getLong(2) > 0L)
+        EventsOps.stagedReplayDrive(s, docs, col("doc_id"),
+          r.getLong(0), r.getLong(1), r.getLong(2), rowsPerFile, slices,
+          "q209_index_sink")(graft.streaming.IndexIngest.indexIngestSink(st))
       // pinned: the store root is deleted in the finally below
       Dedup.pin(bm25FromIndex(st, Seq("dup", "window"), 20))
-    } finally {
-      EventsOps.rmTree(streamDir)
-      EventsOps.rmTree(storeRoot)
-    }
+    } finally EventsOps.rmTree(storeRoot)
+  }
+
+  /** q218: the maintained CHUNK index under a REAL `writeStream` — the
+    * passage-retrieval sibling of q209 (VERDICT r16 next #3: q215 proved
+    * "maintained chunk store ≡ monolithic recomputation" with direct
+    * epoch calls; here the SAME store is built by Structured Streaming
+    * driving [[graft.streaming.IndexIngest.chunkIndexIngestSink]] over
+    * the shared staged replay, so the stream wiring is on the
+    * oracle-gated path). Serving is [[chunkBm25FromIndex]] — term-pruned
+    * postings, matched-bounded chunk sidecar. Oracle = q165's monolithic
+    * chunking + scoring verbatim. */
+  val q218 = QueryDef(
+    "q218_streamed_chunk_index",
+    chunkBm25OracleSql)(streamedChunkIndexImpl()(_, _))
+
+  /** q218 body; `rowsPerFile` sizes the staged replay files (specs pass
+    * a tiny value to force the multi-file aligned-batch path). */
+  private[graft] def streamedChunkIndexImpl(
+      rowsPerFile: Long = EventsOps.OuterStageRowsPerFile, slices: Int = 2)(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-chunk-stream")
+    try {
+      val st = new graft.sources.TableStore(s, storeRoot.toString)
+      buildChunkIndex(st, docs.limit(0))
+      if (r.getLong(2) > 0L)
+        EventsOps.stagedReplayDrive(s, docs, col("doc_id"),
+          r.getLong(0), r.getLong(1), r.getLong(2), rowsPerFile, slices,
+          "q218_chunkindex_sink")(
+          graft.streaming.IndexIngest.chunkIndexIngestSink(st))
+      // pinned: the store root is deleted in the finally below
+      Dedup.pin(chunkBm25FromIndex(st, Seq("dup", "window"), 10))
+    } finally EventsOps.rmTree(storeRoot)
   }
 
   /** [[tfidfWeights]] recomputed from the maintained store alone: tf is
@@ -1179,5 +1191,6 @@ object SearchOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212, q215, q216)
+    Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212, q215,
+      q216, q218)
 }

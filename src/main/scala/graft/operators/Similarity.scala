@@ -937,40 +937,16 @@ object Similarity {
     val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
     val r = vecs.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-ivf-stage")
     try {
       val st = new graft.sources.TableStore(s, storeRoot.toString)
       buildIvfStore(st, vecs.limit(0))
-      if (r.getLong(2) > 0L) {
-        val (lo, hi) = (r.getLong(0), r.getLong(1))
-        val nFiles = math.max(1L,
-          math.min(32L, r.getLong(2) / rowsPerFile + 1)).toInt
-        val width = EventsOps.stageAligned(streamDir,
-          EventsOps.slicedStages(vecs, col("vec_id"), lo, hi, slices), nFiles)
-        val sinkName = "q210_ivf_sink"
-        s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-        val q = s.readStream.schema(vecs.schema)
-          .option("maxFilesPerTrigger", width.toString)
-          .parquet(streamDir.toString)
-          .writeStream
-          .queryName(sinkName)
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            // bounded replay (the q183 8-partition rule), set on the
-            // stream's cloned session only
-            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
-            graft.streaming.IndexIngest.ivfIngestSink(st)(batch, epoch)
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      if (r.getLong(2) > 0L)
+        EventsOps.stagedReplayDrive(s, vecs, col("vec_id"),
+          r.getLong(0), r.getLong(1), r.getLong(2), rowsPerFile, slices,
+          "q210_ivf_sink")(graft.streaming.IndexIngest.ivfIngestSink(st))
       // pinned: the store root is deleted in the finally below
       Dedup.pin(ivfProbe(st, nQueries = 20, k = 3))
-    } finally {
-      EventsOps.rmTree(streamDir)
-      EventsOps.rmTree(storeRoot)
-    }
+    } finally EventsOps.rmTree(storeRoot)
   }
 
   val all: Seq[QueryDef] =

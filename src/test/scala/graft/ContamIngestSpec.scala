@@ -149,4 +149,13 @@ class ContamIngestSpec extends SparkSpec {
     inc should not be empty
     inc.toSeq shouldBe mono.toSeq
   }
+
+  test("q219: the writeStream-driven verdict store matches the monolithic q63") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = CorpusOps.streamedContamImpl(rowsPerFile = 200L, slices = 3)(spark, dir)
+      .collect().map(_.toSeq)
+    val mono = CorpusOps.q63.build(spark, dir).collect().map(_.toSeq)
+    streamed should not be empty
+    streamed.toSeq shouldBe mono.toSeq
+  }
 }

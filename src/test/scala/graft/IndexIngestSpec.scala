@@ -320,4 +320,13 @@ class IndexIngestSpec extends SparkSpec {
     streamed should not be empty
     streamed.toSeq shouldBe mono.toSeq
   }
+
+  test("q218: the writeStream-driven chunk store serves q165's exact passages") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SearchOps.streamedChunkIndexImpl(rowsPerFile = 200L, slices = 3)(spark, dir)
+      .collect().map(_.toSeq)
+    val mono = SearchOps.q165.build(spark, dir).collect().map(_.toSeq)
+    streamed should not be empty
+    streamed.toSeq shouldBe mono.toSeq
+  }
 }
