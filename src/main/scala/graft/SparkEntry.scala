@@ -19,7 +19,7 @@ object SparkEntry {
       operators.CorpusOps.all ++ operators.SetOps.all ++ operators.AsofJoin.all ++
       operators.Extras.all ++ operators.DedupClusters.all ++ operators.IngestGate.all ++
       operators.BloomJoin.all ++ operators.SearchOps.all ++ operators.PassageOps.all ++
-      operators.Warehouse.all
+      operators.Warehouse.all ++ operators.HybridOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.QueryDef
+
+/** Hybrid retrieval with an ANN dense leg — the shape a production
+  * retrieval stack actually runs at 100 TB (VERDICT r16 next #2): the
+  * RRF fusion's lexical leg serves from the maintained BM25 index
+  * (file-pruned to the query terms' posting files, q206's path) and its
+  * DENSE leg serves from the maintained IVF list store (file-pruned to
+  * the probed clusters' list files, q208's path) instead of q211's
+  * exact all-postings tf-idf scan. The documents and embeddings tables
+  * share the id space (vec_id = the doc's embedding), so the fusion
+  * joins on one id.
+  *
+  * An ANN leg is approximate BY CONTRACT, so the gate carries its own
+  * measured quality (the q89 multi-probe-recall discipline): alongside
+  * the fused top-10 it emits `in_exact` per row and `recall_10` — the
+  * overlap between this ANN-legged fusion and the EXACT-dense-legged
+  * fusion (brute-force cosine over all vectors) — and the oracle
+  * recomputes BOTH fusions monolithically, so the recall figure itself
+  * is hash-gated, not just eyeballed. Every component is bit-exact
+  * cross-engine (log-free BM25, exact-decimal cosine), hence so are the
+  * ranks, flags and the recall ratio.
+  */
+object HybridOps {
+
+  /** The fused-ranking emission shared by the ANN and exact fusion legs:
+    * RRF top-10 plus membership flags vs the exact fusion. */
+  private val hybridOracleSql: String = {
+    val dot = Similarity.dotSql("q.v", "c.v")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |         CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |tfq AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |  WHERE w IN ('dup', 'window') GROUP BY 1, 2),
+       |dfq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY 1),
+       |bm AS (
+       |  SELECT tfq.doc_id,
+       |    SUM(((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |        ((tfq.tf * 2.2) /
+       |         (tfq.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))) AS score
+       |  FROM tfq CROSS JOIN stats
+       |  JOIN dfq ON dfq.w = tfq.w JOIN dl ON dl.doc_id = tfq.doc_id
+       |  GROUP BY 1),
+       |bmr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm)
+       |  WHERE rk <= 50),
+       |nv AS (${Similarity.normedSql}),
+       |qv AS (SELECT * FROM nv WHERE vec_id = 0),
+       |ann AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    ${Similarity.cosSql(dot, "q.nrm", "c.nrm")} AS cosine
+       |  FROM qv q JOIN nv c ON c.label = q.label AND c.vec_id <> q.vec_id),
+       |adr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rk FROM ann)
+       |  WHERE rk <= 50),
+       |ex AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    ${Similarity.cosSql(dot, "q.nrm", "c.nrm")} AS cosine
+       |  FROM qv q JOIN nv c ON c.vec_id <> q.vec_id),
+       |edr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rk FROM ex)
+       |  WHERE rk <= 50),
+       |fa AS (
+       |  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       |         CAST(b.rk AS INT) AS bm25_rk, CAST(a.rk AS INT) AS dense_rk,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + a.rk), 0.0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN adr a ON a.doc_id = b.doc_id),
+       |fa10 AS (SELECT doc_id, bm25_rk, dense_rk, rrf, CAST(frk AS INT) AS frk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frk FROM fa)
+       |  WHERE frk <= 10),
+       |fe AS (
+       |  SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + e.rk), 0.0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN edr e ON e.doc_id = b.doc_id),
+       |fe10 AS (SELECT doc_id FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frk FROM fe)
+       |  WHERE frk <= 10),
+       |flag AS (
+       |  SELECT f.doc_id, f.bm25_rk, f.dense_rk, f.rrf, f.frk,
+       |         CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+       |  FROM fa10 f LEFT JOIN fe10 e ON e.doc_id = f.doc_id),
+       |rec AS (SELECT CAST(SUM(in_exact) AS DOUBLE) / 10.0 AS recall_10 FROM flag)
+       |SELECT doc_id, bm25_rk, dense_rk, rrf, frk, in_exact, recall_10
+       |FROM flag CROSS JOIN rec ORDER BY frk""".stripMargin
+  }
+
+  /** q217: RRF hybrid with the maintained stores on BOTH legs — lexical
+    * from the q206 BM25 index (term-pruned posting files), dense from
+    * the q208 IVF lists (probe-1, cluster-pruned list files). The
+    * exact-dense fusion is recomputed ONLY to measure recall@10 — at
+    * deployment scale that reference never runs; the gate runs it so
+    * the approximation's quality is an oracle-gated number.
+    *
+    * Scale posture: the lexical leg reads the probed terms' posting
+    * files + matched doc lengths; the dense leg reads the probed
+    * cluster's list files (skip-trace-pinned in HybridServingSpec);
+    * the fusion itself joins two ≤ 50-row rankings — free. */
+  val q217 = QueryDef(
+    "q217_hybrid_ann_rrf",
+    hybridOracleSql) { (s, d) =>
+    val st = SearchOps.maintainedIndex(s, d)
+    val ivf = Similarity.maintainedIvf(s, d)
+    val bm = SearchOps.bm25FromIndex(st, Seq("dup", "window"), 50)
+    val ann = Similarity.ivfProbe(ivf, nQueries = 1, k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("cosine"))
+    val fusedAnn = SearchOps.rrfFuse(bm, ann)
+    // exact dense reference (recall measurement only — see Scaladoc)
+    val exact = Similarity.scoredPairs(s, d, nQueries = 1)
+      .select(col("neighbor_id").as("doc_id"), col("cosine"))
+    val fusedExact = SearchOps.rrfFuse(bm, exact)
+      .select(col("doc_id").as("e_doc"))
+    val flagged = fusedAnn
+      .join(broadcast(fusedExact), col("doc_id") === col("e_doc"), "left")
+      .withColumn("in_exact", when(col("e_doc").isNotNull, 1).otherwise(0))
+      .drop("e_doc")
+    val rec = flagged.agg((sum(col("in_exact")) / lit(10.0)).as("recall_10"))
+    flagged.crossJoin(broadcast(rec)).orderBy("frk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q217)
+}

@@ -420,7 +420,7 @@ object SearchOps {
     * top-50 and `dense` (doc_id, cosine) per-query scored rows — shared
     * by q125 and q212. Both inputs are ≤ 50 rows; the windows here sort
     * bounded frames, never the corpus. */
-  private def rrfFuse(bm: org.apache.spark.sql.DataFrame,
+  private[graft] def rrfFuse(bm: org.apache.spark.sql.DataFrame,
                       dense: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -739,7 +739,7 @@ object SearchOps {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.mutable.Map[String, String]]()
 
-  private def maintainedIndex(s: org.apache.spark.sql.SparkSession,
+  private[graft] def maintainedIndex(s: org.apache.spark.sql.SparkSession,
       d: String): graft.sources.TableStore =
     indexStoreMemo.synchronized {
       val perDir = {

@@ -35,11 +35,11 @@ object Similarity {
   /** Exact decimal dot product of two 1-based list expressions (DuckDB).
     * Components quantized to decimal(9,7) (identically on both engines);
     * products are scale-14 decimals, summed exactly. */
-  private def dotSql(a: String, b: String): String =
+  private[operators] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> " +
       s"cast(cast($a[i] as double) as decimal(9,7)) * cast(cast($b[i] as double) as decimal(9,7))))"
 
-  private def cosSql(dotE: String, na: String, nb: String): String =
+  private[operators] def cosSql(dotE: String, na: String, nb: String): String =
     s"cast($dotE as double) / (sqrt(cast($na as double)) * sqrt(cast($nb as double)))"
 
   private def cos(dotC: Column, na: Column, nb: Column): Column =
@@ -74,7 +74,7 @@ object Similarity {
       .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
   }
 
-  private val normedSql =
+  private[operators] val normedSql =
     s"""SELECT vec_id, label, embedding AS v, ${dotSql("embedding", "embedding")} AS nrm
        |  FROM embeddings""".stripMargin
 
@@ -90,7 +90,7 @@ object Similarity {
     * partial-aggregated (query_id, neighbor_id) rollup. Decimal addition
     * is exact, so the groupBy's arbitrary order matches the oracle's
     * sequential list_sum bit-for-bit. */
-  private[operators] def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame =
+  private[graft] def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame =
     pairSums(elems(s, d).select(col("vec_id"), col("i"), col("xd").as("c")),
       Seq("i"), nQueries)
       .select(col("query_id"), col("neighbor_id"),
@@ -863,7 +863,7 @@ object Similarity {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, String]]()
 
-  private def maintainedIvf(s: SparkSession, d: String): graft.sources.TableStore =
+  private[graft] def maintainedIvf(s: SparkSession, d: String): graft.sources.TableStore =
     ivfStoreMemo.synchronized {
       val perDir = {
         val cur = ivfStoreMemo.get(s)
