@@ -1210,6 +1210,71 @@ object CorpusOps {
         size(tokens(col("text"))).cast("long").as("ntok")))
   }
 
+  /** Accuracy of the at-scale card's percentile sketch: Spark's
+    * `approx_percentile` (Greenwald–Khanna) guarantees rank error ≤
+    * n/accuracy. 10⁴ means the reported quartile sits within 0.01% of
+    * the exact rank — at 10¹⁰ docs that is ±10⁶ ranks of slack for a
+    * sketch of a few hundred KB per group, vs the exact aggregate's
+    * per-group value multiset. */
+  val CardApproxAccuracy: Int = 10000
+
+  /** The dataset card's AT-SCALE percentile variant with its error
+    * budget VERIFIED, not assumed (VERDICT r16 next #5 — the q214 doc
+    * contract as tested code): quartiles come from `approx_percentile`
+    * (same single hash-aggregate plan shape as [[datasetCard]], sketch
+    * state instead of value multisets), and each reported quartile is
+    * then rank-checked against the raw rows — `p*_ok` asserts an
+    * element with the approx value's rank lies within
+    * n/[[CardApproxAccuracy]] + 1 ranks of q·n (the GK guarantee plus
+    * one rank absorbing rank-convention rounding). The booleans are
+    * engine-independent (any in-budget element passes), so the gate
+    * hash-compares them against the oracle's literal TRUEs — an
+    * out-of-budget sketch fails the gate loudly.
+    *
+    * Scale posture: two store-local passes — the card aggregate and a
+    * broadcast-join rank tally (the CHECK's cost, not the card's; a
+    * deployment ships the first aggregate alone). */
+  private[operators] def datasetCardApproxChecked(
+      perDoc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val acc = CardApproxAccuracy
+    val qs = Seq(0.25, 0.5, 0.75)
+    val card = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ntok")).cast("long").as("sum_tokens"),
+      expr(s"approx_percentile(ntok, array(${qs.mkString("D, ")}D), $acc)").as("ap"))
+    val tallies = qs.indices.flatMap { i =>
+      Seq(sum(when(col("ntok") < col("ap")(i), 1L).otherwise(0L)).as(s"lt_$i"),
+        sum(when(col("ntok") <= col("ap")(i), 1L).otherwise(0L)).as(s"le_$i"))
+    }
+    val ranks = perDoc
+      .join(broadcast(card.select("source", "ap")), Seq("source"))
+      .groupBy("source").agg(tallies.head, tallies.tail: _*)
+    val slack = lit(1.0) + col("n_docs").cast("double") / acc
+    def okCol(i: Int, q: Double) = {
+      val target = col("n_docs").cast("double") * q
+      // the approx value occupies ranks (lt+1 .. le); in budget ⟺ that
+      // interval intersects [q·n − slack, q·n + slack]
+      ((col(s"lt_$i") + 1).cast("double") <= target + slack) &&
+        (col(s"le_$i").cast("double") >= target - slack)
+    }
+    card.join(ranks, Seq("source"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        okCol(0, 0.25).as("p25_ok"), okCol(1, 0.5).as("p50_ok"),
+        okCol(2, 0.75).as("p75_ok"))
+      .orderBy("source")
+  }
+
+  /** The approx-card oracle: exact anchors (count, token mass) plus
+    * literal TRUEs — the budget booleans must come back true from the
+    * Spark side's own rank check. */
+  private[operators] val datasetCardApproxOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, len(string_split(trim(text), ' ')) AS ntok FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+      |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   /** q195: span-level decontamination forensics — q63/q130 flag WHICH
     * corpus docs share an 8-gram with the benchmark; an auditor removing
     * contamination needs to know WHERE. Positional shingling (posexplode /

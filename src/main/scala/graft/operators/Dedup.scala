@@ -1963,8 +1963,15 @@ object Dedup {
     * final cluster, and the closure's min IS the chain root — merges
     * always adopt the smaller id). Membership is exactly q71's: a doc
     * has a kind-4 row iff it ever appeared in a verified pair. */
-  private[graft] def clusterLabels(st: graft.sources.TableStore): DataFrame = {
-    val state = st.table("state")
+  private[graft] def clusterLabels(st: graft.sources.TableStore): DataFrame =
+    clusterLabelsFrom(st.table("state"))
+
+  /** [[clusterLabels]] over an EXPLICIT state frame — the seam that lets
+    * a time-travel snapshot ([[graft.sources.TableStore.tableAtPin]])
+    * serve labels exactly as they stood at a pinned epoch (q221): the
+    * kind-4 rows AND the kind-5 mapping closure both come from the same
+    * snapshot, so the resolve can never mix eras. */
+  private[graft] def clusterLabelsFrom(state: DataFrame): DataFrame = {
     val raw = state.filter(col("kind") === 4)
       .select(col("doc_id"), col("h").as("component"))
     val m = stateMappings(state)

@@ -515,7 +515,17 @@ object DedupClusters {
           col("doc_id") < lo + (e + 1) * step)
         Dedup.clusterIngestEpoch(st, meta = Some(clusterDocMeta))(batch, e.toLong)
         st.appendBatch("card", e.toLong, cardRows(batch)); ()
+        // retention pin after epoch 1: the snapshot q221/q222 serve
+        // ("yesterday's corpus release"), carried through any later
+        // compaction's vacuum by the pin contract
+        if (e == 1) {
+          st.pinVersion("state", "epoch1")
+          st.pinVersion("card", "epoch1"); ()
+        }
       }
+    } else {
+      st.pinVersion("state", "epoch1")
+      st.pinVersion("card", "epoch1"); ()
     }
   }
 
@@ -622,8 +632,8 @@ object DedupClusters {
     *
     * Scale posture: one store-local scan of 4-column per-doc rows into
     * one source-keyed hash aggregate; at corpus scale the exact
-    * percentile swaps for percentile_approx with a documented error
-    * budget (same plan shape — q198's contract). */
+    * percentile swaps for approx_percentile — that variant exists as
+    * tested code with a verified rank-error budget, gated as q220. */
   val q214 = QueryDef(
     "q214_maintained_dataset_card",
     CorpusOps.datasetCardOracleSql) { (s, d) =>
@@ -632,5 +642,72 @@ object DedupClusters {
         .select("source", "lang", "n_chars", "ntok"))
   }
 
-  val all: Seq[QueryDef] = Seq(q71, q131, q156, q181, q203, q204, q205, q214)
+  /** Rewrite an existing documents-table oracle to run over the first
+    * TWO of the standard four doc_id epochs — the corpus exactly as the
+    * maintained store stood at the "epoch1" pin. Injects the prefix CTEs
+    * after WITH [RECURSIVE] and redirects every corpus read; the cut
+    * formula mirrors [[ingestClusterEpochs]]' slicing (and q216's). */
+  private def epochPrefixOracle(oracle: String): String = {
+    val prefixCtes =
+      """b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+        |docs_prefix AS (
+        |  SELECT d.* FROM documents d, b
+        |  WHERE d.doc_id < b.lo + 2 * ((b.hi - b.lo) // 4 + 1)),""".stripMargin
+    val recursive = oracle.startsWith("WITH RECURSIVE ")
+    val head = if (recursive) "WITH RECURSIVE " else "WITH "
+    require(oracle.startsWith(head), s"oracle must start with WITH: $oracle")
+    head + prefixCtes + "\n" +
+      oracle.stripPrefix(head).replace("FROM documents", "FROM docs_prefix")
+  }
+
+  /** q221: TIME-TRAVEL serving of the maintained CLUSTER store —
+    * "yesterday's corpus release" (VERDICT r16 next #6): the labels
+    * q203 maintains, read from the retention-pinned post-epoch-1
+    * snapshot ([[graft.sources.TableStore.tableAtPin]]) after two
+    * further epochs have landed. Both the kind-4 labels and the kind-5
+    * mapping closure come from the SAME snapshot frame
+    * ([[Dedup.clusterLabelsFrom]]), and the oracle recomputes the
+    * monolithic component fixpoint over the first two epochs' corpus
+    * prefix — dedup lineage (which cluster was each doc in at release
+    * k?) as an oracle-gated guarantee.
+    *
+    * Scale posture: the snapshot read scans the pinned version's files
+    * plainly (audit path); the resolve is the same mapping-closure
+    * fixpoint as the live read — never corpus-proportional. */
+  val q221 = QueryDef(
+    "q221_cluster_time_travel",
+    epochPrefixOracle(componentsOracleSql)) { (s, d) =>
+    withMembership(Dedup.clusterLabelsFrom(
+      clusterIngestedStore(s, d).tableAtPin("state", "epoch1")))
+  }
+
+  /** q222: TIME-TRAVEL dataset card — q214's release dashboard served
+    * from the card sidecar's pinned post-epoch-1 snapshot: "the card we
+    * shipped with release k" reproduces bit-for-bit after later epochs
+    * landed, against the monolithic q198 recomputation over the
+    * two-epoch corpus prefix. With q221 this completes the
+    * point-in-time story across the maintained family (index: q216;
+    * labels: q221; card: q222). */
+  val q222 = QueryDef(
+    "q222_card_time_travel",
+    epochPrefixOracle(CorpusOps.datasetCardOracleSql)) { (s, d) =>
+    CorpusOps.datasetCard(
+      clusterIngestedStore(s, d).tableAtPin("card", "epoch1")
+        .select("source", "lang", "n_chars", "ntok"))
+  }
+
+  /** q220: the maintained card's AT-SCALE percentile variant — q214's
+    * quartiles via `approx_percentile` over the card sidecar, with the
+    * sketch's rank-error budget VERIFIED per group and hash-gated (the
+    * doc-comment contract on q214 as tested code — see
+    * [[CorpusOps.datasetCardApproxChecked]] for the budget). */
+  val q220 = QueryDef(
+    "q220_card_approx_percentiles",
+    CorpusOps.datasetCardApproxOracleSql) { (s, d) =>
+    CorpusOps.datasetCardApproxChecked(
+      clusterIngestedStore(s, d).table("card").select("source", "ntok"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q71, q131, q156, q181, q203, q204, q205, q214, q220, q221, q222)
 }
