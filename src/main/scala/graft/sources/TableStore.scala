@@ -1678,7 +1678,14 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Pin a still-readable version (default: the current one) under
     * `label`, shielding it from every later vacuum until
     * [[unpinVersion]]. Re-pinning an existing label re-points it.
-    * Returns the pinned version number. */
+    * Returns the pinned version number.
+    *
+    * The read-modify-write of the PINS file is JVM-locked
+    * ([[TableStore.pinsLock]]): two in-process pinners interleaving
+    * would otherwise silently DROP one label — and an unprotected
+    * snapshot is exactly what the next vacuum deletes. Cross-process
+    * pin races remain the deployment catalog's job (same caveat as
+    * every sidecar here). */
   def pinVersion(name: String, label: String, version: Int = -1): Int = {
     require(label.nonEmpty && !label.contains('\t') && !label.contains('\n'),
       "pin label must be non-empty and free of tab/newline")
@@ -1686,17 +1693,20 @@ final class TableStore(spark: SparkSession, root: String) {
     require(cur >= 0, s"no such table: $name")
     val v = if (version < 0) cur else version
     tableAt(name, v) // loud failure on a vacuumed or never-existing version
-    writePins(name, pinnedVersions(name).updated(label, v))
+    TableStore.pinsLock.synchronized {
+      writePins(name, pinnedVersions(name).updated(label, v))
+    }
     v
   }
 
   /** Drop the pin `label`; its version is reclaimed by the NEXT vacuum
     * (nothing is deleted here). Returns whether the label existed. */
-  def unpinVersion(name: String, label: String): Boolean = {
-    val pins = pinnedVersions(name)
-    if (!pins.contains(label)) false
-    else { writePins(name, pins - label); true }
-  }
+  def unpinVersion(name: String, label: String): Boolean =
+    TableStore.pinsLock.synchronized {
+      val pins = pinnedVersions(name)
+      if (!pins.contains(label)) false
+      else { writePins(name, pins - label); true }
+    }
 
   /** Time travel to a pinned snapshot by label — the read side of
     * [[pinVersion]]. */
@@ -1888,6 +1898,10 @@ object TableStore {
     * lease. */
   private[sources] val inFlightClaims =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Serializes PINS-file read-modify-writes across every TableStore
+    * instance in this process (see [[TableStore.pinVersion]]). */
+  private[sources] val pinsLock = new Object
 
   /** Default lease for [[TableStore.releaseAbandonedClaim]]: a claim
     * younger than this is assumed to belong to a live writer in another

@@ -106,6 +106,22 @@ class RetentionSpec extends SparkSpec {
       .count() shouldBe 40
   }
 
+  test("concurrent pinners never drop each other's labels") {
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 16).map(i =>
+        scala.concurrent.Future(st.pinVersion("t", s"pin$i")))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(120, "s"))
+      st.pinnedVersions("t").keySet shouldBe
+        (0 until 16).map(i => s"pin$i").toSet
+    } finally { pool.shutdown(); () }
+  }
+
   test("pinned partitioned snapshot keeps superseded partition dirs") {
     val st = freshStore()
     st.createPartitioned("t",
