@@ -333,8 +333,10 @@ object Similarity {
     * broadcast join — never an all-pairs nested loop. The exact baseline
     * it compares against is the declared-O(|Q|·N) q50 shape, shared via
     * [[scoredPairs]]. */
-  val q89 = QueryDef(
-    "q89_ivf_multiprobe_recall",
+  /** The multi-probe recall oracle (monolithic centroids + nprobe
+    * sweep + exact-baseline recall@5) — shared verbatim by q89 (inline)
+    * and q223 (served from the maintained IVF store). */
+  private val multiprobeOracleSql: String =
     s"""WITH el AS (
        |  SELECT vec_id, label, i, cast(cast(embedding[i] as double) as decimal(9,7)) AS xd
        |  FROM embeddings, range(1, $Dim + 1) r(i)),
@@ -378,7 +380,11 @@ object Similarity {
        |FROM (SELECT * FROM exact CROSS JOIN np) e LEFT JOIN ivf i
        |  ON i.nprobe = e.nprobe AND i.query_id = e.query_id
        | AND i.neighbor_id = e.neighbor_id
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val q89 = QueryDef(
+    "q89_ivf_multiprobe_recall",
+    multiprobeOracleSql) { (s, d) =>
     val nQ = 10
     val npDf = probeLevelsDf(s)
     val el = elems(s, d) // (vec_id, label, i, xd) — i 0-based, a join key only
@@ -798,10 +804,35 @@ object Similarity {
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("label"), col("i"),
         col("x").cast("double").cast("decimal(9,7)").as("xd"))
-    el.select(lit(0).as("kind"), col("label"), col("vec_id"), col("i"), col("xd"))
+    val nulS = lit(null).cast("decimal(28,7)")
+    val nulL = lit(null).cast("long")
+    el.select(lit(0).as("kind"), col("label"), col("vec_id"), col("i"), col("xd"),
+        nulS.as("sxd"), nulL.as("cnt"))
       .unionByName(batch.select(lit(1).as("kind"), col("label"), col("vec_id"),
-        lit(0).as("i"), lit(null).cast("decimal(9,7)").as("xd")))
+        lit(0).as("i"), lit(null).cast("decimal(9,7)").as("xd"),
+        nulS.as("sxd"), nulL.as("cnt")))
+      // kind 2 — per-epoch CENTROID PARTIALS: (label, i) → exact-decimal
+      // component sum + member count. Decimal sums and counts are
+      // additive across epochs, so the store serves multi-probe centroid
+      // ranking (q223) from these tiny rows — never a kind-0 list scan.
+      .unionByName(el.groupBy("label", "i")
+        .agg(sum(col("xd")).cast("decimal(28,7)").as("sxd"),
+          count(lit(1)).as("cnt"))
+        .select(lit(2).as("kind"), col("label"), lit(0L).as("vec_id"),
+          col("i"), lit(null).cast("decimal(9,7)").as("xd"),
+          col("sxd"), col("cnt")))
   }
+
+  /** Cluster centroids recomposed from the store's kind-2 additive
+    * partials: Σ per-epoch sums is THE global exact-decimal sum and
+    * counts add, so the centroid expression is bit-identical to the
+    * monolithic `avg`-shaped one in q89 — computed from (epochs × K ×
+    * Dim) partial rows, never a kind-0 list scan. */
+  private def centroidsFromStore(st: graft.sources.TableStore): DataFrame =
+    st.table("ivf").filter(col("kind") === 2)
+      .groupBy("label", "i")
+      .agg((sum(col("sxd")).cast("double") / sum(col("cnt")))
+        .cast("decimal(9,7)").as("cd"))
 
   /** One epoch of IVF maintenance: ONE ledgered, read-free append of the
     * batch's list rows + directory rows, range-laid-out on
@@ -949,6 +980,92 @@ object Similarity {
     } finally EventsOps.rmTree(storeRoot)
   }
 
+  /** q223: MULTI-PROBE ANN served from the maintained IVF store — the
+    * recall/cost dial a production stack tunes (q89's nprobe sweep),
+    * with every store read bounded: centroids recompose from the kind-2
+    * additive partials ([[centroidsFromStore]] — epochs × K × Dim rows,
+    * never a list scan), query components and candidates come from
+    * kind-0 list files FILE-PRUNED to the queries' own labels and the
+    * probed clusters respectively, and norms are computed from exactly
+    * those pruned rows (complete per vector — a vector's components
+    * live wholly inside its label's lists). Per-(query, nprobe)
+    * recall@5 against the exact baseline is emitted and hash-gated;
+    * oracle = q89's monolithic recomputation verbatim, so "the
+    * maintained store reproduces the monolithic multi-probe sweep,
+    * recall figure included" is the gated claim. The exact baseline is
+    * gate armor (q217's discipline) — at deployment scale only the
+    * probed-cluster path runs. */
+  val q223 = QueryDef(
+    "q223_maintained_multiprobe",
+    multiprobeOracleSql) { (s, d) =>
+    val nQ = 10
+    val st = maintainedIvf(s, d)
+    val npDf = probeLevelsDf(s)
+    val cent = centroidsFromStore(st)
+    val dir = st.table("ivf").filter(col("kind") === 1)
+      .select(col("vec_id"), col("label"))
+    def prunedLists(labels: Array[Long], tag: String): DataFrame = {
+      val (lists, rep) = st.scanSkippingIds("ivf",
+        Seq(graft.sources.FileStats.ColumnRange("kind", Some(0), Some(0))),
+        "label", labels)
+      if (sys.props.contains("graft.epochTrace")) {
+        Dedup.skipTrace.add((tag, rep.filesTotal, rep.filesRead)); ()
+      }
+      lists.filter(col("kind") === 0 && col("label").isin(labels.map(Long.box): _*))
+        .select(col("vec_id"), col("label"), col("i"), col("xd"))
+    }
+    // query components: pruned to the query vectors' own labels (from
+    // the tiny kind-1 directory)
+    val qLabels = dir.filter(col("vec_id") < nQ)
+      .select("label").distinct().collect()
+      .map(_.getAs[Number]("label").longValue())
+    java.util.Arrays.sort(qLabels)
+    val qel = Dedup.pin(prunedLists(qLabels, "ivf.qlists")
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("i"), col("xd").as("qc")))
+    // nearest-centroid ranking (q89's expression over store inputs)
+    val qd = qel.join(broadcast(cent), Seq("i"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum((col("qc") - col("cd")) * (col("qc") - col("cd"))).as("d2"))
+    val probes = Dedup.pin(qd.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("label"))))
+      .crossJoin(npDf)
+      .filter(col("rn") <= col("nprobe")).select("nprobe", "query_id", "label"))
+    // candidates: ONLY the probed clusters' list files are scheduled
+    val probedLabels = probes.select("label").distinct().collect()
+      .map(_.getAs[Number]("label").longValue())
+    java.util.Arrays.sort(probedLabels)
+    val cel = prunedLists(probedLabels, "ivf.mplists")
+    val nrm = cel.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
+    val qn = qel.groupBy("query_id").agg(sum(col("qc") * col("qc")).as("qn"))
+    val ivfTop = cel.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qel), Seq("query_id", "i"))
+      .groupBy(col("nprobe"), col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("xd") * col("qc")).as("dt"))
+      .join(broadcast(qn), Seq("query_id"))
+      .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nprobe", "query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5).select("nprobe", "query_id", "neighbor_id")
+    // exact baseline — recall reference only (gate armor, never the
+    // serving path); same q50 kernel as q89's
+    val exactTop = scoredPairs(s, d, nQ)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5).select("query_id", "neighbor_id")
+    exactTop.crossJoin(npDf)
+      .join(ivfTop.withColumn("hit", lit(1)), Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy("query_id", "nprobe")
+      .agg(count(col("hit")).as("hits"),
+        (count(col("hit")).cast("double") / 5).as("recall5"))
+      .select(col("query_id"), col("nprobe").cast("int").as("nprobe"),
+        col("hits"), col("recall5"))
+      .orderBy("query_id", "nprobe")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208, q210)
+    Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208, q210, q223)
 }

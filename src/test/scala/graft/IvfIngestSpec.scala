@@ -164,4 +164,40 @@ class IvfIngestSpec extends SparkSpec {
     streamed should not be empty
     streamed.toSeq shouldBe mono.toSeq
   }
+
+  test("q223: the maintained store reproduces q89's multi-probe sweep, recall included") {
+    val dir = "/root/testdata/sf0.001"
+    val served = Similarity.q223.build(spark, dir).collect()
+    val mono = Similarity.q89.build(spark, dir).collect()
+    served should not be empty
+    served.map(_.toSeq).toSeq shouldBe mono.map(_.toSeq).toSeq
+    // probe-everything must reproduce the exact baseline — the corpus-
+    // structure-independent invariant (q89's contract, on the store path)
+    val maxNp = served.map(_.getAs[Int]("nprobe")).max
+    served.filter(_.getAs[Int]("nprobe") == maxNp)
+      .foreach(r => r.getAs[Double]("recall5") shouldBe 1.0)
+  }
+
+  test("kind-2 centroid partials recompose the exact per-label mean across epochs") {
+    val st = new TableStore(spark, tempDir("graft-ivf-cent").toString)
+    val empty = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    Similarity.buildIvfStore(st, empty)
+    (0 until 3).foreach { e =>
+      Similarity.ivfIngestEpoch(st)(vecRows(e * 8L until (e + 1) * 8L)
+        .toDF("vec_id", "label", "embedding"), e.toLong)
+    }
+    // recomposed centroids (sum of per-epoch partials) ≡ direct mean over
+    // the union of all kind-0 component rows, bit-for-bit
+    val el = st.table("ivf").filter(col("kind") === 0)
+    val direct = el.groupBy("label", "i")
+      .agg((sum(col("xd")).cast("double") / count(lit(1)))
+        .cast("decimal(9,7)").as("cd"))
+      .orderBy("label", "i").collect().map(_.toSeq)
+    val fromPartials = st.table("ivf").filter(col("kind") === 2)
+      .groupBy("label", "i")
+      .agg((sum(col("sxd")).cast("double") / sum(col("cnt")))
+        .cast("decimal(9,7)").as("cd"))
+      .orderBy("label", "i").collect().map(_.toSeq)
+    fromPartials.toSeq shouldBe direct.toSeq
+  }
 }
