@@ -94,7 +94,11 @@ object EpochCostProbe {
     //   cluster         — the q203 cluster-maintenance epoch;
     //   index           — the q206 read-free index append (flat walls by
     //                     construction) + ONE serving probe at the end,
-    //                     whose term/id file prunes land on store_reads.
+    //                     whose term/id file prunes land on store_reads;
+    //   pinned-index    — the index arm with auto-compaction forced hot
+    //                     (limit 2) and a retention pin held through all
+    //                     the vacuums: flat walls = a pin costs storage,
+    //                     never epoch time (q216's maintenance shape).
     val op = sys.env.getOrElse("SPARK_GRAFT_EPOCH_OP", "dedup")
     val t0 = System.nanoTime()
     val rows =
@@ -103,6 +107,8 @@ object EpochCostProbe {
           operators.DedupClusters.clusterProbeIngest(slices)(spark, corpusDir)
         else if (op == "index")
           operators.SearchOps.indexProbeIngest(slices)(spark, corpusDir)
+        else if (op == "pinned-index")
+          operators.SearchOps.pinnedIndexProbeIngest(slices)(spark, corpusDir)
         else operators.Dedup.q199Impl(slices = slices)(spark, corpusDir).count()
       } finally tmpDirs.foreach(operators.EventsOps.rmTree)
     val total = (System.nanoTime() - t0) / 1e9
@@ -130,6 +136,7 @@ object EpochCostProbe {
     val probeName = op match {
       case "cluster" => "q203_epoch_cost"
       case "index" => "q206_epoch_cost"
+      case "pinned-index" => "q216_epoch_cost"
       case _ => "q199_epoch_cost"
     }
     val doc =

@@ -731,6 +731,42 @@ object SearchOps {
     } finally EventsOps.rmTree(root)
   }
 
+  /** EpochCostProbe's PINNED-index arm: [[indexProbeIngest]] with the
+    * compaction policy forced hot (compactLimit = 2 — every epoch's
+    * append trips a compaction + vacuum) and a retention pin taken after
+    * epoch 0 and HELD through all of them. Flat per-epoch walls
+    * demonstrate a pin costs STORAGE (the pinned snapshot's bytes),
+    * never epoch time — the vacuum merely skips the pinned dirs. The
+    * pinned snapshot is read back at the end (loud failure if any
+    * vacuum touched it) before the serving probe. */
+  private[graft] def pinnedIndexProbeIngest(slices: Int)(
+      s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val root = java.nio.file.Files.createTempDirectory("graft-index-pin-probe")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      buildSearchIndex(st, docs.limit(0))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val step = (hi - lo) / slices + 1
+        (0 until slices).foreach { e =>
+          val t0 = System.nanoTime()
+          indexIngestEpoch(st, compactLimit = Some(2))(docs.filter(
+            col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+          if (e == 0) { st.pinVersion("index", "epoch0"); () }
+          if (sys.props.contains("graft.epochTrace")) {
+            Dedup.epochTrace.add((e.toLong, (System.nanoTime() - t0) / 1e9)); ()
+          }
+        }
+        // the pin must have survived every compaction's vacuum
+        st.tableAtPin("index", "epoch0").count()
+      }
+      bm25FromIndex(st, Seq("dup", "window"), 20).count()
+    } finally EventsOps.rmTree(root)
+  }
+
   // One maintained index store per (session, dir) — the q203-family
   // memo discipline: whichever of q206/q207 runs first pays the 4-epoch
   // build, both serve from the same store (weak session keys, root-path
