@@ -1186,7 +1186,7 @@ object CorpusOps {
     * frame — shared by q198 (from the documents table) and q214 (from
     * the cluster store's card sidecar), so the two emissions can never
     * drift. ONE hash aggregate keyed by source. */
-  private[operators] def datasetCard(perDoc: org.apache.spark.sql.DataFrame)
+  private[graft] def datasetCard(perDoc: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     perDoc
       .groupBy("source")

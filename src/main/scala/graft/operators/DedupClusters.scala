@@ -642,6 +642,66 @@ object DedupClusters {
         .select("source", "lang", "n_chars", "ntok"))
   }
 
+  /** The streamed cluster-store build shared by q224/q225: stage the
+    * documents as strict doc_id slices and drive
+    * [[graft.streaming.DedupIngest.clusterIngestSink]] (state + meta
+    * sidecar + card table, the full multi-table sink) through the shared
+    * staged replay, then serve from the store. Fresh store per call —
+    * the stream wiring is the thing under gate, so it runs every time
+    * (q209's discipline). */
+  private[graft] def streamedClusterServe(
+      rowsPerFile: Long = EventsOps.OuterStageRowsPerFile, slices: Int = 2,
+      sinkName: String)(
+      s: org.apache.spark.sql.SparkSession, d: String)(
+      serve: graft.sources.TableStore => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "source", "lang", "n_chars")
+    val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val root = java.nio.file.Files.createTempDirectory("graft-cluster-stream")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      Dedup.buildDedupState(st, docs.limit(0))
+      st.create("card", cardRows(docs.limit(0)))
+      if (r.getLong(2) > 0L)
+        EventsOps.stagedReplayDrive(s, docs, col("doc_id"),
+          r.getLong(0), r.getLong(1), r.getLong(2), rowsPerFile, slices,
+          sinkName)(graft.streaming.DedupIngest.clusterIngestSink(st,
+            meta = Some(clusterDocMeta), card = Some(("card", cardRows))))
+      // pinned frame: the store root is deleted in the finally below
+      Dedup.pin(serve(st))
+    } finally EventsOps.rmTree(root)
+  }
+
+  /** q224: the maintained CLUSTER store under a REAL `writeStream` —
+    * the capstone streamed gate: each micro-batch runs the full q203
+    * epoch (incremental LSH pairs, epoch-bounded merge-graph
+    * contraction, kind-4/5 label+mapping rows, kind-6/7 metadata, card
+    * sidecar) through [[graft.streaming.DedupIngest.clusterIngestSink]]
+    * over the shared staged replay, and the served labels must equal
+    * the monolithic component fixpoint — q203's oracle verbatim. With
+    * q209/q210/q218/q219 every maintained store now has its stream
+    * wiring on an oracle-gated path. */
+  val q224 = QueryDef(
+    "q224_streamed_cluster_store",
+    componentsOracleSql) { (s, d) =>
+    streamedClusterServe(sinkName = "q224_cluster_sink")(s, d)(st =>
+      withMembership(Dedup.clusterLabels(st)))
+  }
+
+  /** q225: the dataset card served from the writeStream-built cluster
+    * store's card sidecar — the release dashboard a LIVE ingest keeps
+    * current, against q198's monolithic oracle verbatim (q214 proves
+    * the direct-epoch path; this puts the streaming wiring itself on
+    * the gated path for the card too). */
+  val q225 = QueryDef(
+    "q225_streamed_dataset_card",
+    CorpusOps.datasetCardOracleSql) { (s, d) =>
+    streamedClusterServe(sinkName = "q225_card_sink")(s, d)(st =>
+      CorpusOps.datasetCard(
+        st.table("card").select("source", "lang", "n_chars", "ntok")))
+  }
+
   /** Rewrite an existing documents-table oracle to run over the first
     * TWO of the standard four doc_id epochs — the corpus exactly as the
     * maintained store stood at the "epoch1" pin. Injects the prefix CTEs
@@ -709,5 +769,6 @@ object DedupClusters {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q71, q131, q156, q181, q203, q204, q205, q214, q220, q221, q222)
+    Seq(q71, q131, q156, q181, q203, q204, q205, q214, q220, q221, q222,
+      q224, q225)
 }

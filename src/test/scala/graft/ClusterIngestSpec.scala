@@ -241,4 +241,24 @@ class ClusterIngestSpec extends SparkSpec {
     paths should not be empty
     all(paths) should include("graft-cluster-ingest")
   }
+
+  test("q224/q225: the writeStream-driven cluster store serves q71's labels and q198's card") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = DedupClusters.streamedClusterServe(
+      rowsPerFile = 200L, slices = 3, sinkName = "spec_q224_sink")(spark, dir)(st =>
+      graft.operators.Dedup.clusterLabels(st)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val mono = DedupClusters.q71.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    labels should not be empty
+    labels.toSeq shouldBe mono.toSeq
+    val card = DedupClusters.streamedClusterServe(
+      rowsPerFile = 200L, slices = 3, sinkName = "spec_q225_sink")(spark, dir)(st =>
+      graft.operators.CorpusOps.datasetCard(
+        st.table("card").select("source", "lang", "n_chars", "ntok")))
+      .collect().map(_.toSeq)
+    val monoCard = graft.operators.CorpusOps.q198.build(spark, dir)
+      .collect().map(_.toSeq)
+    card.toSeq shouldBe monoCard.toSeq
+  }
 }
