@@ -1732,8 +1732,16 @@ final class TableStore(spark: SparkSession, root: String) {
         .map(Files.size(_)).sum
     // a pinned version's entries count as LIVE for the vacuum below:
     // every data dir (or partition subdir) its read path stitches
-    // together must survive, whatever shape the CURRENT version has
-    val pinned = pinnedVersions(name).values.toSet.filter(_ < v)
+    // together must survive, whatever shape the CURRENT version has.
+    // `spark.graft.state.retainVersions` = N additionally keeps the last
+    // N superseded versions as a rolling time-travel window (the policy
+    // complement to named pins: pins mark releases, the window serves
+    // "any version from the last N mutations" — both default-off, both
+    // O(retained bytes) storage and zero maintenance time)
+    val retain = spark.conf.getOption("spark.graft.state.retainVersions")
+      .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0)
+    val pinned = (pinnedVersions(name).values.toSet ++
+      (v - retain until v).filter(_ >= 0)).filter(_ < v)
     def entriesOf(ver: Int): Seq[(String, String)] =
       readManifest(name, ver).map(_.entries).getOrElse(Seq("." -> s"v$ver"))
     val pinnedEntries = pinned.toSeq.flatMap(entriesOf)

@@ -106,6 +106,27 @@ class RetentionSpec extends SparkSpec {
       .count() shouldBe 40
   }
 
+  test("retainVersions keeps a rolling window of superseded versions") {
+    val key = "spark.graft.state.retainVersions"
+    spark.conf.set(key, "2")
+    try {
+      val st = freshStore()
+      st.create("t", Seq((0L, "a")).toDF("id", "v")) // v0
+      (1 to 5).foreach(i =>
+        st.update("t", col("id") === 0L, Map("v" -> lit(s"v$i")))) // v1..v5
+      st.analyze("t")
+      // the window: v3/v4 (the last 2 superseded) + current v5 readable
+      st.tableAt("t", 4).head.getString(1) shouldBe "v4"
+      st.tableAt("t", 3).head.getString(1) shouldBe "v3"
+      an[IllegalArgumentException] should be thrownBy st.tableAt("t", 2)
+      // the window ROLLS: another mutation + vacuum releases v3
+      st.update("t", col("id") === 0L, Map("v" -> lit("v6"))) // v6
+      st.analyze("t")
+      st.tableAt("t", 4).head.getString(1) shouldBe "v4"
+      an[IllegalArgumentException] should be thrownBy st.tableAt("t", 3)
+    } finally spark.conf.unset(key)
+  }
+
   test("concurrent pinners never drop each other's labels") {
     val st = freshStore()
     st.create("t", Seq((1L, "a")).toDF("id", "v"))
