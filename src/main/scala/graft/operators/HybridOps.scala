@@ -123,5 +123,132 @@ object HybridOps {
     flagged.crossJoin(broadcast(rec)).orderBy("frk")
   }
 
-  val all: Seq[QueryDef] = Seq(q217)
+  /** The hybrid recall dial's oracle: per-nprobe ANN fusions + the
+    * exact fusion, flags and per-nprobe recall@10 — all monolithic. */
+  private val hybridDialOracleSql: String = {
+    val dot = Similarity.dotSql("qv.v", "c.v")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |         CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |tfq AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |  WHERE w IN ('dup', 'window') GROUP BY 1, 2),
+       |dfq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY 1),
+       |bm AS (
+       |  SELECT tfq.doc_id,
+       |    SUM(((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |        ((tfq.tf * 2.2) /
+       |         (tfq.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))) AS score
+       |  FROM tfq CROSS JOIN stats
+       |  JOIN dfq ON dfq.w = tfq.w JOIN dl ON dl.doc_id = tfq.doc_id
+       |  GROUP BY 1),
+       |bmr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm)
+       |  WHERE rk <= 50),
+       |el AS (
+       |  SELECT vec_id, label, i, cast(cast(embedding[i] as double) as decimal(9,7)) AS xd
+       |  FROM embeddings, range(1, 65) r(i)),
+       |nv AS (${Similarity.normedSql}),
+       |qv AS (SELECT * FROM nv WHERE vec_id = 0),
+       |np AS (SELECT * FROM (VALUES ${Similarity.ProbeLevels.map(p => s"($p)").mkString(", ")}) v(nprobe)),
+       |cent AS (
+       |  SELECT label, i, CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS DECIMAL(9,7)) AS cd
+       |  FROM el GROUP BY 1, 2),
+       |q0 AS (SELECT i, xd FROM el WHERE vec_id = 0),
+       |qd AS (
+       |  SELECT c.label, SUM((q.xd - c.cd) * (q.xd - c.cd)) AS d2
+       |  FROM q0 q JOIN cent c ON c.i = q.i GROUP BY 1),
+       |probes AS (SELECT nprobe, label FROM (
+       |  SELECT label, ROW_NUMBER() OVER (ORDER BY d2, label) AS rn FROM qd)
+       |  CROSS JOIN np WHERE rn <= nprobe),
+       |ann AS (
+       |  SELECT p.nprobe, c.vec_id AS doc_id,
+       |    ${Similarity.cosSql(dot, "qv.nrm", "c.nrm")} AS cosine
+       |  FROM probes p JOIN nv c ON c.label = p.label AND c.vec_id <> 0
+       |  CROSS JOIN qv),
+       |adr AS (SELECT nprobe, doc_id, rk FROM (
+       |  SELECT nprobe, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY nprobe ORDER BY cosine DESC, doc_id) AS rk
+       |  FROM ann) WHERE rk <= 50),
+       |ex AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    ${Similarity.cosSql(dot, "qv.nrm", "c.nrm")} AS cosine
+       |  FROM qv JOIN nv c ON c.vec_id <> qv.vec_id),
+       |edr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rk FROM ex)
+       |  WHERE rk <= 50),
+       |bmn AS (SELECT nprobe, doc_id, rk FROM bmr CROSS JOIN np),
+       |fa AS (
+       |  SELECT COALESCE(b.nprobe, a.nprobe) AS nprobe,
+       |         COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       |         CAST(b.rk AS INT) AS bm25_rk, CAST(a.rk AS INT) AS dense_rk,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + a.rk), 0.0) AS rrf
+       |  FROM bmn b FULL OUTER JOIN adr a ON a.nprobe = b.nprobe AND a.doc_id = b.doc_id),
+       |fa10 AS (SELECT nprobe, doc_id, bm25_rk, dense_rk, rrf, CAST(frk AS INT) AS frk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fa) WHERE frk <= 10),
+       |fe AS (
+       |  SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + e.rk), 0.0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN edr e ON e.doc_id = b.doc_id),
+       |fe10 AS (SELECT doc_id FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frk FROM fe)
+       |  WHERE frk <= 10),
+       |flag AS (
+       |  SELECT f.nprobe, f.doc_id, f.bm25_rk, f.dense_rk, f.rrf, f.frk,
+       |         CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+       |  FROM fa10 f LEFT JOIN fe10 e ON e.doc_id = f.doc_id),
+       |rec AS (SELECT nprobe, CAST(SUM(in_exact) AS DOUBLE) / 10.0 AS recall_10
+       |        FROM flag GROUP BY 1)
+       |SELECT CAST(flag.nprobe AS INT) AS nprobe, doc_id, bm25_rk, dense_rk,
+       |       rrf, frk, in_exact, recall_10
+       |FROM flag JOIN rec USING (nprobe) ORDER BY nprobe, frk""".stripMargin
+  }
+
+  /** q226: the hybrid's RECALL/COST DIAL — q217's fusion swept across
+    * the nprobe levels with the dense leg served from the maintained
+    * IVF store ([[Similarity.storeMultiprobeScored]]: centroid partials
+    * + cluster-pruned list reads): per-nprobe fused top-10 plus its
+    * measured recall@10 vs the exact-dense fusion, all hash-gated
+    * against the monolithic oracle. This is the end-to-end tuning curve
+    * a production retrieval stack actually operates on — widen nprobe
+    * until fused recall clears the product bar, pay only the probed
+    * clusters' reads. The exact legs are gate armor (q217/q223's
+    * discipline). */
+  val q226 = QueryDef(
+    "q226_hybrid_multiprobe_dial",
+    hybridDialOracleSql) { (s, d) =>
+    val st = SearchOps.maintainedIndex(s, d)
+    val ivf = Similarity.maintainedIvf(s, d)
+    // pinned: reused by every per-nprobe fusion AND the exact fusion
+    val bm = Dedup.pin(SearchOps.bm25FromIndex(st, Seq("dup", "window"), 50))
+    val dense = Dedup.pin(
+      Similarity.storeMultiprobeScored(ivf, s, nQ = 1)
+        .select(col("nprobe"), col("neighbor_id").as("doc_id"), col("cosine")))
+    val fusedAnn = Similarity.ProbeLevels.map { np =>
+      SearchOps.rrfFuse(bm, dense.filter(col("nprobe") === np)
+          .select("doc_id", "cosine"))
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+    val exact = Similarity.scoredPairs(s, d, nQueries = 1)
+      .select(col("neighbor_id").as("doc_id"), col("cosine"))
+    val fusedExact = SearchOps.rrfFuse(bm, exact)
+      .select(col("doc_id").as("e_doc"))
+    val flagged = fusedAnn
+      .join(broadcast(fusedExact), col("doc_id") === col("e_doc"), "left")
+      .withColumn("in_exact", when(col("e_doc").isNotNull, 1).otherwise(0))
+      .drop("e_doc")
+    val rec = flagged.groupBy("nprobe")
+      .agg((sum(col("in_exact")) / lit(10.0)).as("recall_10"))
+    flagged.join(broadcast(rec), Seq("nprobe"))
+      .select(col("nprobe").cast("int").as("nprobe"), col("doc_id"),
+        col("bm25_rk"), col("dense_rk"), col("rrf"), col("frk"),
+        col("in_exact"), col("recall_10"))
+      .orderBy("nprobe", "frk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q217, q226)
 }

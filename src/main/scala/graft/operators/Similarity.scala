@@ -308,7 +308,7 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  private val ProbeLevels = Seq(1, 3, 10)
+  private[graft] val ProbeLevels = Seq(1, 3, 10)
 
   /** Multi-probe IVF ANN with MEASURED recall (VERDICT r2 #5): q51 probes
     * one precomputed cluster and hopes; this computes the cluster
@@ -995,11 +995,15 @@ object Similarity {
     * recall figure included" is the gated claim. The exact baseline is
     * gate armor (q217's discipline) — at deployment scale only the
     * probed-cluster path runs. */
-  val q223 = QueryDef(
-    "q223_maintained_multiprobe",
-    multiprobeOracleSql) { (s, d) =>
-    val nQ = 10
-    val st = maintainedIvf(s, d)
+  /** Multi-probe scored candidates off the maintained store —
+    * (nprobe, query_id, neighbor_id, cosine) for queries vec_id <
+    * nQueries at every [[ProbeLevels]] level: centroids recompose from
+    * the kind-2 additive partials, query components and candidates come
+    * from file-pruned list reads, norms from exactly those pruned rows.
+    * Shared by q223 (the recall sweep) and q226 (the hybrid fusion
+    * dial), so the store-serving kernel can never drift between them. */
+  private[graft] def storeMultiprobeScored(st: graft.sources.TableStore,
+      s: SparkSession, nQ: Int): DataFrame = {
     val npDf = probeLevelsDf(s)
     val cent = centroidsFromStore(st)
     val dir = st.table("ivf").filter(col("kind") === 1)
@@ -1038,7 +1042,7 @@ object Similarity {
     val cel = prunedLists(probedLabels, "ivf.mplists")
     val nrm = cel.groupBy("vec_id").agg(sum(col("xd") * col("xd")).as("nrm"))
     val qn = qel.groupBy("query_id").agg(sum(col("qc") * col("qc")).as("qn"))
-    val ivfTop = cel.join(broadcast(probes), Seq("label"))
+    cel.join(broadcast(probes), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(qel), Seq("query_id", "i"))
       .groupBy(col("nprobe"), col("query_id"), col("vec_id").as("neighbor_id"))
@@ -1047,6 +1051,14 @@ object Similarity {
       .join(nrm.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
       .select(col("nprobe"), col("query_id"), col("neighbor_id"),
         cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
+  }
+
+  val q223 = QueryDef(
+    "q223_maintained_multiprobe",
+    multiprobeOracleSql) { (s, d) =>
+    val nQ = 10
+    val npDf = probeLevelsDf(s)
+    val ivfTop = storeMultiprobeScored(maintainedIvf(s, d), s, nQ)
       .withColumn("rk", row_number().over(
         Window.partitionBy("nprobe", "query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rk") <= 5).select("nprobe", "query_id", "neighbor_id")
