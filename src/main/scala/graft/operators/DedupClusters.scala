@@ -706,8 +706,28 @@ object DedupClusters {
     * TWO of the standard four doc_id epochs — the corpus exactly as the
     * maintained store stood at the "epoch1" pin. Injects the prefix CTEs
     * after WITH [RECURSIVE] and redirects every corpus read; the cut
-    * formula mirrors [[ingestClusterEpochs]]' slicing (and q216's). */
-  private def epochPrefixOracle(oracle: String): String = {
+    * formula mirrors [[ingestClusterEpochs]]' slicing (and q216's).
+    *
+    * This is STRING SURGERY on trusted, builder-authored oracles, so it
+    * guards its own blind spots loudly (VERDICT r17 nit): an oracle with
+    * no literal `FROM documents` read (aliased / schema-qualified /
+    * never reading the corpus) would silently keep reading the FULL
+    * table, and a `FROM documents` inside a quoted string literal would
+    * be rewritten into a different literal — both produce a plausible
+    * but WRONG oracle the gate would then "fail" against. Build-time
+    * require beats gate-time head-scratching. */
+  private[graft] def epochPrefixOracle(oracle: String): String = {
+    require(oracle.contains("FROM documents"),
+      "epochPrefixOracle: oracle has no 'FROM documents' read to redirect — " +
+        "the rewrite would be a no-op and the gate would compare against the full corpus")
+    // single-quoted SQL literals alternate with code on ' boundaries
+    // (odd split indices = inside a literal; '' escapes split into two
+    // adjacent literal segments, still odd — conservative either way)
+    val literalHit = oracle.split("'", -1).zipWithIndex
+      .exists { case (seg, i) => i % 2 == 1 && seg.contains("FROM documents") }
+    require(!literalHit,
+      "epochPrefixOracle: 'FROM documents' occurs inside a quoted SQL literal — " +
+        "the global replace would rewrite the literal's text, not a corpus read")
     val prefixCtes =
       """b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
         |docs_prefix AS (

@@ -1662,6 +1662,13 @@ final class TableStore(spark: SparkSession, root: String) {
       .map { l =>
         l.split("\t", -1) match {
           case Array(label, ver) => label -> ver.toInt
+          // HARD failure, deliberately asymmetric with the cbo marker's
+          // degrade-to-plain-read: a cbo sidecar lost to corruption only
+          // costs plan quality, but a pin line silently DROPPED here
+          // would let the very next vacuum delete the protected snapshot
+          // — an unrecoverable data loss no later read could detect.
+          // Writes are tmp+ATOMIC_MOVE, so a torn line means external
+          // interference; stopping is the only safe answer.
           case other => sys.error(s"corrupt pin line in $p: ${other.mkString("\\t")}")
         }
       }.toMap

@@ -261,4 +261,27 @@ class ClusterIngestSpec extends SparkSpec {
       .collect().map(_.toSeq)
     card.toSeq shouldBe monoCard.toSeq
   }
+
+  test("epochPrefixOracle rejects trap oracles loudly instead of mis-rewriting") {
+    // happy path: a plain corpus read is redirected
+    val ok = DedupClusters.epochPrefixOracle(
+      "WITH x AS (SELECT doc_id FROM documents) SELECT * FROM x")
+    ok should include("FROM docs_prefix")
+    ok should include("docs_prefix AS (")
+    // trap 1: no literal corpus read — the replace would silently no-op
+    // and the gate would compare a prefix store against the FULL corpus
+    val e1 = intercept[IllegalArgumentException] {
+      DedupClusters.epochPrefixOracle(
+        "WITH x AS (SELECT doc_id FROM documents d2) SELECT * FROM x"
+          .replace("FROM documents d2", "FROM main.documents d2"))
+    }
+    e1.getMessage should include("no 'FROM documents' read")
+    // trap 2: the phrase inside a quoted SQL literal — the global
+    // replace would rewrite the literal's TEXT, not a corpus read
+    val e2 = intercept[IllegalArgumentException] {
+      DedupClusters.epochPrefixOracle(
+        "WITH x AS (SELECT 'note: FROM documents' AS note FROM documents) SELECT * FROM x")
+    }
+    e2.getMessage should include("quoted SQL literal")
+  }
 }
