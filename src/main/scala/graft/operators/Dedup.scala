@@ -1481,11 +1481,13 @@ object Dedup {
     * globally raced concurrent gates on the same session (ADVICE r16). */
   private[graft] def maybeAutoCompactClustered(s: SparkSession,
       st: graft.sources.TableStore, name: String,
-      clusterCols: Seq[String], limitOverride: Option[Int] = None): Unit = {
+      clusterCols: Seq[String], limitOverride: Option[Int] = None,
+      retainVersions: Option[Int] = None): Unit = {
     val limit = limitOverride.getOrElse(autoCompactLimit(s))
     if (limit > 0 && st.chainLength(name) >= limit) {
       st.compactClustered(name, clusterCols,
-        math.max(StateFilesFloor, st.fileCount(name) / 2))
+        math.max(StateFilesFloor, st.fileCount(name) / 2),
+        retainVersions)
       st.registerCbo(name); ()
     }
   }

@@ -565,7 +565,8 @@ object SearchOps {
     * (kind, w, doc_id), so kind-0 files carry disjoint term ranges —
     * the prune [[bm25FromIndex]] relies on. */
   private[graft] def indexIngestEpoch(st: graft.sources.TableStore,
-      compactLimit: Option[Int] = None)(
+      compactLimit: Option[Int] = None,
+      retainVersions: Option[Int] = None)(
       batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
     if (st.batchCommitted("index", epoch)) return
     st.appendBatch("index", epoch,
@@ -573,9 +574,10 @@ object SearchOps {
     // shared auto-compaction policy (one helper across the state/index/
     // ivf stores — ADVICE r15 #3): layout-preserving collapse, ledger
     // survives, stats handed to the CBO after the collapse; compactLimit
-    // threads a per-caller policy without touching the session conf
+    // and retainVersions thread per-caller policies without touching the
+    // session conf (VERDICT r16 ADVICE / r17 next #4)
     Dedup.maybeAutoCompactClustered(batch.sparkSession, st, "index",
-      Seq("kind", "w", "doc_id"), compactLimit)
+      Seq("kind", "w", "doc_id"), compactLimit, retainVersions)
   }
 
   private def indexRows(batch: org.apache.spark.sql.DataFrame)
@@ -1174,8 +1176,12 @@ object SearchOps {
     * plainly (audit path); maintenance cost is q206's read-free append
     * bound plus the forced compactions; a pin costs exactly the pinned
     * snapshot's bytes. */
-  val q216 = QueryDef(
-    "q216_index_time_travel",
+  /** The monolithic q101 BM25 recomputation over the first TWO of the
+    * standard four doc_id epochs — the corpus exactly as a maintained
+    * index stood after epoch 1. Shared by q216 (named-pin time travel)
+    * and q229 (retention-window time travel): both must reproduce this
+    * prefix retrieval bit-for-bit from a historical store version. */
+  private val twoEpochBm25OracleSql: String =
     s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
        |docs AS (
        |  SELECT d.doc_id, d.text FROM documents d, b
@@ -1197,7 +1203,11 @@ object SearchOps {
        |FROM tf CROSS JOIN stats
        |JOIN df ON df.w = tf.w
        |JOIN dl ON dl.doc_id = tf.doc_id
-       |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin) { (s, d) =>
+       |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+
+  val q216 = QueryDef(
+    "q216_index_time_travel",
+    twoEpochBm25OracleSql) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-index-tt")
     try {
@@ -1226,7 +1236,60 @@ object SearchOps {
     } finally EventsOps.rmTree(root)
   }
 
+  /** q229: time travel to a WINDOW-retained version — the un-named,
+    * un-pinned complement of q216 (VERDICT r17 next #4): nothing marks
+    * the post-epoch-1 snapshot except the rolling keep-last-N retention
+    * window, threaded per-store as a parameter (`retainVersions = 6`,
+    * the compactLimit pattern — never the shared session conf). Four
+    * doc_id epochs land with the compaction policy forced hot; each
+    * epoch's compaction+vacuum would reclaim the bare post-epoch-1
+    * version (it is superseded and nobody pinned it), but the window
+    * keeps the last 6, so `tableAt` on the remembered version number
+    * still serves — and BM25 from that snapshot must reproduce the
+    * monolithic two-epoch-prefix recomputation bit-for-bit. This is the
+    * "any version from the last N mutations" debugging read (what did
+    * the index serve three maintenance cycles ago?), where pins are the
+    * named-release read.
+    *
+    * Scale posture: identical to q216's — the window costs the retained
+    * versions' bytes, never epoch time (vacuum merely skips them); the
+    * snapshot read scans the historical version's files plainly (audit
+    * path). Window sizing: epochs 2 and 3 each publish an append + a
+    * compaction version (4 total after the remembered one), so N = 6
+    * holds the target with margin while still letting vacuum reclaim
+    * everything older. */
+  val q229 = QueryDef(
+    "q229_windowed_time_travel",
+    twoEpochBm25OracleSql) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-index-window")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      buildSearchIndex(st, docs.limit(0))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      var windowV = -1
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val slices = 4
+        val step = (hi - lo) / slices + 1
+        (0 until slices).foreach { e =>
+          indexIngestEpoch(st, compactLimit = Some(2),
+            retainVersions = Some(6))(docs.filter(
+            col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+          // remember the BARE version number — no pin, no label; only
+          // the retention window carries it through epochs 2 and 3
+          if (e == 1) windowV = st.currentVersionOf("index")
+        }
+      }
+      if (windowV < 0) windowV = st.currentVersionOf("index") // empty-corpus shape
+      // pinned frame: the store root is deleted in the finally below
+      Dedup.pin(bm25FromSnapshot(st.tableAt("index", windowV),
+        Seq("dup", "window"), 20))
+    } finally EventsOps.rmTree(root)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212, q215,
-      q216, q218)
+      q216, q218, q229)
 }

@@ -432,7 +432,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * batch ledger survives, superseded versions vacuumed. Single-
     * dimension sibling of [[optimizeZOrder]]. */
   def compactClustered(name: String, clusterCols: Seq[String],
-                       minFiles: Int = 1): TableStore.TableStats = {
+                       minFiles: Int = 1,
+                       retainVersions: Option[Int] = None): TableStore.TableStats = {
     require(clusterCols.nonEmpty)
     readManifest(name, currentVersion(name)).foreach { m =>
       require(m.partCol.isEmpty,
@@ -442,7 +443,7 @@ final class TableStore(spark: SparkSession, root: String) {
     publish(name,
       table(name).repartitionByRange(parts, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*))
-    analyze(name)
+    analyze(name, retainVersions)
   }
 
   /** Exactly-once streaming UPSERT (the update-mode aggregation sink):
@@ -1728,7 +1729,11 @@ final class TableStore(spark: SparkSession, root: String) {
   // and drop superseded versions (the VACUUM half). PINNED versions
   // ([[pinVersion]]) are exempt: their data dirs and read-path sidecars
   // survive so time travel to a named snapshot outlives maintenance.
-  def analyze(name: String): TableStore.TableStats = {
+  // `retainVersions` threads a per-call retention window (the
+  // compactLimit pattern — VERDICT r17 next #4): None falls back to the
+  // store-wide `spark.graft.state.retainVersions` session conf.
+  def analyze(name: String,
+              retainVersions: Option[Int] = None): TableStore.TableStats = {
     val v = currentVersion(name)
     import scala.jdk.CollectionConverters._
     def rm(p: java.nio.file.Path): Unit =
@@ -1744,9 +1749,12 @@ final class TableStore(spark: SparkSession, root: String) {
     // N superseded versions as a rolling time-travel window (the policy
     // complement to named pins: pins mark releases, the window serves
     // "any version from the last N mutations" — both default-off, both
-    // O(retained bytes) storage and zero maintenance time)
-    val retain = spark.conf.getOption("spark.graft.state.retainVersions")
-      .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0)
+    // O(retained bytes) storage and zero maintenance time); the
+    // parameter overrides the conf per call, so one store's lineage
+    // policy never leaks into a concurrent gate on the same session
+    val retain = retainVersions.getOrElse(
+      spark.conf.getOption("spark.graft.state.retainVersions")
+        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0))
     val pinned = (pinnedVersions(name).values.toSet ++
       (v - retain until v).filter(_ >= 0)).filter(_ < v)
     def entriesOf(ver: Int): Seq[(String, String)] =

@@ -127,6 +127,28 @@ class RetentionSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("retainVersions threads per-call and overrides the session conf") {
+    // no conf set: the parameter alone establishes the window
+    val st = freshStore()
+    st.create("t", Seq((0L, "a")).toDF("id", "v")) // v0
+    (1 to 5).foreach(i =>
+      st.update("t", col("id") === 0L, Map("v" -> lit(s"v$i")))) // v1..v5
+    st.analyze("t", retainVersions = Some(2))
+    st.tableAt("t", 4).head.getString(1) shouldBe "v4"
+    st.tableAt("t", 3).head.getString(1) shouldBe "v3"
+    an[IllegalArgumentException] should be thrownBy st.tableAt("t", 2)
+    // the parameter WINS over a conflicting session conf (a store-local
+    // lineage policy must not leak into — or read from — global state)
+    val key = "spark.graft.state.retainVersions"
+    spark.conf.set(key, "4")
+    try {
+      st.update("t", col("id") === 0L, Map("v" -> lit("v6"))) // v6
+      st.analyze("t", retainVersions = Some(1))
+      st.tableAt("t", 5).head.getString(1) shouldBe "v5"
+      an[IllegalArgumentException] should be thrownBy st.tableAt("t", 4)
+    } finally spark.conf.unset(key)
+  }
+
   test("concurrent pinners never drop each other's labels") {
     val st = freshStore()
     st.create("t", Seq((1L, "a")).toDF("id", "v"))
