@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.core.QueryDef
+import graft.core.{QueryDef, Tables}
 
 /** Hybrid retrieval with an ANN dense leg — the shape a production
   * retrieval stack actually runs at 100 TB (VERDICT r16 next #2): the
@@ -121,6 +121,143 @@ object HybridOps {
       .drop("e_doc")
     val rec = flagged.agg((sum(col("in_exact")) / lit(10.0)).as("recall_10"))
     flagged.crossJoin(broadcast(rec)).orderBy("frk")
+  }
+
+  /** q227's oracle: the two-epoch-prefix recomputation of BOTH hybrid
+    * legs — q216's epoch-prefix discipline applied to q217's fusion.
+    * The documents and embeddings prefixes are cut independently by the
+    * same slicing formula the ingest uses on each table's own id range;
+    * the ANN leg is the probe-1 cluster restriction (c.label = q.label),
+    * exactly what [[graft.operators.Similarity.ivfProbeFromSnapshot]]
+    * serves. No exact-dense/recall arm here: the gated claim is
+    * REPRODUCIBILITY of the released stack (recall quality of the same
+    * fusion is already hash-gated by q217/q226 — re-measuring it on the
+    * prefix corpus would gate nothing new). */
+  private val pinnedHybridOracleSql: String = {
+    val dot = Similarity.dotSql("q.v", "c.v")
+    s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |docs AS (
+       |  SELECT d.doc_id, d.text FROM documents d, b
+       |  WHERE d.doc_id < b.lo + 2 * ((b.hi - b.lo) // 4 + 1)),
+       |eb AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+       |embp AS (
+       |  SELECT e.* FROM embeddings e, eb
+       |  WHERE e.vec_id < eb.lo + 2 * ((eb.hi - eb.lo) // 4 + 1)),
+       |dl AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM docs),
+       |stats AS (
+       |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |         CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |tfq AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM docs)
+       |  WHERE w IN ('dup', 'window') GROUP BY 1, 2),
+       |dfq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY 1),
+       |bm AS (
+       |  SELECT tfq.doc_id,
+       |    SUM(((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |        ((tfq.tf * 2.2) /
+       |         (tfq.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))) AS score
+       |  FROM tfq CROSS JOIN stats
+       |  JOIN dfq ON dfq.w = tfq.w JOIN dl ON dl.doc_id = tfq.doc_id
+       |  GROUP BY 1),
+       |bmr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm)
+       |  WHERE rk <= 50),
+       |nv AS (SELECT vec_id, label, embedding AS v,
+       |         ${Similarity.dotSql("embedding", "embedding")} AS nrm FROM embp),
+       |qv AS (SELECT * FROM nv WHERE vec_id = 0),
+       |ann AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    ${Similarity.cosSql(dot, "q.nrm", "c.nrm")} AS cosine
+       |  FROM qv q JOIN nv c ON c.label = q.label AND c.vec_id <> q.vec_id),
+       |adr AS (SELECT doc_id, rk FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rk FROM ann)
+       |  WHERE rk <= 50),
+       |fa AS (
+       |  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       |         CAST(b.rk AS INT) AS bm25_rk, CAST(a.rk AS INT) AS dense_rk,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + a.rk), 0.0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN adr a ON a.doc_id = b.doc_id)
+       |SELECT doc_id, bm25_rk, dense_rk, rrf, CAST(frk AS INT) AS frk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frk FROM fa)
+       |WHERE frk <= 10 ORDER BY frk""".stripMargin
+  }
+
+  /** q227: the PINNED retrieval STACK — "re-run yesterday's hybrid"
+    * (VERDICT r17 next #1). Both maintained stores (BM25 index + IVF
+    * lists) ingest four epochs with the compaction policy FORCED HOT
+    * (compactLimit = 2, threaded as parameters), and after epoch 1 ONE
+    * coordinated release — [[graft.sources.ReleaseCatalog.pin]], a
+    * single durable record binding both stores' pinned versions — marks
+    * the stack that served that day. Two further epochs then land on
+    * EACH store, every one tripping a real policy compaction whose
+    * vacuum reclaims the release's unpinned neighbors. Serving resolves
+    * the release and runs q217's fusion with BOTH legs on the pinned
+    * snapshots ([[SearchOps.bm25FromSnapshot]] +
+    * [[Similarity.ivfProbeFromSnapshot]]); the oracle recomputes both
+    * legs monolithically over the two-epoch corpus prefixes — the full
+    * retrieval stack reproduces bit-for-bit through live maintenance on
+    * every store it spans.
+    *
+    * Scale posture: a release costs the pinned snapshots' bytes and
+    * zero epoch time (the pin contract, 100×-stamped in r17); snapshot
+    * reads scan the historical versions' files plainly (audit path);
+    * the fusion joins two ≤ 50-row rankings. */
+  val q227 = QueryDef(
+    "q227_pinned_hybrid_stack",
+    pinnedHybridOracleSql) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft-relidx")
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-relivf")
+    val catRoot = java.nio.file.Files.createTempDirectory("graft-relcat")
+    try {
+      val idxSt = new graft.sources.TableStore(s, idxRoot.toString)
+      val ivfSt = new graft.sources.TableStore(s, ivfRoot.toString)
+      SearchOps.buildSearchIndex(idxSt, docs.limit(0))
+      Similarity.buildIvfStore(ivfSt, vecs.limit(0))
+      val cat = new graft.sources.ReleaseCatalog(catRoot.toString, s)
+      val rd = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      val rv = vecs.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+      val slices = 4
+      var pinned = false
+      (0 until slices).foreach { e =>
+        // each table slices its OWN id range (the q216 cut formula);
+        // an empty table simply contributes empty epochs
+        if (rd.getLong(2) > 0L) {
+          val (lo, hi) = (rd.getLong(0), rd.getLong(1))
+          val step = (hi - lo) / slices + 1
+          SearchOps.indexIngestEpoch(idxSt, compactLimit = Some(2))(
+            docs.filter(col("doc_id") >= lo + e * step &&
+              col("doc_id") < lo + (e + 1) * step), e.toLong)
+        }
+        if (rv.getLong(2) > 0L) {
+          val (lo, hi) = (rv.getLong(0), rv.getLong(1))
+          val step = (hi - lo) / slices + 1
+          Similarity.ivfIngestEpoch(ivfSt, compactLimit = Some(2))(
+            vecs.filter(col("vec_id") >= lo + e * step &&
+              col("vec_id") < lo + (e + 1) * step), e.toLong)
+        }
+        // ONE coordinated release across both stores — the snapshot
+        // pair that served together, under one durable record
+        if (e == 1) {
+          cat.pin("yesterday", Seq((idxSt, "index"), (ivfSt, "ivf")))
+          pinned = true
+        }
+      }
+      if (!pinned) cat.pin("yesterday", Seq((idxSt, "index"), (ivfSt, "ivf")))
+      val bm = SearchOps.bm25FromSnapshot(
+        cat.tableAt("yesterday", "index"), Seq("dup", "window"), 50)
+      val ann = Similarity.ivfProbeFromSnapshot(
+        cat.tableAt("yesterday", "ivf"), nQueries = 1, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("cosine"))
+      // pinned frame: the store roots are deleted in the finally below
+      Dedup.pin(SearchOps.rrfFuse(bm, ann))
+    } finally {
+      EventsOps.rmTree(idxRoot); EventsOps.rmTree(ivfRoot)
+      EventsOps.rmTree(catRoot)
+    }
   }
 
   /** The hybrid recall dial's oracle: per-nprobe ANN fusions + the
@@ -250,5 +387,5 @@ object HybridOps {
       .orderBy("nprobe", "frk")
   }
 
-  val all: Seq[QueryDef] = Seq(q217, q226)
+  val all: Seq[QueryDef] = Seq(q217, q226, q227)
 }

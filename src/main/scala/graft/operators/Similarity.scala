@@ -839,16 +839,18 @@ object Similarity {
     * (kind, label, vec_id, i) so kind-0 files carry disjoint label
     * ranges — the prune [[ivfProbe]] relies on. Replay no-ops on the
     * epoch ledger. */
-  private[graft] def ivfIngestEpoch(st: graft.sources.TableStore)(
+  private[graft] def ivfIngestEpoch(st: graft.sources.TableStore,
+      compactLimit: Option[Int] = None)(
       batch: DataFrame, epoch: Long): Unit = {
     if (st.batchCommitted("ivf", epoch)) return
     st.appendBatch("ivf", epoch,
       Dedup.bucketLayout(ivfRows(batch), 8, "kind", "label", "vec_id", "i"))
     // shared auto-compaction policy (one helper across the state/index/
     // ivf stores — ADVICE r15 #3): layout-preserving collapse, ledger
-    // survives, stats handed to the CBO after the collapse
+    // survives, stats handed to the CBO after the collapse; compactLimit
+    // threads a per-caller policy without touching the session conf
     Dedup.maybeAutoCompactClustered(batch.sparkSession, st, "ivf",
-      Seq("kind", "label", "vec_id", "i"))
+      Seq("kind", "label", "vec_id", "i"), compactLimit)
   }
 
   /** Create the (empty) list table [[ivfIngestEpoch]] appends to. */
@@ -877,6 +879,33 @@ object Similarity {
       Dedup.skipTrace.add(("ivf.lists", rep.filesTotal, rep.filesRead)); ()
     }
     val el = lists
+      .filter(col("kind") === 0 && col("label").isin(probed.map(Long.box): _*))
+      .select(col("vec_id"), col("label"), col("i"), col("xd").as("c"))
+    pairSums(el, Seq("label", "i"), nQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
+  /** [[ivfProbe]] over a TIME-TRAVEL snapshot frame
+    * ([[graft.sources.TableStore.tableAt]] / a release catalog read)
+    * instead of the live store: the audit/reproducibility path, so it
+    * reads the historical version's files plainly (file-prune stats
+    * belong to the current snapshot) — correct first, hot-path second;
+    * the SearchOps.bm25FromSnapshot discipline applied to the ANN leg.
+    * Scoring is [[pairSums]]' exact-decimal kernel keyed on (label, i),
+    * so the probe-1 cluster restriction IS the join condition and the
+    * result is bit-identical to the live [[ivfProbe]] over the same
+    * rows. */
+  private[graft] def ivfProbeFromSnapshot(snap: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
+    val probed = snap.filter(col("kind") === 1 && col("vec_id") < nQueries)
+      .select("label").distinct().collect()
+      .map(_.getAs[Number]("label").longValue())
+    val el = snap
       .filter(col("kind") === 0 && col("label").isin(probed.map(Long.box): _*))
       .select(col("vec_id"), col("label"), col("i"), col("xd").as("c"))
     pairSums(el, Seq("label", "i"), nQueries)

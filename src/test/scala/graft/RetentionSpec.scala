@@ -127,6 +127,58 @@ class RetentionSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("a coordinated release carries paired snapshots through both stores' compactions") {
+    import graft.sources.ReleaseCatalog
+    val stA = freshStore()
+    val stB = freshStore()
+    val cat = new ReleaseCatalog(tempDir("graft-relcat").toString, spark)
+    stA.create("index", Seq((1L, "a")).toDF("id", "v"))            // A v0
+    stA.appendBatch("index", 0L, Seq((2L, "b")).toDF("id", "v"))   // A v1
+    stB.create("ivf", Seq((10L, "x")).toDF("id", "v"))             // B v0
+    stB.appendBatch("ivf", 0L, Seq((20L, "y")).toDF("id", "v"))    // B v1
+    val members = cat.pin("rel-1", Seq((stA, "index"), (stB, "ivf")))
+    members.map(_.version) shouldBe Seq(1, 1)
+    // further maintenance lands on BOTH stores — each compaction's
+    // vacuum reclaims the release's unpinned neighbors
+    stA.appendBatch("index", 1L, Seq((3L, "c")).toDF("id", "v"))   // A v2
+    stA.compact("index")                                           // A v3 + vacuum
+    stB.appendBatch("ivf", 1L, Seq((30L, "z")).toDF("id", "v"))    // B v2
+    stB.compact("ivf")                                             // B v3 + vacuum
+    stA.liveVersions("index") should not contain 2
+    stB.liveVersions("ivf") should not contain 2
+    // both legs resolve from ONE record, bit-exact
+    cat.tableAt("rel-1", "index").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    cat.tableAt("rel-1", "ivf").collect().map(_.getLong(0)).sorted shouldBe Array(10L, 20L)
+    // unknown label / table fail loudly
+    an[IllegalArgumentException] should be thrownBy cat.tableAt("rel-2", "index")
+    an[IllegalArgumentException] should be thrownBy cat.tableAt("rel-1", "nope")
+    // unpin releases the member pins: the next vacuum on each store
+    // reclaims the snapshots, and the release is gone
+    cat.unpin("rel-1") shouldBe true
+    cat.unpin("rel-1") shouldBe false
+    stA.analyze("index"); stB.analyze("ivf")
+    stA.liveVersions("index") should not contain 1
+    stB.liveVersions("ivf") should not contain 1
+    an[IllegalArgumentException] should be thrownBy cat.tableAt("rel-1", "index")
+  }
+
+  test("re-pinning a release re-points it and frees the old members' store pins") {
+    import graft.sources.ReleaseCatalog
+    val st = freshStore()
+    val cat = new ReleaseCatalog(tempDir("graft-relcat2").toString, spark)
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))          // v0
+    cat.pin("nightly", Seq((st, "t")))
+    st.appendBatch("t", 0L, Seq((2L, "b")).toDF("id", "v")) // v1
+    cat.pin("nightly", Seq((st, "t")))                      // re-point to v1
+    cat.releases("nightly").map(_.version) shouldBe Seq(1)
+    // exactly ONE store pin remains (the re-point, not an accumulation)
+    st.pinnedVersions("t") shouldBe Map("release:nightly" -> 1)
+    st.appendBatch("t", 1L, Seq((3L, "c")).toDF("id", "v")) // v2
+    st.compact("t") // vacuum: v2 goes (v0's dir survives — pinned v1's
+    st.liveVersions("t") should not contain 2 // manifest stitches it)
+    cat.tableAt("nightly", "t").count() shouldBe 2
+  }
+
   test("retainVersions threads per-call and overrides the session conf") {
     // no conf set: the parameter alone establishes the window
     val st = freshStore()
