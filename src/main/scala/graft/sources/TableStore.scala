@@ -446,6 +446,34 @@ final class TableStore(spark: SparkSession, root: String) {
     analyze(name, retainVersions)
   }
 
+  /** OPTIMIZE-style whole-snapshot SEMANTIC rewrite through the
+    * versioned write path — the maintenance primitive for stores whose
+    * contents must be RETRAINED, not merely re-laid-out
+    * ([[compactClustered]] rewrites bytes, never values; an IVF
+    * re-cluster rewrites list MEMBERSHIP): publishes `f(current
+    * snapshot)` as ONE clustered version (disjoint per-file ranges on
+    * `clusterCols`, so serving prunes survive the rewrite), then
+    * vacuums superseded versions — pins and the retention window exempt
+    * as ever, and the batch ledger survives so replayed ingest epochs
+    * still no-op against the retrained store. The caller owns `f`'s
+    * semantics; the store owns atomicity (readers see the old snapshot
+    * until the version flip). */
+  def rewriteClustered(name: String, clusterCols: Seq[String],
+                       minFiles: Int = 1,
+                       retainVersions: Option[Int] = None)(
+      f: DataFrame => DataFrame): TableStore.TableStats = {
+    require(clusterCols.nonEmpty)
+    readManifest(name, currentVersion(name)).foreach { m =>
+      require(m.partCol.isEmpty,
+        s"rewriteClustered supports unpartitioned tables; $name is partitioned on ${m.partCol}")
+    }
+    val parts = math.max(minFiles, compactWidth(name))
+    publish(name,
+      f(table(name)).repartitionByRange(parts, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*))
+    analyze(name, retainVersions)
+  }
+
   /** Exactly-once streaming UPSERT (the update-mode aggregation sink):
     * each epoch's changed aggregate rows MERGE into the table by primary
     * key, idempotent on the epoch id exactly like [[appendBatch]] (same

@@ -200,4 +200,55 @@ class IvfIngestSpec extends SparkSpec {
       .orderBy("label", "i").collect().map(_.toSeq)
     fromPartials.toSeq shouldBe direct.toSeq
   }
+
+  test("reclusterIvf re-assigns drifted lists, rewrites all three kinds, and keeps the ledger") {
+    val st = new TableStore(spark, tempDir("graft-ivf-recl").toString)
+    val empty = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    Similarity.buildIvfStore(st, empty)
+    // epoch 0 clean, epoch 1 drifted: every vector of epoch 1 arrives in
+    // the WRONG list (label + 1 mod 8) while its values are unchanged
+    Similarity.ivfIngestEpoch(st)(vecRows(0L until 8L)
+      .toDF("vec_id", "label", "embedding"), 0L)
+    Similarity.ivfIngestEpoch(st)(vecRows(8L until 16L)
+      .map { case (id, lab, emb) => (id, (lab + 1) % 8, emb) }
+      .toDF("vec_id", "label", "embedding"), 1L)
+    val rowsBefore = st.table("ivf").count()
+    val dirBefore = st.table("ivf").filter(col("kind") === 1)
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    Similarity.reclusterIvf(st)
+
+    // same row multiset SHAPE (one list row per component, one directory
+    // row per vector, consolidated partials ≤ the epoch-stacked count)
+    st.table("ivf").filter(col("kind") === 0).count() shouldBe 16 * 64
+    st.table("ivf").filter(col("kind") === 1).count() shouldBe 16
+    st.table("ivf").count() should be < rowsBefore // partials consolidated
+    // the directory CHANGED (lists were re-membered), and the new
+    // assignment is exactly nearest-centroid over the pre-recluster
+    // centroids, so kind-0 membership matches kind-1 row for row
+    val dirAfter = st.table("ivf").filter(col("kind") === 1)
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    dirAfter should not equal dirBefore
+    val listLabels = st.table("ivf").filter(col("kind") === 0)
+      .select("vec_id", "label").distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    listLabels shouldBe dirAfter
+    // partials recompose to the means of the NEW lists
+    val el = st.table("ivf").filter(col("kind") === 0)
+    val direct = el.groupBy("label", "i")
+      .agg((sum(col("xd")).cast("double") / count(lit(1)))
+        .cast("decimal(9,7)").as("cd"))
+      .orderBy("label", "i").collect().map(_.toSeq)
+    val fromPartials = st.table("ivf").filter(col("kind") === 2)
+      .groupBy("label", "i")
+      .agg((sum(col("sxd")).cast("double") / sum(col("cnt")))
+        .cast("decimal(9,7)").as("cd"))
+      .orderBy("label", "i").collect().map(_.toSeq)
+    fromPartials.toSeq shouldBe direct.toSeq
+    // the batch ledger survived the rewrite: a replayed epoch no-ops
+    val rowsAfter = st.table("ivf").count()
+    Similarity.ivfIngestEpoch(st)(
+      Seq((99L, 0, Array.fill(64)(0f))).toDF("vec_id", "label", "embedding"), 1L)
+    st.table("ivf").count() shouldBe rowsAfter
+  }
 }
