@@ -1084,8 +1084,12 @@ object Similarity {
     * Shared by q223 (the recall sweep) and q226 (the hybrid fusion
     * dial), so the store-serving kernel can never drift between them. */
   private[graft] def storeMultiprobeScored(st: graft.sources.TableStore,
-      s: SparkSession, nQ: Int): DataFrame = {
-    val npDf = probeLevelsDf(s)
+      s: SparkSession, nQ: Int,
+      levels: Seq[Int] = ProbeLevels): DataFrame = {
+    // `levels` bounds the candidate read: probed labels (and so the list
+    // files scheduled) grow with max(levels) — a fixed-nprobe caller
+    // (q228's recall drill) must not pay the full sweep's widest probe
+    val npDf = { import s.implicits._; levels.toDF("nprobe") }
     val cent = centroidsFromStore(st)
     val dir = st.table("ivf").filter(col("kind") === 1)
       .select(col("vec_id"), col("label"))
@@ -1295,8 +1299,7 @@ object Similarity {
         }
       }
       def recall5(tag: String): DataFrame = {
-        val ivfTop = storeMultiprobeScored(st, s, nQ)
-          .filter(col("nprobe") === 3)
+        val ivfTop = storeMultiprobeScored(st, s, nQ, levels = Seq(3))
           .withColumn("rk", row_number().over(
             Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
           .filter(col("rk") <= 5).select("query_id", "neighbor_id")
