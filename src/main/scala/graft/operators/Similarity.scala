@@ -912,17 +912,39 @@ object Similarity {
     * a single shuffle on vec_id, no pairwise anything; the rewrite is
     * the same one range shuffle compactClustered pays. Run it like any
     * OPTIMIZE: on a drift signal or a recall regression, not per epoch. */
-  private[graft] def reclusterIvf(st: graft.sources.TableStore): Unit = {
-    val cent = centroidsFromStore(st)
+  /** One Lloyd assignment step over exploded components: every vector to
+    * its nearest centroid by exact-decimal L2², ties to the smaller
+    * label. (vec_id, label) out; one broadcast join + one shuffle. */
+  private def lloydAssign(lists: DataFrame, cent: DataFrame): DataFrame =
+    lists.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("xd") - col("cd")) * (col("xd") - col("cd"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("label"))))
+      .filter(col("rn") === 1).select(col("vec_id"), col("label"))
+
+  private[graft] def reclusterIvf(st: graft.sources.TableStore,
+      iters: Int = 1): Unit = {
+    require(iters >= 1, "recluster needs at least one Lloyd iteration")
     st.rewriteClustered("ivf", Seq("kind", "label", "vec_id", "i"), 8) { cur =>
-      val lists = cur.filter(col("kind") === 0)
-        .select(col("vec_id"), col("i"), col("xd"))
-      val assign = lists.join(broadcast(cent), Seq("i"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(sum((col("xd") - col("cd")) * (col("xd") - col("cd"))).as("d2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("label"))))
-        .filter(col("rn") === 1).select(col("vec_id"), col("label"))
+      val lists = Dedup.pin(cur.filter(col("kind") === 0)
+        .select(col("vec_id"), col("i"), col("xd")))
+      // deterministic k-means from store rows: seed with the CURRENT
+      // centroids (kind-2 partials), then `iters` Lloyd rounds — each
+      // assignment is checkpointed so iteration k+1's centroid means
+      // read a materialized frame, not a re-executed join tree. The
+      // oracle-gated q228 runs iters = 1 (one reassignment is what the
+      // drift gate needs); deeper drift can dial iterations up and the
+      // convergence spec pins that iterations STABILIZE (a fixpoint
+      // reassigns nothing).
+      var assign = Dedup.pin(lloydAssign(lists, centroidsFromStore(st)))
+      (1 until iters).foreach { _ =>
+        val cent = lists.join(assign, Seq("vec_id"))
+          .groupBy("label", "i")
+          .agg((sum(col("xd")).cast("double") / count(lit(1)))
+            .cast("decimal(9,7)").as("cd"))
+        assign = Dedup.pin(lloydAssign(lists, cent))
+      }
       val nulS = lit(null).cast("decimal(28,7)")
       val nulL = lit(null).cast("long")
       val relisted = lists.join(assign, Seq("vec_id"))

@@ -251,4 +251,27 @@ class IvfIngestSpec extends SparkSpec {
       Seq((99L, 0, Array.fill(64)(0f))).toDF("vec_id", "label", "embedding"), 1L)
     st.table("ivf").count() shouldBe rowsAfter
   }
+
+  test("iterated recluster converges: a post-convergence iteration reassigns nothing") {
+    val st = new TableStore(spark, tempDir("graft-ivf-conv").toString)
+    val empty = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    Similarity.buildIvfStore(st, empty)
+    // heavily drifted: EVERY second-epoch vector mislabeled by 3 clusters
+    Similarity.ivfIngestEpoch(st)(vecRows(0L until 8L)
+      .toDF("vec_id", "label", "embedding"), 0L)
+    Similarity.ivfIngestEpoch(st)(vecRows(8L until 16L)
+      .map { case (id, lab, emb) => (id, (lab + 3) % 8, emb) }
+      .toDF("vec_id", "label", "embedding"), 1L)
+    def dir() = st.table("ivf").filter(col("kind") === 1)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // run Lloyd to a fixpoint (16 points / 8 seeds converge in <= 4)
+    Similarity.reclusterIvf(st, iters = 4)
+    val converged = dir()
+    // one MORE iteration from the converged store must be the identity:
+    // centroids recompose from the rewritten partials, every vector is
+    // already nearest its own list's centroid
+    Similarity.reclusterIvf(st, iters = 1)
+    dir() shouldBe converged
+  }
 }

@@ -179,6 +179,33 @@ class RetentionSpec extends SparkSpec {
     cat.tableAt("nightly", "t").count() shouldBe 2
   }
 
+  test("a release resolves strictly superseded versions after further maintenance") {
+    // the q227 serving property in store terms: once maintenance lands
+    // after the pin, the release's members are OLDER than every store's
+    // current version — the gate really reads history, not the head
+    import graft.sources.ReleaseCatalog
+    val stA = freshStore()
+    val stB = freshStore()
+    val cat = new ReleaseCatalog(tempDir("graft-relcat3").toString, spark)
+    stA.create("index", Seq((1L, "a")).toDF("id", "v"))
+    stB.create("ivf", Seq((10L, "x")).toDF("id", "v"))
+    val members = cat.pin("yesterday", Seq((stA, "index"), (stB, "ivf")))
+    stA.appendBatch("index", 0L, Seq((2L, "b")).toDF("id", "v"))
+    stA.compact("index")
+    stB.appendBatch("ivf", 0L, Seq((20L, "y")).toDF("id", "v"))
+    stB.compact("ivf")
+    members.foreach { m =>
+      val cur = new graft.sources.TableStore(spark, m.storeRoot)
+        .currentVersionOf(m.table)
+      withClue(s"${m.table}: pinned v${m.version} vs current v$cur: ") {
+        m.version should be < cur
+      }
+    }
+    // and the resolved reads are the PRE-maintenance snapshots
+    cat.tableAt("yesterday", "index").collect().map(_.getLong(0)) shouldBe Array(1L)
+    cat.tableAt("yesterday", "ivf").collect().map(_.getLong(0)) shouldBe Array(10L)
+  }
+
   test("retainVersions threads per-call and overrides the session conf") {
     // no conf set: the parameter alone establishes the window
     val st = freshStore()
