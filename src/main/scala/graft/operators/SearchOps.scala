@@ -1176,16 +1176,18 @@ object SearchOps {
     * plainly (audit path); maintenance cost is q206's read-free append
     * bound plus the forced compactions; a pin costs exactly the pinned
     * snapshot's bytes. */
-  /** The monolithic q101 BM25 recomputation over the first TWO of the
-    * standard four doc_id epochs — the corpus exactly as a maintained
-    * index stood after epoch 1. Shared by q216 (named-pin time travel)
-    * and q229 (retention-window time travel): both must reproduce this
-    * prefix retrieval bit-for-bit from a historical store version. */
-  private val twoEpochBm25OracleSql: String =
+  /** The monolithic q101 BM25 recomputation over a doc_id PREFIX of the
+    * corpus — parameterized on the prefix predicate because the two
+    * epoch-slicing disciplines cut differently: the direct-epoch builds
+    * (q216/q229) slice by `step = (hi-lo)/4 + 1`, while the staged
+    * replay (q231) slices by [[EventsOps]]' strictCuts
+    * (`lo + (hi-lo)*k/slices`, half-open upper-inclusive). The oracle
+    * must mirror the exact integer cut of the build it gates. */
+  private def bm25PrefixOracleSql(prefixPred: String): String =
     s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
        |docs AS (
        |  SELECT d.doc_id, d.text FROM documents d, b
-       |  WHERE d.doc_id < b.lo + 2 * ((b.hi - b.lo) // 4 + 1)),
+       |  WHERE $prefixPred),
        |dl AS (
        |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM docs),
        |stats AS (
@@ -1204,6 +1206,15 @@ object SearchOps {
        |JOIN df ON df.w = tf.w
        |JOIN dl ON dl.doc_id = tf.doc_id
        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+
+  /** Two-of-four epochs under the DIRECT build's slicing (q216/q229). */
+  private val twoEpochBm25OracleSql: String =
+    bm25PrefixOracleSql("d.doc_id < b.lo + 2 * ((b.hi - b.lo) // 4 + 1)")
+
+  /** Two-of-four stages under the STAGED REPLAY's strictCuts slicing
+    * (q231): stage k covers (lo + (hi-lo)(k-1)/4, lo + (hi-lo)k/4]. */
+  private val twoStageBm25OracleSql: String =
+    bm25PrefixOracleSql("d.doc_id <= b.lo + (b.hi - b.lo) * 2 // 4")
 
   val q216 = QueryDef(
     "q216_index_time_travel",
@@ -1289,7 +1300,51 @@ object SearchOps {
     } finally EventsOps.rmTree(root)
   }
 
+  /** q231: a RELEASE PINNED MID-STREAM (the 19th streaming gate) —
+    * q216's retention story composed with q209's streaming discipline:
+    * the index builds under a REAL `writeStream` (the shared
+    * [[EventsOps.stagedReplayDrive]] scaffold, four strict doc_id
+    * stages), the sink runs each micro-batch through the forced-hot
+    * compaction policy (compactLimit = 2), and the pin lands INSIDE the
+    * `foreachBatch` callback the moment epoch 1 commits — the
+    * production shape, where "tag yesterday's index" is a step of the
+    * live ingest, not an offline pass. Two further micro-batches then
+    * compact+vacuum the pin's neighbors, and BM25 from the pinned
+    * snapshot must reproduce the monolithic recomputation over the
+    * first two STAGES' corpus prefix (the replay's own strictCuts
+    * boundary — see [[bm25PrefixOracleSql]]).
+    *
+    * Scale posture: q209's batch-proportional ingest + q216's
+    * pin-costs-storage contract; the pin call itself is one sidecar
+    * rewrite inside the batch that created the version it names. */
+  val q231 = QueryDef(
+    "q231_streamed_pinned_index",
+    twoStageBm25OracleSql) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-index-stream-pin")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      buildSearchIndex(st, docs.limit(0))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      if (r.getLong(2) > 0L)
+        EventsOps.stagedReplayDrive(s, docs, col("doc_id"),
+          r.getLong(0), r.getLong(1), r.getLong(2),
+          EventsOps.OuterStageRowsPerFile, 4, "q231_pinned_index_sink") {
+          (batch, e) =>
+            indexIngestEpoch(st, compactLimit = Some(2))(batch, e)
+            // the pin is PART of the ingest: taken in the same
+            // micro-batch that published the post-epoch-1 version
+            if (e == 1L) { st.pinVersion("index", "epoch1"); () }
+        }
+      if (!st.pinnedVersions("index").contains("epoch1"))
+        st.pinVersion("index", "epoch1") // empty-corpus shape
+      // pinned frame: the store root is deleted in the finally below
+      Dedup.pin(bm25FromSnapshot(st.tableAtPin("index", "epoch1"),
+        Seq("dup", "window"), 20))
+    } finally EventsOps.rmTree(root)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q98, q99, q101, q119, q125, q165, q206, q207, q209, q211, q212, q215,
-      q216, q218, q229)
+      q216, q218, q229, q231)
 }
