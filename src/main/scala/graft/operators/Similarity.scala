@@ -927,12 +927,17 @@ object Similarity {
       iters: Int = 1): Unit = {
     require(iters >= 1, "recluster needs at least one Lloyd iteration")
     st.rewriteClustered("ivf", Seq("kind", "label", "vec_id", "i"), 8) { cur =>
-      val lists = Dedup.pin(cur.filter(col("kind") === 0)
-        .select(col("vec_id"), col("i"), col("xd")))
+      val lists0 = cur.filter(col("kind") === 0)
+        .select(col("vec_id"), col("i"), col("xd"))
+      // checkpoint the component rows ONLY when iterating: at iters = 1
+      // the frame is a plain pruned parquet scan read twice (cheaper to
+      // re-scan than to materialize corpus × Dim rows), while every
+      // extra Lloyd round re-reads it 2 more times
+      val lists = if (iters > 1) Dedup.pin(lists0) else lists0
       // deterministic k-means from store rows: seed with the CURRENT
       // centroids (kind-2 partials), then `iters` Lloyd rounds — each
-      // assignment is checkpointed so iteration k+1's centroid means
-      // read a materialized frame, not a re-executed join tree. The
+      // assignment is checkpointed (one small row per vector) because it
+      // feeds the next round's means AND all three rewrite branches. The
       // oracle-gated q228 runs iters = 1 (one reassignment is what the
       // drift gate needs); deeper drift can dial iterations up and the
       // convergence spec pins that iterations STABILIZE (a fixpoint
