@@ -252,6 +252,30 @@ class IvfIngestSpec extends SparkSpec {
     st.table("ivf").count() shouldBe rowsAfter
   }
 
+  test("a pin taken before recluster serves the pre-retrain partition afterwards") {
+    // rewriteClustered is a SEMANTIC rewrite (list membership changes),
+    // and pins must hold across it exactly as across compaction:
+    // "yesterday's partition" stays readable after today's retrain
+    val st = new TableStore(spark, tempDir("graft-ivf-pin-recl").toString)
+    val empty = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    Similarity.buildIvfStore(st, empty)
+    Similarity.ivfIngestEpoch(st)(vecRows(0L until 8L)
+      .toDF("vec_id", "label", "embedding"), 0L)
+    Similarity.ivfIngestEpoch(st)(vecRows(8L until 16L)
+      .map { case (id, lab, emb) => (id, (lab + 1) % 8, emb) }
+      .toDF("vec_id", "label", "embedding"), 1L)
+    def dirOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kind") === 1).select("vec_id", "label")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val before = dirOf(st.table("ivf"))
+    st.pinVersion("ivf", "pre-recluster")
+    Similarity.reclusterIvf(st)
+    // the head was retrained (and its vacuum reclaimed unpinned
+    // neighbors), yet the pinned snapshot still serves the old lists
+    dirOf(st.table("ivf")) should not equal before
+    dirOf(st.tableAtPin("ivf", "pre-recluster")) shouldBe before
+  }
+
   test("iterated recluster converges: a post-convergence iteration reassigns nothing") {
     val st = new TableStore(spark, tempDir("graft-ivf-conv").toString)
     val empty = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
