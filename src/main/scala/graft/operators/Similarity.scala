@@ -1299,6 +1299,30 @@ object Similarity {
     *
     * The before-probe is checkpointed BEFORE the rewrite (a lazy plan
     * would silently read the post-recluster store). */
+  /** Ingest the embeddings into `st` as four vec_id epochs with the
+    * q228/q232 drift injection: the second epoch group's every-5th
+    * vector arrives mislabeled by one cluster (the oracles' pe CTE).
+    * Returns false for an empty corpus (nothing ingested). Shared by
+    * the recluster gate and the drift-probe gate so the drifted-store
+    * shape can never diverge between them. */
+  private def ingestDriftedIvf(st: graft.sources.TableStore,
+      raw: DataFrame, r: org.apache.spark.sql.Row): Boolean = {
+    buildIvfStore(st, raw.limit(0))
+    if (r.getLong(2) == 0L) return false
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    val k = raw.agg(max("label")).head().getAs[Number](0).intValue() + 1
+    val drifted = raw.withColumn("label",
+      when(col("vec_id") >= lo + 2 * step && col("vec_id") % 5 === 0,
+        (col("label") + 1) % k).otherwise(col("label")))
+    (0 until 4).foreach { e =>
+      ivfIngestEpoch(st)(drifted.filter(
+        col("vec_id") >= lo + e * step &&
+          col("vec_id") < lo + (e + 1) * step), e.toLong)
+    }
+    true
+  }
+
   val q228 = QueryDef(
     "q228_ivf_recluster_drift",
     ivfReclusterOracleSql) { (s, d) =>
@@ -1308,23 +1332,7 @@ object Similarity {
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-recluster")
     try {
       val st = new graft.sources.TableStore(s, root.toString)
-      buildIvfStore(st, raw.limit(0))
-      val empty = r.getLong(2) == 0L
-      if (!empty) {
-        val (lo, hi) = (r.getLong(0), r.getLong(1))
-        val step = (hi - lo) / 4 + 1
-        val k = raw.agg(max("label")).head().getAs[Number](0).intValue() + 1
-        // drift injection: the second epoch group's every-5th vector
-        // arrives mislabeled by one cluster (the oracle's pe CTE)
-        val drifted = raw.withColumn("label",
-          when(col("vec_id") >= lo + 2 * step && col("vec_id") % 5 === 0,
-            (col("label") + 1) % k).otherwise(col("label")))
-        (0 until 4).foreach { e =>
-          ivfIngestEpoch(st)(drifted.filter(
-            col("vec_id") >= lo + e * step &&
-              col("vec_id") < lo + (e + 1) * step), e.toLong)
-        }
-      }
+      val empty = !ingestDriftedIvf(st, raw, r)
       def recall5(tag: String): DataFrame = {
         val ivfTop = storeMultiprobeScored(st, s, nQ, levels = Seq(3))
           .withColumn("rk", row_number().over(
@@ -1364,7 +1372,112 @@ object Similarity {
     } finally EventsOps.rmTree(root)
   }
 
+  /** q232's oracle: q228's drifted-assignment CTE chain, closed with the
+    * misassignment tallies — before (list label vs nearest centroid
+    * under the drift-polluted means) and after (the reassignment vs
+    * nearest centroid under the RETRAINED means — nonzero in general:
+    * one Lloyd step moves the means, so the fixpoint check is exactly
+    * what the statistic measures). Integer ppm, exact both engines. */
+  private val ivfDriftProbeOracleSql: String =
+    s"""WITH b AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+       |ml AS (SELECT MAX(label) + 1 AS k FROM embeddings),
+       |pe AS (
+       |  SELECT e.vec_id,
+       |         CASE WHEN e.vec_id >= b.lo + 2 * ((b.hi - b.lo) // 4 + 1)
+       |                   AND e.vec_id % 5 = 0
+       |              THEN (e.label + 1) % ml.k ELSE e.label END AS label
+       |  FROM embeddings e, b, ml),
+       |el AS (
+       |  SELECT e.vec_id, p.label, i,
+       |         cast(cast(e.embedding[i] as double) as decimal(9,7)) AS xd
+       |  FROM embeddings e JOIN pe p ON p.vec_id = e.vec_id, range(1, $Dim + 1) r(i)),
+       |cent_b AS (
+       |  SELECT label, i, CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS DECIMAL(9,7)) AS cd
+       |  FROM el GROUP BY 1, 2),
+       |ad AS (
+       |  SELECT el.vec_id, c.label, SUM((el.xd - c.cd) * (el.xd - c.cd)) AS d2
+       |  FROM el JOIN cent_b c ON c.i = el.i GROUP BY 1, 2),
+       |a AS (SELECT vec_id, label FROM (
+       |  SELECT vec_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |  FROM ad) WHERE rn = 1),
+       |cent_a AS (
+       |  SELECT a.label, el.i, CAST(CAST(SUM(el.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(9,7)) AS cd
+       |  FROM el JOIN a ON a.vec_id = el.vec_id GROUP BY 1, 2),
+       |a2d AS (
+       |  SELECT el.vec_id, c.label, SUM((el.xd - c.cd) * (el.xd - c.cd)) AS d2
+       |  FROM el JOIN cent_a c ON c.i = el.i GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, label FROM (
+       |  SELECT vec_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |  FROM a2d) WHERE rn = 1),
+       |mb AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |         CAST(SUM(CASE WHEN p.label <> a.label THEN 1 ELSE 0 END) AS BIGINT) AS mis_before
+       |  FROM pe p JOIN a ON a.vec_id = p.vec_id),
+       |ma AS (
+       |  SELECT CAST(SUM(CASE WHEN a.label <> a2.label THEN 1 ELSE 0 END) AS BIGINT) AS mis_after
+       |  FROM a JOIN a2 ON a2.vec_id = a.vec_id)
+       |SELECT n_vectors, mis_before,
+       |       CAST(mis_before * 1000000 // greatest(n_vectors, 1) AS BIGINT) AS drift_before_ppm,
+       |       mis_after,
+       |       CAST(mis_after * 1000000 // greatest(n_vectors, 1) AS BIGINT) AS drift_after_ppm
+       |FROM mb CROSS JOIN ma""".stripMargin
+
+  /** q232: the DRIFT DETECTOR — the signal [[reclusterIvf]]'s contract
+    * says to run it on, itself computed from store rows and oracle-gated.
+    * The statistic is the MISASSIGNMENT fraction: how many stored
+    * vectors sit in a list other than their nearest current centroid's
+    * (exact-decimal L2², the same [[lloydAssign]] expression the
+    * recluster applies — so "detector fires" and "recluster would move
+    * rows" can never disagree). The gate builds the q228 drifted store,
+    * reads the statistic (ppm), reclusters, reads it again: BEFORE
+    * measures the partition's full geometric inconsistency — the
+    * generator's labels were never nearest-centroid-consistent to begin
+    * with, plus the injected drift on top (604000 ppm at sf0.001);
+    * AFTER is the one-step Lloyd residual (136000 ppm — the means
+    * moved, so a nonzero remainder is the honest value; a fixpoint run
+    * drives it to 0, the convergence spec's territory). Both tallies
+    * hash-gated monolithically — and the drop is exactly why q228's
+    * recall recovers.
+    *
+    * Scale posture: one broadcast K×Dim centroid join + per-vector
+    * argmin + a count — strictly cheaper than the recluster it guards;
+    * at 100 TB this runs as a cheap scheduled audit, and maintenance
+    * pays the rewrite only when the ppm crosses policy. */
+  val q232 = QueryDef(
+    "q232_ivf_drift_probe",
+    ivfDriftProbeOracleSql) { (s, d) =>
+    val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+    val r = raw.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-driftprobe")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      ingestDriftedIvf(st, raw, r)
+      def misassigned(): DataFrame = {
+        val dir = st.table("ivf").filter(col("kind") === 1)
+          .select(col("vec_id"), col("label").as("list_label"))
+        val lists = st.table("ivf").filter(col("kind") === 0)
+          .select(col("vec_id"), col("i"), col("xd"))
+        dir.join(lloydAssign(lists, centroidsFromStore(st)), Seq("vec_id"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("list_label") =!= col("label"), 1L).otherwise(0L)).as("mis"))
+      }
+      // EAGER before-read: the recluster below rewrites the store
+      val before = Dedup.pin(
+        misassigned().select(col("n_vectors"), col("mis").as("mis_before")))
+      reclusterIvf(st)
+      val after = misassigned().select(col("mis").as("mis_after"))
+      // pinned frame: the store root is deleted in the finally below
+      Dedup.pin(before.crossJoin(broadcast(after))
+        .select(col("n_vectors"), col("mis_before"),
+          expr("mis_before * 1000000 div greatest(n_vectors, 1)").as("drift_before_ppm"),
+          col("mis_after"),
+          expr("mis_after * 1000000 div greatest(n_vectors, 1)").as("drift_after_ppm")))
+    } finally EventsOps.rmTree(root)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208, q210,
-      q223, q228)
+      q223, q228, q232)
 }
