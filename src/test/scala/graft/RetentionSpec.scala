@@ -179,6 +179,40 @@ class RetentionSpec extends SparkSpec {
     cat.tableAt("nightly", "t").count() shouldBe 2
   }
 
+  test("concurrent release pinners never drop each other's records") {
+    import graft.sources.ReleaseCatalog
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))
+    val cat = new ReleaseCatalog(tempDir("graft-relcat-conc").toString, spark)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 12).map(i =>
+        scala.concurrent.Future(cat.pin(s"rel$i", Seq((st, "t")))))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(120, "s"))
+      cat.releases.keySet shouldBe (0 until 12).map(i => s"rel$i").toSet
+      // every release's store pin survived the interleaving too
+      st.pinnedVersions("t").keySet shouldBe
+        (0 until 12).map(i => s"release:rel$i").toSet
+    } finally { pool.shutdown(); () }
+  }
+
+  test("a release can span several tables of ONE store (the cluster-family shape)") {
+    import graft.sources.ReleaseCatalog
+    val st = freshStore()
+    val cat = new ReleaseCatalog(tempDir("graft-relcat-multi").toString, spark)
+    st.create("state", Seq((1L, "s")).toDF("id", "v"))
+    st.create("card", Seq((2L, "c")).toDF("id", "v"))
+    cat.pin("corpus-release", Seq((st, "state"), (st, "card")))
+    st.update("state", col("id") === 1L, Map("v" -> lit("s2")))
+    st.update("card", col("id") === 2L, Map("v" -> lit("c2")))
+    st.compact("state"); st.compact("card")
+    cat.tableAt("corpus-release", "state").head.getString(1) shouldBe "s"
+    cat.tableAt("corpus-release", "card").head.getString(1) shouldBe "c"
+  }
+
   test("a release resolves strictly superseded versions after further maintenance") {
     // the q227 serving property in store terms: once maintenance lands
     // after the pin, the release's members are OLDER than every store's
