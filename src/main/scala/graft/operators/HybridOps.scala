@@ -562,5 +562,200 @@ object HybridOps {
       .orderBy("query_id", "nprobe")
   }
 
-  val all: Seq[QueryDef] = Seq(q217, q226, q227, q230)
+  /** q233's oracle: q230's multi-query dial with PER-QUERY lexical legs
+    * — the term workload derived from the corpus vocabulary (df-ranked,
+    * dealt round-robin across queries: ROW_NUMBER() OVER (ORDER BY df
+    * DESC, w), query_id = (rn-1) % 10, rn <= 20 — exactly
+    * [[SearchOps.termWorkload]]'s rule), per-query tf/df BM25 legs
+    * recomputed verbatim, fused per (query, nprobe). Each query's score
+    * sums AT MOST TWO term contributions, keeping double summation
+    * order-independent cross-engine. */
+  private val hybridPerQueryOracleSql: String = {
+    val dot = Similarity.dotSql("qv.v", "c.v")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |         CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |tfall AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |vocab AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tfall GROUP BY 1),
+       |tmap AS (SELECT CAST((rn - 1) % 10 AS BIGINT) AS query_id, w FROM (
+       |  SELECT w, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn FROM vocab)
+       |  WHERE rn <= 20),
+       |tfq AS (
+       |  SELECT t.query_id, f.doc_id, f.w, f.tf FROM tfall f JOIN tmap t ON t.w = f.w),
+       |bm AS (
+       |  SELECT tfq.query_id, tfq.doc_id,
+       |    SUM(((stats.n - v.df + 0.5) / (v.df + 0.5)) *
+       |        ((tfq.tf * 2.2) /
+       |         (tfq.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))) AS score
+       |  FROM tfq CROSS JOIN stats
+       |  JOIN vocab v ON v.w = tfq.w JOIN dl ON dl.doc_id = tfq.doc_id
+       |  GROUP BY 1, 2),
+       |bmr AS (SELECT query_id, doc_id, rk FROM (
+       |  SELECT query_id, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM bm) WHERE rk <= 50),
+       |el AS (
+       |  SELECT vec_id, label, i, cast(cast(embedding[i] as double) as decimal(9,7)) AS xd
+       |  FROM embeddings, range(1, 65) r(i)),
+       |nv AS (${Similarity.normedSql}),
+       |np AS (SELECT * FROM (VALUES ${Similarity.ProbeLevels.map(p => s"($p)").mkString(", ")}) v(nprobe)),
+       |qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+       |cent AS (
+       |  SELECT label, i, CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS DECIMAL(9,7)) AS cd
+       |  FROM el GROUP BY 1, 2),
+       |q AS (SELECT * FROM el WHERE vec_id < 10),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, c.label, SUM((q.xd - c.cd) * (q.xd - c.cd)) AS d2
+       |  FROM q JOIN cent c ON c.i = q.i GROUP BY 1, 2),
+       |probes AS (SELECT nprobe, query_id, label FROM (
+       |  SELECT query_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, label) AS rn
+       |  FROM qd) CROSS JOIN np WHERE rn <= nprobe),
+       |ann AS (
+       |  SELECT p.nprobe, p.query_id, c.vec_id AS doc_id,
+       |    ${Similarity.cosSql(dot, "qv.nrm", "c.nrm")} AS cosine
+       |  FROM probes p
+       |  JOIN (SELECT vec_id, label FROM embeddings) lb
+       |    ON lb.label = p.label AND lb.vec_id <> p.query_id
+       |  JOIN nv c ON c.vec_id = lb.vec_id
+       |  JOIN nv qv ON qv.vec_id = p.query_id),
+       |adr AS (SELECT nprobe, query_id, doc_id, rk FROM (
+       |  SELECT nprobe, query_id, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |                            ORDER BY cosine DESC, doc_id) AS rk
+       |  FROM ann) WHERE rk <= 50),
+       |ex AS (
+       |  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+       |    ${Similarity.cosSql(dot, "qv.nrm", "c.nrm")} AS cosine
+       |  FROM nv qv JOIN nv c ON c.vec_id <> qv.vec_id WHERE qv.vec_id < 10),
+       |edr AS (SELECT query_id, doc_id, rk FROM (
+       |  SELECT query_id, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rk
+       |  FROM ex) WHERE rk <= 50),
+       |bmn AS (SELECT nprobe, b.query_id, doc_id, rk
+       |        FROM bmr b JOIN qs ON qs.query_id = b.query_id CROSS JOIN np),
+       |fa AS (
+       |  SELECT COALESCE(b.nprobe, a.nprobe) AS nprobe,
+       |         COALESCE(b.query_id, a.query_id) AS query_id,
+       |         COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + a.rk), 0.0) AS rrf
+       |  FROM bmn b FULL OUTER JOIN adr a
+       |    ON a.nprobe = b.nprobe AND a.query_id = b.query_id AND a.doc_id = b.doc_id),
+       |fa10 AS (SELECT nprobe, query_id, doc_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |                               ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fa) WHERE frk <= 10),
+       |bmq AS (SELECT b.query_id, doc_id, rk
+       |        FROM bmr b JOIN qs ON qs.query_id = b.query_id),
+       |fe AS (
+       |  SELECT COALESCE(b.query_id, e.query_id) AS query_id,
+       |         COALESCE(b.doc_id, e.doc_id) AS doc_id,
+       |         COALESCE(1.0 / (60 + b.rk), 0.0) + COALESCE(1.0 / (60 + e.rk), 0.0) AS rrf
+       |  FROM bmq b FULL OUTER JOIN edr e
+       |    ON e.query_id = b.query_id AND e.doc_id = b.doc_id),
+       |fe10 AS (SELECT query_id, doc_id FROM (
+       |  SELECT query_id, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fe) WHERE frk <= 10),
+       |flag AS (
+       |  SELECT f.nprobe, f.query_id,
+       |         CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM fa10 f LEFT JOIN fe10 e
+       |    ON e.query_id = f.query_id AND e.doc_id = f.doc_id),
+       |rq AS (
+       |  SELECT query_id, nprobe, CAST(SUM(hit) AS BIGINT) AS hits,
+       |         CAST(SUM(hit) AS DOUBLE) / 10 AS recall_10
+       |  FROM flag GROUP BY 1, 2),
+       |mq AS (SELECT nprobe, CAST(SUM(hits) AS DOUBLE) / 100.0 AS mean_recall_10
+       |       FROM rq GROUP BY 1)
+       |SELECT rq.query_id, CAST(rq.nprobe AS INT) AS nprobe, hits, recall_10,
+       |       mean_recall_10
+       |FROM rq JOIN mq ON mq.nprobe = rq.nprobe
+       |ORDER BY rq.query_id, rq.nprobe""".stripMargin
+  }
+
+  /** q233: the multi-query hybrid dial with PER-QUERY lexical legs
+    * (VERDICT r18 next #1) — q230's one-ranking-fanned-across-queries
+    * simplification removed: every query carries its own deterministic
+    * term set ([[SearchOps.termWorkload]] — df-ranked vocabulary dealt
+    * round-robin, the lexical analog of q223 picking query vectors by
+    * vec_id), the lexical leg serves per-query BM25 from the maintained
+    * index with posting-file prunes bounded by the workload's own terms
+    * ([[SearchOps.bm25PerQueryFromIndex]]), the dense leg sweeps the
+    * probe widths from the maintained IVF store, and fusion + recall@10
+    * run per (query, nprobe) with the per-nprobe mean over the query
+    * set. The oracle recomputes the per-query tf/df legs verbatim.
+    *
+    * Scale posture: q230's — the posting read schedules only the
+    * workload terms' files (one batched scan for the union of the
+    * per-query sets), the dense read only the probed clusters' list
+    * files; fusion frames are (queries × levels × ≤60) rows. The
+    * workload derivation itself is one dictionary aggregate
+    * (|vocabulary| result rows) — a statistics read, not a serving
+    * read. */
+  val q233 = QueryDef(
+    "q233_hybrid_perquery_lexical",
+    hybridPerQueryOracleSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val nQ = 10
+    val st = SearchOps.maintainedIndex(s, d)
+    val ivf = Similarity.maintainedIvf(s, d)
+    val termMap = SearchOps.termWorkload(st, nQ, perQuery = 2)
+    val bmr = Dedup.pin(SearchOps.bm25PerQueryFromIndex(st, termMap, 50)
+      .select(col("query_id"), col("doc_id"), col("bm25_rk")))
+    val dnr = Dedup.pin(Similarity.storeMultiprobeScored(ivf, s, nQ)
+      .withColumn("dense_rk", row_number().over(
+        Window.partitionBy("nprobe", "query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("dense_rk") <= 50)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id").as("doc_id"),
+        col("dense_rk")))
+    val edr = Dedup.pin(Similarity.scoredPairs(s, d, nQ)
+      .withColumn("dense_rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("dense_rk") <= 50)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("dense_rk")))
+    // the fusion's query universe is the embedding queries (qs): a
+    // lexical-workload query with no embedding has no dense universe to
+    // fuse against, and the oracle joins bmr to qs the same way; a
+    // (query, nprobe) with no dense candidates still emits its bm-only
+    // fusion because the bm side carries every (query, nprobe) key
+    val qs = edr.select("query_id").distinct()
+    val npDf = Similarity.ProbeLevels.toDF("nprobe")
+    def fuseTop10(bmFan: org.apache.spark.sql.DataFrame,
+        dense: org.apache.spark.sql.DataFrame, keys: Seq[String])
+        : org.apache.spark.sql.DataFrame =
+      bmFan.join(dense, keys :+ "doc_id", "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("bm25_rk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rk")), lit(0.0)))
+        .withColumn("frk", row_number().over(
+          Window.partitionBy(keys.map(col): _*).orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("frk") <= 10)
+        .select((keys :+ "doc_id").map(col): _*)
+    val fa10 = fuseTop10(bmr.join(qs, Seq("query_id")).crossJoin(npDf), dnr,
+      Seq("nprobe", "query_id"))
+    val fe10 = fuseTop10(bmr.join(qs, Seq("query_id")), edr, Seq("query_id"))
+    val flag = fa10
+      .join(fe10.withColumn("hit", lit(1)), Seq("query_id", "doc_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+    val rq = flag.groupBy("query_id", "nprobe")
+      .agg(sum(col("hit")).as("hits"),
+        (sum(col("hit")).cast("double") / 10).as("recall_10"))
+    val mq = rq.groupBy("nprobe")
+      .agg((sum(col("hits")).cast("double") / (10.0 * nQ)).as("mean_recall_10"))
+    rq.join(broadcast(mq), Seq("nprobe"))
+      .select(col("query_id"), col("nprobe").cast("int").as("nprobe"),
+        col("hits"), col("recall_10"), col("mean_recall_10"))
+      .orderBy("query_id", "nprobe")
+  }
+
+  val all: Seq[QueryDef] = Seq(q217, q226, q227, q230, q233)
 }

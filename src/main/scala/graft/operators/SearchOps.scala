@@ -635,31 +635,106 @@ object SearchOps {
     // scoring join — one execution of the pruned posting read
     val tf = Dedup.pin(tf0)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    // doc lengths pruned to the MATCHED docs (kind-1 rows sort by doc_id
-    // within their kind range, so the id probe skips files) — the dl
-    // read is then matched-bounded, not corpus-proportional. Guarded by
-    // the kernel's broadcast ceiling: a stop-term probe over the cap
-    // falls back to the full kind-1 slice instead of a driver collect.
-    val matched = tf.select("doc_id").distinct()
-    val dl = {
-      val n = matched.count()
-      if (n <= Dedup.MaxBroadcastCandidateDocs) {
-        val ids = matched.collect().map(_.getLong(0))
-        java.util.Arrays.sort(ids)
-        val (df, rep) = st.scanSkippingIds("index",
-          Seq(graft.sources.FileStats.ColumnRange("kind", Some(1), Some(1))),
-          "doc_id", ids)
-        if (sys.props.contains("graft.epochTrace")) {
-          Dedup.skipTrace.add(("index.doclen", rep.filesTotal, rep.filesRead)); ()
-        }
-        df.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
-      } else idx.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
-    }
+    val dl = matchedDocLengths(st, tf)
     val stats = idx.filter(col("kind") === 2)
       .agg((sum(col("sum_dl")).cast("double") /
         sum(col("n_docs")).cast("double")).as("avgdl"),
         sum(col("n_docs")).cast("double").as("n"))
     okapiRank(tf, dfreq, dl, stats, k)
+  }
+
+  /** Doc lengths pruned to the docs a pinned `tf` posting frame matched
+    * (kind-1 rows sort by doc_id within their kind range, so the id
+    * probe skips files) — the dl read is then matched-bounded, not
+    * corpus-proportional. Guarded by the kernel's broadcast ceiling: a
+    * stop-term probe over the cap falls back to the full kind-1 slice
+    * instead of a driver collect. Shared by the single-ranking and the
+    * per-query BM25 serving reads. */
+  private def matchedDocLengths(st: graft.sources.TableStore,
+      tf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val matched = tf.select("doc_id").distinct()
+    val n = matched.count()
+    if (n <= Dedup.MaxBroadcastCandidateDocs) {
+      val ids = matched.collect().map(_.getLong(0))
+      java.util.Arrays.sort(ids)
+      val (df, rep) = st.scanSkippingIds("index",
+        Seq(graft.sources.FileStats.ColumnRange("kind", Some(1), Some(1))),
+        "doc_id", ids)
+      if (sys.props.contains("graft.epochTrace")) {
+        Dedup.skipTrace.add(("index.doclen", rep.filesTotal, rep.filesRead)); ()
+      }
+      df.filter(col("kind") === 1).select(col("doc_id"), col("dl"))
+    } else st.table("index").filter(col("kind") === 1)
+      .select(col("doc_id"), col("dl"))
+  }
+
+  /** A deterministic PER-QUERY lexical workload derived from the index
+    * DICTIONARY (VERDICT r18 next #1): terms ranked by (df DESC, w) —
+    * df read from the kind-0 postings as one hash aggregate whose
+    * result is |vocabulary| rows, a dictionary statistic, never a
+    * serving read — and dealt round-robin across `nQ` queries, so query
+    * q carries the terms at ranks q+1, q+nQ+1, … (one high-df and one
+    * mid-df term at perQuery = 2). Exactly mirrored by the q233
+    * oracle's ROW_NUMBER() OVER (ORDER BY df DESC, w) CTE. perQuery
+    * stays ≤ 2 by contract: per-(query, doc) scores then sum at most
+    * TWO doubles, which is order-independent — three or more addends
+    * would break cross-engine summation-order parity (the q230
+    * two-term discipline). */
+  private[graft] def termWorkload(st: graft.sources.TableStore,
+      nQ: Int, perQuery: Int): Seq[(Int, String)] = {
+    require(perQuery >= 1 && perQuery <= 2,
+      "perQuery > 2 breaks double summation-order parity (see Scaladoc)")
+    st.table("index").filter(col("kind") === 0)
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w"))
+      .limit(nQ * perQuery)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i % nQ, r.getString(0)) }
+      .toSeq
+  }
+
+  /** Per-query BM25 served from the maintained store — [[bm25FromIndex]]
+    * with each query carrying ITS OWN terms: one pruned posting read
+    * over the union of the workload's term sets (each query's serving
+    * cost stays bounded by its own terms' posting files; batching the
+    * union schedules one scan instead of |queries|), then a broadcast
+    * (query_id, w) map joins each posting row to the queries probing
+    * that term, and scoring/ranking runs PER QUERY. df per term is
+    * global (every posting row of a probed term is read), so scores are
+    * bit-identical to the monolithic per-query recomputation. Returns
+    * (query_id, doc_id, bm25_rk) with rk <= k per query. */
+  private[graft] def bm25PerQueryFromIndex(st: graft.sources.TableStore,
+      termMap: Seq[(Int, String)], k: Int): org.apache.spark.sql.DataFrame = {
+    val idx = st.table("index")
+    val s = idx.sparkSession
+    import s.implicits._
+    val tm = termMap.toDF("query_id", "w")
+    val tf = Dedup.pin(prunedPostings(st, termMap.map(_._2).distinct)
+      .select(col("w"), col("doc_id"), col("tf").cast("double").as("tf")))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val dl = matchedDocLengths(st, tf)
+    val stats = idx.filter(col("kind") === 2)
+      .agg((sum(col("sum_dl")).cast("double") /
+        sum(col("n_docs")).cast("double")).as("avgdl"),
+        sum(col("n_docs")).cast("double").as("n"))
+    tf.join(broadcast(tm), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+          .as("s"))
+      .groupBy("query_id", "doc_id").agg(sum(col("s")).as("score"))
+      .withColumn("bm25_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .filter(col("bm25_rk") <= k)
+      // long ids: the fusion joins these against embedding vec_ids
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("bm25_rk"))
   }
 
   /** The Okapi ranking tail shared by the pruned serving read

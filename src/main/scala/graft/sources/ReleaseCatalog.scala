@@ -52,7 +52,10 @@ final class ReleaseCatalog(val root: String, spark: SparkSession) {
     else new String(Files.readAllBytes(p)).split("\n").toSeq.filter(_.nonEmpty)
       .map { l =>
         l.split("\t", -1) match {
-          case Array(label, storeRoot, table, ver) =>
+          // a non-numeric version is the SAME failure class as a torn
+          // line (half-written or hand-damaged record) and must produce
+          // the same forensics, not a bare NumberFormatException
+          case Array(label, storeRoot, table, ver) if ver.forall(_.isDigit) && ver.nonEmpty =>
             label -> Member(storeRoot, table, ver.toInt)
           case other => sys.error(s"corrupt release line in $p: ${other.mkString("\\t")}")
         }

@@ -213,6 +213,30 @@ class RetentionSpec extends SparkSpec {
     cat.tableAt("corpus-release", "card").head.getString(1) shouldBe "c"
   }
 
+  test("a torn or non-numeric RELEASES line fails loudly, never a bare parse error") {
+    import graft.sources.ReleaseCatalog
+    val st = freshStore()
+    st.create("t", Seq((1L, "a")).toDF("id", "v"))
+    def catWithLine(tag: String, line: String): ReleaseCatalog = {
+      val root = tempDir(s"graft-relcat-$tag")
+      val cat = new ReleaseCatalog(root.toString, spark)
+      cat.pin("ok", Seq((st, "t")))
+      java.nio.file.Files.writeString(root.resolve("RELEASES"), line)
+      cat
+    }
+    // torn line (wrong arity) and non-numeric version are the SAME
+    // failure class: both must surface the catalog's own message
+    for ((tag, bad) <- Seq(
+        ("torn", "r1\t/x/store"),
+        ("nonnum", "r1\t/x/store\tt\tnot-a-version"),
+        ("emptyver", "r1\t/x/store\tt\t"))) {
+      val e = the[RuntimeException] thrownBy catWithLine(tag, bad).releases
+      withClue(s"$tag: ") {
+        e.getMessage should include("corrupt release line")
+      }
+    }
+  }
+
   test("a release resolves strictly superseded versions after further maintenance") {
     // the q227 serving property in store terms: once maintenance lands
     // after the pin, the release's members are OLDER than every store's
