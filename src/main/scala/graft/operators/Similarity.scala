@@ -969,6 +969,92 @@ object Similarity {
     ()
   }
 
+  /** THE drift statistic (q232): how many stored vectors sit in a list
+    * other than their nearest current centroid's — (n_vectors, mis) as
+    * one row, computed with the SAME [[lloydAssign]] expression the
+    * recluster applies, so the detector and the maintenance op can
+    * never disagree. One broadcast K×Dim centroid join + per-vector
+    * argmin + a count — strictly cheaper than the rewrite it guards.
+    * Shared by the q232 probe gate and [[ivfIngestEpochManaged]]'s
+    * threshold policy. */
+  private[graft] def ivfMisassignment(st: graft.sources.TableStore): DataFrame = {
+    val dir = st.table("ivf").filter(col("kind") === 1)
+      .select(col("vec_id"), col("label").as("list_label"))
+    val lists = st.table("ivf").filter(col("kind") === 0)
+      .select(col("vec_id"), col("i"), col("xd"))
+    dir.join(lloydAssign(lists, centroidsFromStore(st)), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("list_label") =!= col("label"), 1L).otherwise(0L)).as("mis"))
+  }
+
+  /** A batch's exact-decimal components — the same posexplode + cast
+    * chain [[ivfRows]] applies, so a label computed FROM these
+    * components and a row stored THROUGH ivfRows can never disagree on
+    * a component value. */
+  private def batchComponents(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        col("x").cast("double").cast("decimal(9,7)").as("xd"))
+
+  /** MANAGED IVF ingest (VERDICT r18 next #2) — [[ivfIngestEpoch]] with
+    * the maintenance POLICY attached, the way `compactLimit` attaches
+    * the compaction policy:
+    *
+    *  - epoch 0 BOOTSTRAPS: the batch lands under its arrival labels,
+    *    then [[reclusterIvf]] TRAINS the initial partition (arrival
+    *    labels are whatever the upstream pipeline guessed; the
+    *    partition the index serves from is the trained one);
+    *  - every later epoch is assigned GEOMETRICALLY — each arriving
+    *    vector to its nearest current centroid ([[lloydAssign]] over
+    *    the batch's components vs [[centroidsFromStore]]), which is
+    *    what a real IVF ingest does (the label column is an upstream
+    *    hint, not a partition assignment);
+    *  - after each epoch the policy probes [[ivfMisassignment]] (ppm)
+    *    and runs [[reclusterIvf]] ONLY when the statistic crosses
+    *    `driftLimitPpm` — an undrifted stream never trips it (the new
+    *    batch arrives nearest-centroid-consistent by construction and
+    *    moves the means only by sampling noise), while a distribution
+    *    shift drags the means and the statistic jumps (measured on the
+    *    driver corpus: undrifted ≤ 134000 ppm at every prefix vs
+    *    218666–620666 at the drifted epoch, sf0.001–sf0.1).
+    *
+    * `driftLimitPpm = None` disables the policy entirely — no bootstrap
+    * training, no probes, no fires: the frozen "assign-and-forget"
+    * baseline q234 compares against. Returns, when the policy is on,
+    * (n, mis, ppm, fired, postMis, postPpm): the probe before any
+    * maintenance, whether the threshold fired, and the statistic after
+    * the epoch's maintenance settled (= the pre-probe when nothing
+    * ran). All collects are 1-row probe heads.
+    *
+    * Scale posture: the batch assignment is one broadcast K×Dim join
+    * over the batch only; the probe is the q232 audit (strictly cheaper
+    * than the rewrite it guards); the rewrite runs only when policy
+    * trips — maintenance cost is event-driven, never per-epoch. */
+  private[graft] def ivfIngestEpochManaged(st: graft.sources.TableStore,
+      driftLimitPpm: Option[Long], compactLimit: Option[Int] = None)(
+      batch: DataFrame, epoch: Long): Option[(Long, Long, Long, Boolean, Long, Long)] = {
+    val relabeled =
+      if (epoch == 0L) batch
+      else batch.drop("label")
+        .join(lloydAssign(batchComponents(batch), centroidsFromStore(st)),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("embedding"))
+    ivfIngestEpoch(st, compactLimit)(relabeled, epoch)
+    driftLimitPpm.map { limit =>
+      def probe(): (Long, Long, Long) = {
+        val r = ivfMisassignment(st).head()
+        val n = r.getLong(0)
+        val mis = r.getLong(1)
+        (n, mis, if (n > 0) mis * 1000000L / n else 0L)
+      }
+      val (n, mis, ppm) = probe()
+      val maintain = epoch == 0L || ppm > limit
+      if (maintain) reclusterIvf(st)
+      val (_, postMis, postPpm) = if (maintain) probe() else (n, mis, ppm)
+      (n, mis, ppm, maintain && epoch > 0L, postMis, postPpm)
+    }
+  }
+
   /** [[ivfProbe]] over a TIME-TRAVEL snapshot frame
     * ([[graft.sources.TableStore.tableAt]] / a release catalog read)
     * instead of the live store: the audit/reproducibility path, so it
@@ -1454,20 +1540,11 @@ object Similarity {
     try {
       val st = new graft.sources.TableStore(s, root.toString)
       ingestDriftedIvf(st, raw, r)
-      def misassigned(): DataFrame = {
-        val dir = st.table("ivf").filter(col("kind") === 1)
-          .select(col("vec_id"), col("label").as("list_label"))
-        val lists = st.table("ivf").filter(col("kind") === 0)
-          .select(col("vec_id"), col("i"), col("xd"))
-        dir.join(lloydAssign(lists, centroidsFromStore(st)), Seq("vec_id"))
-          .agg(count(lit(1)).as("n_vectors"),
-            sum(when(col("list_label") =!= col("label"), 1L).otherwise(0L)).as("mis"))
-      }
       // EAGER before-read: the recluster below rewrites the store
       val before = Dedup.pin(
-        misassigned().select(col("n_vectors"), col("mis").as("mis_before")))
+        ivfMisassignment(st).select(col("n_vectors"), col("mis").as("mis_before")))
       reclusterIvf(st)
-      val after = misassigned().select(col("mis").as("mis_after"))
+      val after = ivfMisassignment(st).select(col("mis").as("mis_after"))
       // pinned frame: the store root is deleted in the finally below
       Dedup.pin(before.crossJoin(broadcast(after))
         .select(col("n_vectors"), col("mis_before"),
@@ -1477,7 +1554,261 @@ object Similarity {
     } finally EventsOps.rmTree(root)
   }
 
+  /** q234's drift-policy threshold, shared by the gate, the oracle and
+    * the managed-ingest spec. Sits between the undrifted chain's ceiling
+    * (≤ 134000 ppm at every prefix, sf0.001–sf0.1) and the drifted
+    * epoch's statistic (≥ 218666 ppm) — both measured, see the q234
+    * Scaladoc. */
+  private[graft] val DriftLimitPpm = 200000L
+
+  /** q234's oracle: the FULL policy chain recomputed monolithically —
+    * bootstrap-train at epoch 0, geometric batch assignment at epochs
+    * 1–3, the misassignment probe after every epoch, the CONDITIONAL
+    * one-step Lloyd repair exactly when the probe crosses the threshold
+    * (the a{e} CTEs select the repaired or the carried branch by the
+    * same scalar comparison the policy runs), the per-epoch pre/post
+    * statistics, and the final recall@5 (nprobe = 3) of the maintained
+    * vs the frozen (assign-and-forget) store against the exact
+    * brute-force baseline over the SAME drift-injected corpus. Every
+    * assignment is the exact-decimal (d2, label)-tiebroken argmin; the
+    * drift injection shifts the double value BEFORE the decimal cast,
+    * so both engines round the identical double. Means divide exact
+    * integer hit sums once. */
+  private val ivfDriftPolicyOracleSql: String = {
+    val L = DriftLimitPpm
+    def cents(name: String, members: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT m.label, el.i, CAST(CAST(SUM(el.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(9,7)) AS cd
+         |  FROM el JOIN $members m ON m.vec_id = el.vec_id GROUP BY 1, 2)""".stripMargin
+    def assign(name: String, members: String, cc: String): String =
+      s"""${name}d AS MATERIALIZED (
+         |  SELECT el.vec_id, c.label, SUM((el.xd - c.cd) * (el.xd - c.cd)) AS d2
+         |  FROM el JOIN $members m ON m.vec_id = el.vec_id
+         |  JOIN $cc c ON c.i = el.i GROUP BY 1, 2),
+         |$name AS MATERIALIZED (SELECT vec_id, label FROM (
+         |  SELECT vec_id, label,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+         |  FROM ${name}d) WHERE rn = 1)""".stripMargin
+    def stats(name: String, carry: String, probed: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN c.label <> p.label THEN 1 ELSE 0 END) AS BIGINT) AS mis
+         |  FROM $carry c JOIN $probed p ON p.vec_id = c.vec_id)""".stripMargin
+    def ppm(m: String) = s"$m.mis * 1000000 // greatest($m.n, 1)"
+    def ppmSub(m: String) = s"(SELECT mis * 1000000 // greatest(n, 1) FROM $m)"
+    def batchOf(e: Int) = s"(SELECT vec_id FROM ep WHERE epoch = $e)"
+    val policyEpochs = (1 to 3).map { e =>
+      s"""${assign(s"bs$e", batchOf(e), s"pc${e - 1}")},
+         |cr$e AS MATERIALIZED (SELECT vec_id, label FROM a${e - 1}
+         |         UNION ALL SELECT vec_id, label FROM bs$e),
+         |${cents(s"cc$e", s"cr$e")},
+         |${assign(s"pa$e", s"cr$e", s"cc$e")},
+         |${stats(s"m$e", s"cr$e", s"pa$e")},
+         |a$e AS MATERIALIZED (
+         |  SELECT vec_id, label FROM pa$e WHERE ${ppmSub(s"m$e")} > $L
+         |  UNION ALL
+         |  SELECT vec_id, label FROM cr$e WHERE ${ppmSub(s"m$e")} <= $L),
+         |${cents(s"pc$e", s"a$e")},
+         |${assign(s"pp$e", s"a$e", s"pc$e")},
+         |${stats(s"pm$e", s"a$e", s"pp$e")}""".stripMargin
+    }.mkString(",\n")
+    val frozenEpochs = (1 to 3).map { e =>
+      s"""${cents(s"fc${e - 1}", s"f${e - 1}")},
+         |${assign(s"fb$e", batchOf(e), s"fc${e - 1}")},
+         |f$e AS MATERIALIZED (SELECT vec_id, label FROM f${e - 1}
+         |        UNION ALL SELECT vec_id, label FROM fb$e)""".stripMargin
+    }.mkString(",\n")
+    def served(tag: String, members: String, cc: String): String =
+      s"""${tag}qd AS MATERIALIZED (
+         |  SELECT q.query_id, c.label, SUM((q.xd - c.cd) * (q.xd - c.cd)) AS d2
+         |  FROM qel q JOIN $cc c ON c.i = q.i GROUP BY 1, 2),
+         |${tag}pr AS MATERIALIZED (SELECT query_id, label FROM (
+         |  SELECT query_id, label,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, label) AS rn
+         |  FROM ${tag}qd) WHERE rn <= 3),
+         |${tag}tv AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT e.query_id, e.neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.query_id
+         |                            ORDER BY e.cosine DESC, e.neighbor_id) AS rk
+         |  FROM exc e JOIN $members m ON m.vec_id = e.neighbor_id
+         |  JOIN ${tag}pr p ON p.query_id = e.query_id AND p.label = m.label)
+         |  WHERE rk <= 5),
+         |${tag}hits AS MATERIALIZED (
+         |  SELECT e.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits
+         |  FROM ext e LEFT JOIN ${tag}tv i
+         |    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    def emitEpoch(e: Int): String = {
+      val fired =
+        if (e == 0) "CAST(0 AS INT)"
+        else s"CAST(CASE WHEN ${ppm(s"m$e")} > $L THEN 1 ELSE 0 END AS INT)"
+      s"""SELECT CAST($e AS INT) AS epoch, m$e.n AS n_vectors, m$e.mis AS mis,
+         |       CAST(${ppm(s"m$e")} AS BIGINT) AS ppm, $fired AS fired,
+         |       pm$e.mis AS post_mis,
+         |       CAST(pm$e.mis * 1000000 // greatest(m$e.n, 1) AS BIGINT) AS post_ppm
+         |FROM m$e CROSS JOIN pm$e WHERE m$e.n > 0""".stripMargin
+    }
+    s"""WITH b AS MATERIALIZED (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+       |ep AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label AS arrival,
+       |         CAST((e.vec_id - b.lo) // ((b.hi - b.lo) // 4 + 1) AS INT) AS epoch
+       |  FROM embeddings e, b),
+       |el AS MATERIALIZED (
+       |  SELECT e.vec_id, i,
+       |         CAST(CASE WHEN e.vec_id >= b.lo + 2 * ((b.hi - b.lo) // 4 + 1)
+       |              THEN CAST(e.embedding[i] AS DOUBLE) + 0.15
+       |              ELSE CAST(e.embedding[i] AS DOUBLE) END AS DECIMAL(9,7)) AS xd
+       |  FROM embeddings e, b, range(1, ${Dim + 1}) r(i)),
+       |cr0 AS MATERIALIZED (SELECT vec_id, arrival AS label FROM ep WHERE epoch = 0),
+       |${cents("cc0", "cr0")},
+       |${assign("pa0", "cr0", "cc0")},
+       |${stats("m0", "cr0", "pa0")},
+       |a0 AS MATERIALIZED (SELECT vec_id, label FROM pa0),
+       |${cents("pc0", "a0")},
+       |${assign("pp0", "a0", "pc0")},
+       |${stats("pm0", "a0", "pp0")},
+       |$policyEpochs,
+       |f0 AS MATERIALIZED (SELECT vec_id, label FROM cr0),
+       |$frozenEpochs,
+       |${cents("fpc", "f3")},
+       |nrm AS MATERIALIZED (SELECT vec_id, SUM(xd * xd) AS nrm FROM el GROUP BY 1),
+       |qel AS MATERIALIZED (SELECT vec_id AS query_id, i, xd FROM el WHERE vec_id < 10),
+       |exd AS MATERIALIZED (
+       |  SELECT q.query_id, el.vec_id AS neighbor_id, SUM(el.xd * q.xd) AS dt
+       |  FROM el JOIN qel q ON q.i = el.i AND el.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |exc AS MATERIALIZED (
+       |  SELECT e.query_id, e.neighbor_id,
+       |         ${cosSql("e.dt", "qn.nrm", "cn.nrm")} AS cosine
+       |  FROM exd e JOIN nrm qn ON qn.vec_id = e.query_id
+       |  JOIN nrm cn ON cn.vec_id = e.neighbor_id),
+       |ext AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM exc) WHERE rk <= 5),
+       |${served("mm", "a3", "pc3")},
+       |${served("ff", "f3", "fpc")},
+       |rec AS MATERIALIZED (SELECT
+       |  (SELECT CAST(SUM(hits) AS DOUBLE) FROM mmhits) / 50.0 AS recall_maintained,
+       |  (SELECT CAST(SUM(hits) AS DOUBLE) FROM ffhits) / 50.0 AS recall_frozen)
+       |SELECT t.epoch, t.n_vectors, t.mis, t.ppm, t.fired, t.post_mis, t.post_ppm,
+       |       rec.recall_maintained, rec.recall_frozen,
+       |       CAST(CASE WHEN rec.recall_maintained >= rec.recall_frozen
+       |            THEN 1 ELSE 0 END AS INT) AS non_regressed
+       |FROM (${(0 to 3).map(emitEpoch).mkString("\nUNION ALL\n")}) t
+       |CROSS JOIN rec ORDER BY epoch""".stripMargin
+  }
+
+  /** q234: the CLOSED maintenance loop (VERDICT r18 next #2) — q232's
+    * drift statistic wired into ingest POLICY the way `compactLimit`
+    * wires compaction: [[ivfIngestEpochManaged]] probes the
+    * misassignment ppm after every epoch and runs [[reclusterIvf]] only
+    * when it crosses [[DriftLimitPpm]]. The corpus arrives as four
+    * vec_id epochs with a real DISTRIBUTION SHIFT injected at the
+    * second epoch group (+0.15 on every component, applied to the
+    * double value before the decimal cast): the policy bootstraps a
+    * trained partition at epoch 0, assigns epochs 1–3 geometrically,
+    * and the threshold fires EXACTLY ONCE — at the drifted epoch
+    * (218666 ppm at sf0.001, 341333 at sf0.01 vs an undrifted ceiling
+    * of ≤ 134000 at every prefix) — after which the statistic collapses
+    * (18000/74000 ppm) and epoch 3 passes quietly. The gate emits the
+    * full per-epoch policy trace (pre/post statistics + the fire flag)
+    * plus the final recall@5 of the policy-maintained store vs the
+    * FROZEN assign-and-forget baseline over the same drifted corpus
+    * (0.60 vs 0.36 at sf0.001) — "the policy repaired what doing
+    * nothing lost" is hash-gated end to end. The managed-ingest spec
+    * asserts the converse: an UNDRIFTED corpus never trips the
+    * threshold.
+    *
+    * Why the statistic is measured against a TRAINED partition: the
+    * generator's arrival labels are not nearest-centroid-consistent
+    * (q232's 554000–634000 ppm floor, drift or no drift — measured),
+    * so an absolute threshold on the arrival-labeled store cannot
+    * separate drift from the floor; after bootstrap training and
+    * geometric assignment the undrifted statistic is sampling noise and
+    * the drifted jump is unmistakable. That is also the production
+    * shape: a real IVF ingest assigns arriving vectors to the nearest
+    * current centroid, and its drift alarm watches degradation of the
+    * trained state.
+    *
+    * Scale posture: per epoch, one broadcast K×Dim batch-assignment
+    * join + the q232 audit probe; the rewrite runs only on a fire —
+    * maintenance cost is event-driven; the frozen arm exists for the
+    * recall comparison only (gate armor). All collects are 1-row probe
+    * heads and the 4-row policy trace. */
+  val q234 = QueryDef(
+    "q234_ivf_drift_policy",
+    ivfDriftPolicyOracleSql) { (s, d) =>
+    import s.implicits._
+    val nQ = 10
+    val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+    val r = raw.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+    val emptyTrace = Seq.empty[(Int, Long, Long, Long, Int, Long, Long)]
+    def traceDf(rows: Seq[(Int, Long, Long, Long, Int, Long, Long)]) =
+      rows.toDF("epoch", "n_vectors", "mis", "ppm", "fired", "post_mis", "post_ppm")
+    if (r.getLong(2) == 0L) {
+      traceDf(emptyTrace)
+        .withColumn("recall_maintained", lit(0.0))
+        .withColumn("recall_frozen", lit(0.0))
+        .withColumn("non_regressed", lit(1))
+    } else {
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      // the distribution shift: every component of the second epoch
+      // group's vectors moves by +0.15 IN THE DOUBLE DOMAIN (before the
+      // decimal cast), so both engines round the identical double; the
+      // undrifted branch applies the same double cast for type parity
+      val drifted = raw.withColumn("embedding",
+        when(col("vec_id") >= lo + 2 * step,
+          transform(col("embedding"), x => x.cast("double") + lit(0.15)))
+          .otherwise(transform(col("embedding"), x => x.cast("double"))))
+      val rootM = java.nio.file.Files.createTempDirectory("graft-ivf-policy")
+      val rootF = java.nio.file.Files.createTempDirectory("graft-ivf-frozen")
+      try {
+        val stM = new graft.sources.TableStore(s, rootM.toString)
+        val stF = new graft.sources.TableStore(s, rootF.toString)
+        buildIvfStore(stM, drifted.limit(0))
+        buildIvfStore(stF, drifted.limit(0))
+        def batch(e: Int) = drifted.filter(
+          col("vec_id") >= lo + e * step && col("vec_id") < lo + (e + 1) * step)
+        val trace = (0 until 4).map { e =>
+          val Some((n, mis, ppm, fired, postMis, postPpm)) =
+            ivfIngestEpochManaged(stM, Some(DriftLimitPpm))(batch(e), e.toLong)
+          (e, n, mis, ppm, if (fired) 1 else 0, postMis, postPpm)
+        }
+        (0 until 4).foreach { e => // frozen baseline: no policy, no training
+          ivfIngestEpochManaged(stF, None)(batch(e), e.toLong); ()
+        }
+        // exact baseline over the SAME drifted corpus (gate armor)
+        val exactTop = pairSums(
+          batchComponents(drifted).select(col("vec_id"), col("i"), col("xd").as("c")),
+          Seq("i"), nQ)
+          .select(col("query_id"), col("neighbor_id"),
+            cos(col("dt"), col("qn"), col("nrm")).as("cosine"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+          .filter(col("rk") <= 5).select("query_id", "neighbor_id")
+        def recallOf(st: graft.sources.TableStore, name: String): DataFrame = {
+          val top = storeMultiprobeScored(st, s, nQ, levels = Seq(3))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+            .filter(col("rk") <= 5).select("query_id", "neighbor_id")
+          exactTop.join(top.withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+            .agg((count(col("hit")).cast("double") / (5.0 * nQ)).as(name))
+        }
+        val rec = recallOf(stM, "recall_maintained")
+          .crossJoin(recallOf(stF, "recall_frozen"))
+          .withColumn("non_regressed",
+            (col("recall_maintained") >= col("recall_frozen")).cast("int"))
+        // pinned frame: the store roots are deleted in the finally below
+        Dedup.pin(traceDf(trace).crossJoin(broadcast(rec)).orderBy("epoch"))
+      } finally { EventsOps.rmTree(rootM); EventsOps.rmTree(rootF) }
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208, q210,
-      q223, q228, q232)
+      q223, q228, q232, q234)
 }

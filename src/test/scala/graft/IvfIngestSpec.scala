@@ -298,4 +298,36 @@ class IvfIngestSpec extends SparkSpec {
     Similarity.reclusterIvf(st, iters = 1)
     dir() shouldBe converged
   }
+
+  test("the drift policy never fires on an undrifted corpus (q234's converse)") {
+    // the REAL embeddings table, NO drift injection: after the epoch-0
+    // bootstrap training, every later epoch arrives nearest-centroid-
+    // consistent by construction and moves the means only by sampling
+    // noise — the q232 statistic must stay under the q234 threshold at
+    // EVERY prefix (measured ceiling 134000 ppm across sf0.001–sf0.1)
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "label", "embedding")
+    val r = raw.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    val st = new TableStore(spark, tempDir("graft-ivf-nodrift").toString)
+    Similarity.buildIvfStore(st, raw.limit(0))
+    val trace = (0 until 4).map { e =>
+      val batch = raw.filter(col("vec_id") >= lo + e * step &&
+        col("vec_id") < lo + (e + 1) * step)
+      Similarity.ivfIngestEpochManaged(st, Some(Similarity.DriftLimitPpm))(
+        batch, e.toLong).get
+    }
+    // bootstrap trained: the epoch-0 post statistic collapsed
+    val (_, _, ppm0, _, _, post0) = trace(0)
+    withClue(s"epoch 0 pre=$ppm0 post=$post0: ") { post0 should be < ppm0 }
+    // and the threshold NEVER fires — undrifted ingest is maintenance-free
+    trace.zipWithIndex.foreach { case ((_, _, ppm, fired, _, _), e) =>
+      withClue(s"epoch $e ppm=$ppm: ") {
+        fired shouldBe false
+        if (e > 0) ppm should be < Similarity.DriftLimitPpm
+      }
+    }
+  }
 }
