@@ -1808,7 +1808,121 @@ object Similarity {
     }
   }
 
+  /** q235's oracle: the composite partition a mid-stream recluster
+    * leaves behind, recomputed monolithically — the first THREE strict
+    * replay stages (the [[graft.operators.EventsOps.stagedReplayDrive]]
+    * cut formula: vec_id <= lo + (hi-lo)*3//4, drift on
+    * vec_id > lo + (hi-lo)*2//4) reassigned by one Lloyd step against
+    * their arrival-label centroids, the FOURTH stage keeping its
+    * (drifted) arrival labels on top, and q51's probe-1 serving read
+    * over that composite label map. */
+  private val streamedReclusterOracleSql: String =
+    s"""WITH b AS MATERIALIZED (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+       |ml AS MATERIALIZED (SELECT MAX(label) + 1 AS k FROM embeddings),
+       |pe AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         CASE WHEN e.vec_id > b.lo + (b.hi - b.lo) * 2 // 4 AND e.vec_id % 5 = 0
+       |              THEN (e.label + 1) % ml.k ELSE e.label END AS label
+       |  FROM embeddings e, b, ml),
+       |el AS MATERIALIZED (
+       |  SELECT e.vec_id, i, cast(cast(e.embedding[i] as double) as decimal(9,7)) AS xd
+       |  FROM embeddings e, range(1, ${Dim + 1}) r(i)),
+       |p3 AS MATERIALIZED (
+       |  SELECT p.vec_id, p.label FROM pe p, b
+       |  WHERE p.vec_id <= b.lo + (b.hi - b.lo) * 3 // 4),
+       |cc AS MATERIALIZED (
+       |  SELECT m.label, el.i, CAST(CAST(SUM(el.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(9,7)) AS cd
+       |  FROM el JOIN p3 m ON m.vec_id = el.vec_id GROUP BY 1, 2),
+       |ad AS MATERIALIZED (
+       |  SELECT el.vec_id, c.label, SUM((el.xd - c.cd) * (el.xd - c.cd)) AS d2
+       |  FROM el JOIN p3 m ON m.vec_id = el.vec_id
+       |  JOIN cc c ON c.i = el.i GROUP BY 1, 2),
+       |a AS MATERIALIZED (SELECT vec_id, label FROM (
+       |  SELECT vec_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |  FROM ad) WHERE rn = 1),
+       |comp AS MATERIALIZED (
+       |  SELECT vec_id, label FROM a
+       |  UNION ALL
+       |  SELECT p.vec_id, p.label FROM pe p, b
+       |  WHERE p.vec_id > b.lo + (b.hi - b.lo) * 3 // 4),
+       |n AS MATERIALIZED ($normedSql),
+       |q AS (SELECT n.vec_id, n.v, n.nrm, m.label
+       |      FROM n JOIN comp m ON m.vec_id = n.vec_id WHERE n.vec_id < 20),
+       |cand AS (SELECT n.vec_id, n.v, n.nrm, m.label
+       |         FROM n JOIN comp m ON m.vec_id = n.vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql(dotSql("q.v", "c.v"), "q.nrm", "c.nrm")} AS cosine
+       |  FROM q JOIN cand c ON c.label = q.label AND c.vec_id <> q.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  /** q235: RECLUSTER UNDER A LIVE STREAM (the 20th streaming gate,
+    * VERDICT r18 next #3) — q231 proved a release pin composes with
+    * `foreachBatch`; this proves the SEMANTIC REWRITE does: the
+    * embedding stream drives the IVF sink over the shared staged replay
+    * (four strict vec_id stages, per-batch compaction forced hot), the
+    * second half arrives label-drifted (q228's injection at the
+    * replay's own strictCuts boundary), and [[reclusterIvf]] runs
+    * INSIDE the `foreachBatch` callback the moment the first drifted
+    * stage commits — stage 3 then appends on top of the rewritten
+    * store, in flight, and the final probe must equal the monolithic
+    * recomputation of exactly that composite (three reassigned stages +
+    * one arrival-labeled stage). `rewriteClustered`'s atomic flip,
+    * ledger survival and range layout are thereby exercised BETWEEN
+    * live micro-batches, the doc-claim at TableStore.rewriteClustered.
+    *
+    * Replay discipline: the rewrite is guarded by the triggering
+    * batch's OWN ledger entry — a restarted stage whose append already
+    * committed replays to a no-op for both the append AND the rewrite
+    * (the restart spec pins this), so maintenance is at-most-once per
+    * trigger. A crash in the append→rewrite window loses only the
+    * rewrite, and the q234 policy loop self-heals it: the statistic the
+    * next probe reads is still over threshold.
+    *
+    * Scale posture: q210's batch-proportional ingest + q228's one
+    * broadcast-join reassignment and single range shuffle for the
+    * rewrite, now interleaved with live batches instead of offline. */
+  val q235 = QueryDef(
+    "q235_streamed_recluster",
+    streamedReclusterOracleSql) { (s, d) =>
+    val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+    val r = vecs.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-stream-recluster")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      buildIvfStore(st, vecs.limit(0))
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val k = vecs.agg(max("label")).head().getAs[Number](0).intValue() + 1
+        val drifted = vecs.withColumn("label",
+          when(col("vec_id") > lo + (hi - lo) * 2 / 4 && col("vec_id") % 5 === 0,
+            (col("label") + 1) % k).otherwise(col("label")))
+        EventsOps.stagedReplayDrive(s, drifted, col("vec_id"),
+          lo, hi, r.getLong(2), EventsOps.OuterStageRowsPerFile, 4,
+          "q235_recluster_sink")(streamedReclusterSink(st))
+      }
+      // pinned frame: the store root is deleted in the finally below
+      Dedup.pin(ivfProbe(st, nQueries = 20, k = 3))
+    } finally EventsOps.rmTree(root)
+  }
+
+  /** The q235 sink: per-batch ingest with forced-hot compaction, plus
+    * the mid-stream rewrite after the first drifted stage — guarded by
+    * the triggering batch's ledger entry so a replayed stage no-ops the
+    * rewrite too (see the q235 Scaladoc). Factored out so the restart
+    * spec drives the EXACT gate sink through a crash. */
+  private[graft] def streamedReclusterSink(st: graft.sources.TableStore)(
+      batch: DataFrame, epoch: Long): Unit = {
+    val replay = st.batchCommitted("ivf", epoch)
+    ivfIngestEpoch(st, compactLimit = Some(2))(batch, epoch)
+    if (epoch == 2L && !replay) reclusterIvf(st)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q50, q51, q52, q74, q76, q89, q114, q115, q135, q174, q208, q210,
-      q223, q228, q232, q234)
+      q223, q228, q232, q234, q235)
 }

@@ -299,6 +299,57 @@ class IvfIngestSpec extends SparkSpec {
     dir() shouldBe converged
   }
 
+  test("a restarted stream replays the recluster stage to a no-op (q235's sink)") {
+    // the q235 sink through a crash INJECTED ON THE RECLUSTER STAGE:
+    // stage 2's append commits, the rewrite runs, then the batch
+    // "fails" — the restart re-offers stage 2 and BOTH the append (epoch
+    // ledger) and the rewrite (same ledger entry, checked pre-append)
+    // must no-op, leaving exactly the single-run composite state
+    val vecs = vecRows(0L until 32L).toDF("vec_id", "label", "embedding")
+    val storeRoot = tempDir("graft-ivf-recl-restart-store")
+    val srcDir = tempDir("graft-ivf-recl-restart-src")
+    val ckpt = tempDir("graft-ivf-recl-restart-ckpt")
+    val st = new TableStore(spark, storeRoot.toString)
+    Similarity.buildIvfStore(st, vecs.limit(0))
+    val width = graft.operators.EventsOps.stageAligned(srcDir,
+      graft.operators.EventsOps.slicedStages(vecs, col("vec_id"), 0L, 31L, 4), 1)
+    def run(crashAfter: Option[Long]): Unit = {
+      val q = spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", width.toString).parquet(srcDir.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          Similarity.streamedReclusterSink(st)(batch, epoch)
+          if (crashAfter.contains(epoch))
+            throw new RuntimeException("injected crash: store committed, marker not")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+    run(crashAfter = Some(2L)) // crash right after the rewrite stage
+    run(crashAfter = None)
+    // no double-appended rows, and the final state equals a direct
+    // (never-crashed) build running the same sink per epoch
+    st.table("ivf").filter(col("kind") === 1)
+      .groupBy("vec_id").count().filter(col("count") > 1).count() shouldBe 0L
+    val direct = new TableStore(spark, tempDir("graft-ivf-recl-direct").toString)
+    Similarity.buildIvfStore(direct, vecs.limit(0))
+    (0 until 4).foreach { e =>
+      Similarity.streamedReclusterSink(direct)(
+        vecs.filter(col("vec_id") > e * 8L - 1 && col("vec_id") <= (e + 1) * 8L - 1),
+        e.toLong)
+    }
+    st.table("ivf").filter(col("kind") === 1)
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1))
+      .sortBy(_._1).toSeq shouldBe
+      direct.table("ivf").filter(col("kind") === 1)
+        .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1))
+        .sortBy(_._1).toSeq
+    Similarity.ivfProbe(st, nQueries = 2, k = 3).collect().toSeq shouldBe
+      Similarity.ivfProbe(direct, nQueries = 2, k = 3).collect().toSeq
+  }
+
   test("the drift policy never fires on an undrifted corpus (q234's converse)") {
     // the REAL embeddings table, NO drift injection: after the epoch-0
     // bootstrap training, every later epoch arrives nearest-centroid-
