@@ -788,7 +788,119 @@ object DedupClusters {
       clusterIngestedStore(s, d).table("card").select("source", "ntok"))
   }
 
+  /** q236's oracle: the q221 component fixpoint AND the q222 card
+    * recomputed over the SAME two-epoch corpus prefix (one
+    * [[epochPrefixOracle]] surgery over the combined monolithic SQL),
+    * joined into one emission — the per-source card rows carrying the
+    * release's cluster summary. */
+  private val clusterReleaseOracleSql: String = epochPrefixOracle(
+    s"""WITH RECURSIVE ${Dedup.lshPairsCtes},
+       |pairs AS (SELECT doc_a, doc_b FROM verified),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |closure(a, b) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT c.a, e.t FROM closure c JOIN edges e ON e.s = c.b),
+       |comp AS (
+       |  SELECT a AS doc_id, least(min(b), a) AS component
+       |  FROM closure GROUP BY a),
+       |summ AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+       |         CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_clustered_docs,
+       |         CAST(MAX(m) AS BIGINT) AS max_members
+       |  FROM (SELECT component, COUNT(*) AS m FROM comp GROUP BY 1)),
+       |t AS (
+       |  SELECT source, lang, n_chars,
+       |    len(string_split(trim(text), ' ')) AS ntok
+       |  FROM documents),
+       |card AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+       |    CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+       |    CAST(quantile_cont(ntok, 0.25) AS DOUBLE) AS p25_tokens,
+       |    CAST(quantile_cont(ntok, 0.5) AS DOUBLE) AS p50_tokens,
+       |    CAST(quantile_cont(ntok, 0.75) AS DOUBLE) AS p75_tokens,
+       |    CAST(MAX(ntok) AS BIGINT) AS max_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST((SUM(n_chars) * 1000) // SUM(ntok) AS BIGINT) AS chars_per_token_ppk
+       |  FROM t GROUP BY source)
+       |SELECT card.source, card.n_docs, card.sum_tokens, card.min_tokens,
+       |       card.p25_tokens, card.p50_tokens, card.p75_tokens,
+       |       card.max_tokens, card.n_langs, card.chars_per_token_ppk,
+       |       summ.n_components, summ.n_clustered_docs, summ.max_members
+       |FROM card CROSS JOIN summ ORDER BY card.source""".stripMargin)
+
+  /** q236: the CLUSTER-FAMILY RELEASE (VERDICT r18 next #4) — q221/q222
+    * served through ONE durable name instead of two parallel pins: the
+    * cluster store ingests the four doc_id epochs (state + kind-6/7
+    * metadata + card sidecar, the q203 path) with BOTH tables'
+    * compaction policies forced hot, and after epoch 1 a single
+    * [[graft.sources.ReleaseCatalog]] label pins the state AND card
+    * snapshots that shipped together — the c92f738 spec's multi-table
+    * single-store shape, now oracle-gated. Two further epochs then land,
+    * every one tripping a policy compaction whose vacuum reclaims the
+    * release's unpinned neighbors on each table; serving resolves
+    * "corpus-r1" via [[graft.sources.ReleaseCatalog.tableAt]] for BOTH
+    * legs — the component labels (with the kind-5 mapping closure from
+    * the same snapshot) and the dataset card — and the combined emission
+    * must reproduce the monolithic two-epoch-prefix recomputation of
+    * both. "Release k" is one name, one record, both tables.
+    *
+    * Scale posture: q221/q222's — the release costs the pinned
+    * snapshots' bytes (the pin contract), snapshot reads scan the
+    * historical versions' files plainly (audit path), the label resolve
+    * is the mapping-closure fixpoint, the card is one hash aggregate. */
+  val q236 = QueryDef(
+    "q236_cluster_family_release",
+    clusterReleaseOracleSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "source", "lang", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft-cluster-release")
+    val catRoot = java.nio.file.Files.createTempDirectory("graft-cluster-relcat")
+    try {
+      val st = new graft.sources.TableStore(s, root.toString)
+      val cat = new graft.sources.ReleaseCatalog(catRoot.toString, s)
+      Dedup.buildDedupState(st, docs.limit(0))
+      st.create("card", cardRows(docs.limit(0)))
+      val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      var pinned = false
+      if (r.getLong(2) > 0L) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val step = (hi - lo) / 4 + 1
+        (0 until 4).foreach { e =>
+          // the ingestClusterEpochs shape with the release swapped in for
+          // the two parallel pins, and BOTH tables' compaction forced hot
+          val batch = docs.filter(col("doc_id") >= lo + e * step &&
+            col("doc_id") < lo + (e + 1) * step)
+          Dedup.clusterIngestEpoch(st, meta = Some(clusterDocMeta))(batch, e.toLong)
+          st.appendBatch("card", e.toLong, cardRows(batch))
+          Dedup.maybeAutoCompactClustered(s, st, "state",
+            Seq("kind", "bkt", "doc_id"), Some(2))
+          Dedup.maybeAutoCompactClustered(s, st, "card", Seq("doc_id"), Some(2))
+          if (e == 1) {
+            // ONE durable record binds the snapshot PAIR that ships as
+            // this corpus release — labels and card under one name
+            cat.pin("corpus-r1", Seq((st, "state"), (st, "card")))
+            pinned = true
+          }
+        }
+      }
+      if (!pinned) cat.pin("corpus-r1", Seq((st, "state"), (st, "card")))
+      val labels = Dedup.clusterLabelsFrom(cat.tableAt("corpus-r1", "state"))
+      val summ = labels.groupBy("component").agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("n_components"),
+          coalesce(sum(col("m")), lit(0L)).as("n_clustered_docs"),
+          max(col("m")).as("max_members"))
+      val card = CorpusOps.datasetCard(
+        cat.tableAt("corpus-r1", "card")
+          .select("source", "lang", "n_chars", "ntok"))
+      // pinned frame: the store root is deleted in the finally below
+      Dedup.pin(card.crossJoin(broadcast(summ)).orderBy("source"))
+    } finally { EventsOps.rmTree(root); EventsOps.rmTree(catRoot) }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71, q131, q156, q181, q203, q204, q205, q214, q220, q221, q222,
-      q224, q225)
+      q224, q225, q236)
 }
