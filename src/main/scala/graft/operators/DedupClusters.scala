@@ -875,9 +875,15 @@ object DedupClusters {
             col("doc_id") < lo + (e + 1) * step)
           Dedup.clusterIngestEpoch(st, meta = Some(clusterDocMeta))(batch, e.toLong)
           st.appendBatch("card", e.toLong, cardRows(batch))
-          Dedup.maybeAutoCompactClustered(s, st, "state",
-            Seq("kind", "bkt", "doc_id"), Some(2))
-          Dedup.maybeAutoCompactClustered(s, st, "card", Seq("doc_id"), Some(2))
+          // the claim under gate is pin SURVIVAL: only the post-pin
+          // epochs need their policy compactions (each one's vacuum
+          // would reclaim the release's snapshots were they unpinned);
+          // pre-pin compactions would prove nothing and double the cost
+          if (e >= 2) {
+            Dedup.maybeAutoCompactClustered(s, st, "state",
+              Seq("kind", "bkt", "doc_id"), Some(2))
+            Dedup.maybeAutoCompactClustered(s, st, "card", Seq("doc_id"), Some(2))
+          }
           if (e == 1) {
             // ONE durable record binds the snapshot PAIR that ships as
             // this corpus release — labels and card under one name

@@ -204,56 +204,78 @@ object HybridOps {
     * zero epoch time (the pin contract, 100×-stamped in r17); snapshot
     * reads scan the historical versions' files plainly (audit path);
     * the fusion joins two ≤ 50-row rankings. */
+  /** q227's BUILD side: both maintained stores ingested as four epochs
+    * with the compaction policy forced hot, and the coordinated release
+    * pinned after epoch 1. Factored out of the gate so the
+    * release-serving probe ([[graft.ReleaseServeProbe]]) can time the
+    * build and the serving read SEPARATELY (VERDICT r18 next #7).
+    * Returns the catalog holding the "yesterday" release. */
+  private[graft] def buildPinnedStack(s: org.apache.spark.sql.SparkSession,
+      d: String, idxRoot: String, ivfRoot: String, catRoot: String)
+      : graft.sources.ReleaseCatalog = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+    val idxSt = new graft.sources.TableStore(s, idxRoot)
+    val ivfSt = new graft.sources.TableStore(s, ivfRoot)
+    SearchOps.buildSearchIndex(idxSt, docs.limit(0))
+    Similarity.buildIvfStore(ivfSt, vecs.limit(0))
+    val cat = new graft.sources.ReleaseCatalog(catRoot, s)
+    val rd = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val rv = vecs.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+    val slices = 4
+    var pinned = false
+    (0 until slices).foreach { e =>
+      // each table slices its OWN id range (the q216 cut formula);
+      // an empty table simply contributes empty epochs
+      if (rd.getLong(2) > 0L) {
+        val (lo, hi) = (rd.getLong(0), rd.getLong(1))
+        val step = (hi - lo) / slices + 1
+        SearchOps.indexIngestEpoch(idxSt, compactLimit = Some(2))(
+          docs.filter(col("doc_id") >= lo + e * step &&
+            col("doc_id") < lo + (e + 1) * step), e.toLong)
+      }
+      if (rv.getLong(2) > 0L) {
+        val (lo, hi) = (rv.getLong(0), rv.getLong(1))
+        val step = (hi - lo) / slices + 1
+        Similarity.ivfIngestEpoch(ivfSt, compactLimit = Some(2))(
+          vecs.filter(col("vec_id") >= lo + e * step &&
+            col("vec_id") < lo + (e + 1) * step), e.toLong)
+      }
+      // ONE coordinated release across both stores — the snapshot
+      // pair that served together, under one durable record
+      if (e == 1) {
+        cat.pin("yesterday", Seq((idxSt, "index"), (ivfSt, "ivf")))
+        pinned = true
+      }
+    }
+    if (!pinned) cat.pin("yesterday", Seq((idxSt, "index"), (ivfSt, "ivf")))
+    cat
+  }
+
+  /** q227's SERVING side: resolve the release and run the fusion with
+    * both legs on the pinned snapshots — the read a reproducibility
+    * audit actually pays, separable from the build it replays. */
+  private[graft] def servePinnedStack(cat: graft.sources.ReleaseCatalog)
+      : org.apache.spark.sql.DataFrame = {
+    val bm = SearchOps.bm25FromSnapshot(
+      cat.tableAt("yesterday", "index"), Seq("dup", "window"), 50)
+    val ann = Similarity.ivfProbeFromSnapshot(
+      cat.tableAt("yesterday", "ivf"), nQueries = 1, k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("cosine"))
+    SearchOps.rrfFuse(bm, ann)
+  }
+
   val q227 = QueryDef(
     "q227_pinned_hybrid_stack",
     pinnedHybridOracleSql) { (s, d) =>
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
     val idxRoot = java.nio.file.Files.createTempDirectory("graft-relidx")
     val ivfRoot = java.nio.file.Files.createTempDirectory("graft-relivf")
     val catRoot = java.nio.file.Files.createTempDirectory("graft-relcat")
     try {
-      val idxSt = new graft.sources.TableStore(s, idxRoot.toString)
-      val ivfSt = new graft.sources.TableStore(s, ivfRoot.toString)
-      SearchOps.buildSearchIndex(idxSt, docs.limit(0))
-      Similarity.buildIvfStore(ivfSt, vecs.limit(0))
-      val cat = new graft.sources.ReleaseCatalog(catRoot.toString, s)
-      val rd = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
-      val rv = vecs.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
-      val slices = 4
-      var pinned = false
-      (0 until slices).foreach { e =>
-        // each table slices its OWN id range (the q216 cut formula);
-        // an empty table simply contributes empty epochs
-        if (rd.getLong(2) > 0L) {
-          val (lo, hi) = (rd.getLong(0), rd.getLong(1))
-          val step = (hi - lo) / slices + 1
-          SearchOps.indexIngestEpoch(idxSt, compactLimit = Some(2))(
-            docs.filter(col("doc_id") >= lo + e * step &&
-              col("doc_id") < lo + (e + 1) * step), e.toLong)
-        }
-        if (rv.getLong(2) > 0L) {
-          val (lo, hi) = (rv.getLong(0), rv.getLong(1))
-          val step = (hi - lo) / slices + 1
-          Similarity.ivfIngestEpoch(ivfSt, compactLimit = Some(2))(
-            vecs.filter(col("vec_id") >= lo + e * step &&
-              col("vec_id") < lo + (e + 1) * step), e.toLong)
-        }
-        // ONE coordinated release across both stores — the snapshot
-        // pair that served together, under one durable record
-        if (e == 1) {
-          cat.pin("yesterday", Seq((idxSt, "index"), (ivfSt, "ivf")))
-          pinned = true
-        }
-      }
-      if (!pinned) cat.pin("yesterday", Seq((idxSt, "index"), (ivfSt, "ivf")))
-      val bm = SearchOps.bm25FromSnapshot(
-        cat.tableAt("yesterday", "index"), Seq("dup", "window"), 50)
-      val ann = Similarity.ivfProbeFromSnapshot(
-        cat.tableAt("yesterday", "ivf"), nQueries = 1, k = 50)
-        .select(col("neighbor_id").as("doc_id"), col("cosine"))
+      val cat = buildPinnedStack(s, d,
+        idxRoot.toString, ivfRoot.toString, catRoot.toString)
       // pinned frame: the store roots are deleted in the finally below
-      Dedup.pin(SearchOps.rrfFuse(bm, ann))
+      Dedup.pin(servePinnedStack(cat))
     } finally {
       EventsOps.rmTree(idxRoot); EventsOps.rmTree(ivfRoot)
       EventsOps.rmTree(catRoot)
