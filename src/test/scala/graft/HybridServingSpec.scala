@@ -46,6 +46,46 @@ class HybridServingSpec extends SparkSpec {
     recall should be <= 1.0
   }
 
+  test("q233's per-query lexical legs: deterministic workload, pruned postings, per-query ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val st = SearchOps.maintainedIndex(spark, dir)
+    // the workload rule: df-ranked vocabulary dealt round-robin — stable
+    // across calls, ≤ 2 terms per query, query ids covering 0..nQ-1
+    val wl = SearchOps.termWorkload(st, nQ = 10, perQuery = 2)
+    wl shouldBe SearchOps.termWorkload(st, nQ = 10, perQuery = 2)
+    wl should have size 20
+    wl.map(_._1).distinct.sorted shouldBe (0 until 10)
+    wl.groupBy(_._1).values.foreach(_.size shouldBe 2)
+    wl.map(_._2).distinct should have size 20
+    // 3+ terms per query would break double summation-order parity
+    an[IllegalArgumentException] should be thrownBy
+      SearchOps.termWorkload(st, nQ = 10, perQuery = 3)
+    // serving: the posting read file-prunes to the workload's terms, and
+    // every query gets its own dense 1..k ranking
+    sys.props("graft.epochTrace") = "1"
+    graft.operators.Dedup.skipTrace.clear()
+    val rows =
+      try SearchOps.bm25PerQueryFromIndex(st, wl, 10).collect()
+      finally {
+        import scala.jdk.CollectionConverters._
+        val traces = graft.operators.Dedup.skipTrace.iterator().asScala.toSeq
+        sys.props.remove("graft.epochTrace")
+        graft.operators.Dedup.skipTrace.clear()
+        val post = traces.filter(_._1 == "index.postings")
+        post should not be empty
+        post.foreach { case (_, total, read) =>
+          withClue(s"index.postings $read/$total: ") { read should be <= total }
+        }
+      }
+    rows should not be empty
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      withClue(s"query $q: ") {
+        rs.map(_.getAs[Int]("bm25_rk")).sorted.toSeq shouldBe (1 to rs.size)
+        rs.map(_.getAs[Long]("doc_id")).distinct should have size rs.size.toLong
+      }
+    }
+  }
+
   test("the ANN fusion equals the exact fusion when the dense legs agree") {
     // same-cluster corpus: probe-1 IS exhaustive search, so the hybrid's
     // ANN fusion must coincide with the exact fusion (recall = 1) — the
