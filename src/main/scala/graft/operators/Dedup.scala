@@ -1633,7 +1633,11 @@ object Dedup {
        |  len(string_split(trim(d.text), ' ')) AS n_tokens
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_b FROM cut)
-       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY d.doc_id""".stripMargin) { (s0, d) =>
+    // batch-bounded epochs: the streamed sibling (q199) plans these at
+    // the 8-partition replay width via its foreachBatch clone; run the
+    // direct loop under the same width (EventsOps.withReplayWidth)
+    EventsOps.withReplayWidth(s0) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-compact")
     try {
@@ -1662,6 +1666,7 @@ object Dedup {
         // pinned: the store root is deleted in the finally below
         .transform(pin)
     } finally EventsOps.rmTree(storeRoot)
+    }
   }
 
   /** q202: dedup ingest under POLICY-DRIVEN maintenance — q201's
@@ -1692,7 +1697,9 @@ object Dedup {
        |  len(string_split(trim(d.text), ' ')) AS n_tokens
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_b FROM cut)
-       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY d.doc_id""".stripMargin) { (s0, d) =>
+    // same bounded replay width as q199/q201 — see withReplayWidth
+    EventsOps.withReplayWidth(s0) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-policy")
     val confKey = "spark.graft.state.autoCompactVersions"
@@ -1728,6 +1735,7 @@ object Dedup {
         case None => s.conf.unset(confKey)
       }
       EventsOps.rmTree(storeRoot)
+    }
     }
   }
 

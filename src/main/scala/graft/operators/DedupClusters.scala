@@ -853,7 +853,10 @@ object DedupClusters {
     * is the mapping-closure fixpoint, the card is one hash aggregate. */
   val q236 = QueryDef(
     "q236_cluster_family_release",
-    clusterReleaseOracleSql) { (s, d) =>
+    clusterReleaseOracleSql) { (s0, d) =>
+    // epoch work is batch/candidate-bounded — run the whole build under
+    // the streamed sinks' bounded replay width (EventsOps.withReplayWidth)
+    EventsOps.withReplayWidth(s0) { s =>
     val docs = Tables.documents(s, d)
       .select("doc_id", "text", "source", "lang", "n_chars")
     val root = java.nio.file.Files.createTempDirectory("graft-cluster-release")
@@ -904,6 +907,7 @@ object DedupClusters {
       // pinned frame: the store root is deleted in the finally below
       Dedup.pin(card.crossJoin(broadcast(summ)).orderBy("source"))
     } finally { EventsOps.rmTree(root); EventsOps.rmTree(catRoot) }
+    }
   }
 
   val all: Seq[QueryDef] =

@@ -178,6 +178,27 @@ object EventsOps {
     } finally rmTree(streamDir)
   }
 
+  /** Run `body` under the bounded-replay shuffle width the streamed
+    * epoch sinks already get from their foreachBatch clone (the q183
+    * 8-partition rule, see [[stagedReplayDrive]]): the DIRECT-ingest
+    * gates (q201/q202/q228/q232/q234/q236…) drive the same
+    * batch-bounded epochs without a stream, so their epoch shuffles
+    * were planned at session width — 32 slices over candidate-bounded
+    * frames is pure per-task overhead, measured at ~15% of q236's wall.
+    * A session clone carries every current runtime conf (gate-scoped
+    * policy confs like `spark.graft.state.autoCompactVersions`
+    * included) and pins the width; the caller's session is untouched,
+    * exactly the isolation contract the streaming clones have. */
+  private[graft] def withReplayWidth[T](s: org.apache.spark.sql.SparkSession)(
+      body: org.apache.spark.sql.SparkSession => T): T = {
+    val c = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try c.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    c.conf.set("spark.sql.shuffle.partitions", "8")
+    body(c)
+  }
+
   /** Recursively delete a temp tree (streaming staging dirs; also used by
     * the Warehouse streaming gates for their store roots). */
   private[graft] def rmTree(p: java.nio.file.Path): Unit = {

@@ -267,7 +267,9 @@ object HybridOps {
 
   val q227 = QueryDef(
     "q227_pinned_hybrid_stack",
-    pinnedHybridOracleSql) { (s, d) =>
+    pinnedHybridOracleSql) { (s0, d) =>
+    // batch-bounded epochs: the q183 replay width (see withReplayWidth)
+    EventsOps.withReplayWidth(s0) { s =>
     val idxRoot = java.nio.file.Files.createTempDirectory("graft-relidx")
     val ivfRoot = java.nio.file.Files.createTempDirectory("graft-relivf")
     val catRoot = java.nio.file.Files.createTempDirectory("graft-relcat")
@@ -279,6 +281,7 @@ object HybridOps {
     } finally {
       EventsOps.rmTree(idxRoot); EventsOps.rmTree(ivfRoot)
       EventsOps.rmTree(catRoot)
+    }
     }
   }
 

@@ -1293,7 +1293,9 @@ object SearchOps {
 
   val q216 = QueryDef(
     "q216_index_time_travel",
-    twoEpochBm25OracleSql) { (s, d) =>
+    twoEpochBm25OracleSql) { (s0, d) =>
+    // batch-bounded epochs: the q183 replay width (see withReplayWidth)
+    EventsOps.withReplayWidth(s0) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-index-tt")
     try {
@@ -1320,6 +1322,7 @@ object SearchOps {
       Dedup.pin(bm25FromSnapshot(st.tableAtPin("index", "epoch1"),
         Seq("dup", "window"), 20))
     } finally EventsOps.rmTree(root)
+    }
   }
 
   /** q229: time travel to a WINDOW-retained version — the un-named,
@@ -1346,7 +1349,8 @@ object SearchOps {
     * everything older. */
   val q229 = QueryDef(
     "q229_windowed_time_travel",
-    twoEpochBm25OracleSql) { (s, d) =>
+    twoEpochBm25OracleSql) { (s0, d) =>
+    EventsOps.withReplayWidth(s0) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-index-window")
     try {
@@ -1373,6 +1377,7 @@ object SearchOps {
       Dedup.pin(bm25FromSnapshot(st.tableAt("index", windowV),
         Seq("dup", "window"), 20))
     } finally EventsOps.rmTree(root)
+    }
   }
 
   /** q231: a RELEASE PINNED MID-STREAM (the 19th streaming gate) —

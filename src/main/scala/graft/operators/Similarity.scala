@@ -1411,7 +1411,9 @@ object Similarity {
 
   val q228 = QueryDef(
     "q228_ivf_recluster_drift",
-    ivfReclusterOracleSql) { (s, d) =>
+    ivfReclusterOracleSql) { (s0, d) =>
+    // batch-bounded epochs + rank-bounded serve: the q183 replay width
+    EventsOps.withReplayWidth(s0) { s =>
     val nQ = 10
     val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
     val r = raw.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
@@ -1456,6 +1458,7 @@ object Similarity {
           .orderBy("query_id")
       }
     } finally EventsOps.rmTree(root)
+    }
   }
 
   /** q232's oracle: q228's drifted-assignment CTE chain, closed with the
@@ -1533,7 +1536,8 @@ object Similarity {
     * pays the rewrite only when the ppm crosses policy. */
   val q232 = QueryDef(
     "q232_ivf_drift_probe",
-    ivfDriftProbeOracleSql) { (s, d) =>
+    ivfDriftProbeOracleSql) { (s0, d) =>
+    EventsOps.withReplayWidth(s0) { s =>
     val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
     val r = raw.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-driftprobe")
@@ -1552,6 +1556,7 @@ object Similarity {
           col("mis_after"),
           expr("mis_after * 1000000 div greatest(n_vectors, 1)").as("drift_after_ppm")))
     } finally EventsOps.rmTree(root)
+    }
   }
 
   /** q234's drift-policy threshold, shared by the gate, the oracle and
@@ -1739,7 +1744,8 @@ object Similarity {
     * heads and the 4-row policy trace. */
   val q234 = QueryDef(
     "q234_ivf_drift_policy",
-    ivfDriftPolicyOracleSql) { (s, d) =>
+    ivfDriftPolicyOracleSql) { (s0, d) =>
+    EventsOps.withReplayWidth(s0) { s =>
     import s.implicits._
     val nQ = 10
     val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
@@ -1805,6 +1811,7 @@ object Similarity {
         // pinned frame: the store roots are deleted in the finally below
         Dedup.pin(traceDf(trace).crossJoin(broadcast(rec)).orderBy("epoch"))
       } finally { EventsOps.rmTree(rootM); EventsOps.rmTree(rootF) }
+    }
     }
   }
 
