@@ -483,6 +483,8 @@ object CorpusOps {
           .queryName(sinkName)
           .outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            // bounded replay: the q183 width for batch-bounded admission
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
             gate.admit(batch, epoch)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -830,14 +830,26 @@ object Dedup {
     val (candDocs, candIds, candCount) =
       if (!materialize) (broadcast(candDocsBase), None, None)
       else {
-        val n = candDocsBase.count()
-        if (sys.props.contains("graft.epochTrace")) { candTrace.add(n); () }
-        if (n <= maxBroadcastCand) {
-          val ids = candDocsBase.collect().map(_.getLong(0))
-          java.util.Arrays.sort(ids)
+        // ONE bounded collect replaces the count-then-collect pair: a
+        // LIMIT of ceiling+1 proves which side of the ceiling we are on
+        // AND returns the ids when under it (driver memory bound is the
+        // same ceiling the collect always had). Over the ceiling — the
+        // rare band-skew fallback — the exact count still runs (the
+        // write layouts size from it).
+        val probe = candDocsBase.limit(
+          math.min(maxBroadcastCand + 1L, Int.MaxValue.toLong).toInt)
+          .collect().map(_.getLong(0))
+        if (probe.length <= maxBroadcastCand) {
+          val n = probe.length.toLong
+          if (sys.props.contains("graft.epochTrace")) { candTrace.add(n); () }
+          java.util.Arrays.sort(probe)
           import s.implicits._
-          (broadcast(ids.toSeq.toDF("doc_id")), Some(ids), Some(n))
-        } else (candDocsBase, None, Some(n))
+          (broadcast(probe.toSeq.toDF("doc_id")), Some(probe), Some(n))
+        } else {
+          val n = candDocsBase.count()
+          if (sys.props.contains("graft.epochTrace")) { candTrace.add(n); () }
+          (candDocsBase, None, Some(n))
+        }
       }
     // verification set = stored corpus hashes ∪ batch hashes, pruned to
     // candidate docs BEFORE any join — the stored shingle hashes (the
@@ -1488,7 +1500,11 @@ object Dedup {
       st.compactClustered(name, clusterCols,
         math.max(StateFilesFloor, st.fileCount(name) / 2),
         retainVersions)
-      st.registerCbo(name); ()
+      // stats for the serving joins' keys only — the cluster columns ARE
+      // the store's join/filter keys, and NDV-profiling payload columns
+      // (signatures, postings) pays a per-column pass for stats no plan
+      // reads
+      st.registerCbo(name, clusterCols); ()
     }
   }
 
@@ -1919,9 +1935,12 @@ object Dedup {
       // kind-4/kind-5 file prunes; over it, the same skew fallback as
       // the kernel — unpruned scans, no driver collect
       val epIds = {
-        val n = endpoints.count()
-        if (n <= MaxBroadcastCandidateDocs) {
-          val a = endpoints.collect().map(_.getLong(0))
+        // one bounded collect (ceiling+1) instead of count-then-collect —
+        // same driver bound, one job fewer per epoch
+        val a = endpoints.limit(
+          math.min(MaxBroadcastCandidateDocs + 1L, Int.MaxValue.toLong).toInt)
+          .collect().map(_.getLong(0))
+        if (a.length <= MaxBroadcastCandidateDocs) {
           java.util.Arrays.sort(a)
           Some(a)
         } else None
@@ -1942,7 +1961,12 @@ object Dedup {
         .unionByName(compLinks)
         .unionByName(compLinks.select(col("dst").as("src"), col("src").as("dst")))
       val fin = DedupClusters.propagateMin(edges, Some(cur))
-      val labelRows = pin(endpoints.join(fin, Seq("doc_id")))
+      // ONE checkpoint materializes this epoch's kind-4 AND kind-5 rows
+      // (they were two separate pins — two scheduling barriers for two
+      // tiny endpoint-bounded frames that the state write consumes
+      // together anyway)
+      val lm = pin(endpoints.join(fin, Seq("doc_id"))
+        .select(col("doc_id").as("a"), col("component").as("b"), lit(4).as("tag"))
       // one mapping row per component this epoch ABSORBED — and only
       // those: candidates are the pre-epoch LIVE components reachable
       // from this epoch (= resolved labels of stored endpoints; a
@@ -1952,10 +1976,14 @@ object Dedup {
       // smaller id are EXCLUDED: nothing on disk is labeled with a
       // never-stored id, so kind-5 stays O(absorbed components), not
       // O(endpoints), however dup-heavy the corpus.
-      val maps = pin(curStored.select(col("component").as("doc_id")).distinct()
-        .join(fin.toDF("doc_id", "fin"), Seq("doc_id"))
-        .filter(col("fin") < col("doc_id"))
-        .select(col("doc_id").as("old_comp"), col("fin").as("new_comp")))
+        .unionByName(curStored.select(col("component").as("doc_id")).distinct()
+          .join(fin.toDF("doc_id", "fin"), Seq("doc_id"))
+          .filter(col("fin") < col("doc_id"))
+          .select(col("doc_id").as("a"), col("fin").as("b"), lit(5).as("tag"))))
+      val labelRows = lm.filter(col("tag") === 4)
+        .select(col("a").as("doc_id"), col("b").as("component"))
+      val maps = lm.filter(col("tag") === 5)
+        .select(col("a").as("old_comp"), col("b").as("new_comp"))
       // optional per-doc metadata (kinds >= 6) — batch-bounded expression
       // work at arrival time (the only moment the text is in hand)
       val metaRows = meta.map(f => f(batch))

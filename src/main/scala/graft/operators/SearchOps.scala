@@ -569,8 +569,13 @@ object SearchOps {
       retainVersions: Option[Int] = None)(
       batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
     if (st.batchCommitted("index", epoch)) return
-    st.appendBatch("index", epoch,
-      Dedup.bucketLayout(indexRows(batch), 8, "kind", "w", "doc_id"))
+    // persist before the range layout: repartitionByRange SAMPLES its
+    // child with a separate job, so an unpersisted postings frame would
+    // pay the tokenize+explode+aggregate subtree twice per epoch
+    val rows = indexRows(batch).persist()
+    try st.appendBatch("index", epoch,
+      Dedup.bucketLayout(rows, 8, "kind", "w", "doc_id"))
+    finally { rows.unpersist(); () }
     // shared auto-compaction policy (one helper across the state/index/
     // ivf stores — ADVICE r15 #3): layout-preserving collapse, ledger
     // survives, stats handed to the CBO after the collapse; compactLimit

@@ -843,8 +843,12 @@ object Similarity {
       compactLimit: Option[Int] = None)(
       batch: DataFrame, epoch: Long): Unit = {
     if (st.batchCommitted("ivf", epoch)) return
-    st.appendBatch("ivf", epoch,
-      Dedup.bucketLayout(ivfRows(batch), 8, "kind", "label", "vec_id", "i"))
+    // persist before the range layout — repartitionByRange's sampling
+    // job would otherwise re-run the component explode per epoch
+    val rows = ivfRows(batch).persist()
+    try st.appendBatch("ivf", epoch,
+      Dedup.bucketLayout(rows, 8, "kind", "label", "vec_id", "i"))
+    finally { rows.unpersist(); () }
     // shared auto-compaction policy (one helper across the state/index/
     // ivf stores — ADVICE r15 #3): layout-preserving collapse, ledger
     // survives, stats handed to the CBO after the collapse; compactLimit

@@ -645,6 +645,19 @@ final class TableStore(spark: SparkSession, root: String) {
       if (Files.exists(p)) FileStats.parse(new String(Files.readAllBytes(p))) else Nil
     }.map(f => f.relPath -> f).toMap
 
+  /** Exact current-snapshot row count from the stats sidecars alone —
+    * Some only when EVERY current file has a recorded stat (parquet
+    * footer row counts are exact), None if any file is foreign/unstated.
+    * The no-Spark-job fast path [[analyze]] takes instead of a count()
+    * scan: a maintenance pass that just compacted a table should not pay
+    * a full re-read to report the row count its own write already knew. */
+  private def statsExactRowCount(name: String): Option[Long] = {
+    val files = currentFiles(name)
+    val stats = currentStats(name, files)
+    val known = files.flatMap { case (rel, _) => stats.get(rel).map(_.rows) }
+    if (known.size == files.size) Some(known.sum) else None
+  }
+
   /** Total rows of the current snapshot, summed from the per-file stats
     * sidecars — metadata only, no Spark job. Files whose stats a writer
     * did not record count 0 (every write path of this store records
@@ -1830,7 +1843,8 @@ final class TableStore(spark: SparkSession, root: String) {
           sizeOf(if (sub == ".") Paths.get(s"$root/$name/$vd")
                  else Paths.get(s"$root/$name/$vd/$sub"))
         }.sum
-        TableStore.TableStats(table(name).count(), bytes, v)
+        TableStore.TableStats(
+          statsExactRowCount(name).getOrElse(table(name).count()), bytes, v)
       case None =>
         val bytes = sizeOf(Paths.get(dataPath(name, v)))
         val protectedDirs = pinnedEntries.map(_._2).toSet
@@ -1845,7 +1859,8 @@ final class TableStore(spark: SparkSession, root: String) {
           // keep theirs via dropSidecars)
           dropSidecars(old)
         }
-        TableStore.TableStats(table(name).count(), bytes, v)
+        TableStore.TableStats(
+          statsExactRowCount(name).getOrElse(table(name).count()), bytes, v)
     }
   }
 
@@ -1863,7 +1878,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * version-chained or partitioned table must be compacted first —
     * refusing beats registering a LOCATION that silently misses
     * manifest-stitched rows. */
-  def registerCbo(name: String): String = {
+  /** `cols` restricts the ANALYZE to the named columns (the serving
+    * paths' join/filter keys) — at scale, NDV-profiling every payload
+    * column of a maintained store is the expensive part of the pass and
+    * buys the planner nothing it uses; empty = ALL COLUMNS (the
+    * original, for callers that want the full profile). */
+  def registerCbo(name: String, cols: Seq[String] = Nil): String = {
     val v = currentVersion(name)
     require(v >= 0, s"no such table: $name")
     require(readManifest(name, v).isEmpty,
@@ -1878,7 +1898,10 @@ final class TableStore(spark: SparkSession, root: String) {
     val cat = s"graft_cbo_${name}_${Integer.toHexString(root.hashCode)}"
     spark.sql(s"DROP TABLE IF EXISTS `$cat`")
     spark.sql(s"CREATE TABLE `$cat` USING parquet LOCATION '${dataPath(name, v)}'")
-    spark.sql(s"ANALYZE TABLE `$cat` COMPUTE STATISTICS FOR ALL COLUMNS")
+    val colSpec =
+      if (cols.isEmpty) "FOR ALL COLUMNS"
+      else s"FOR COLUMNS ${cols.map(c => s"`$c`").mkString(", ")}"
+    spark.sql(s"ANALYZE TABLE `$cat` COMPUTE STATISTICS $colSpec")
     // durable marker: ANY handle over this root (stores are re-opened
     // per call throughout the suite) routes [[table]] through the
     // analyzed catalog relation while this exact version is current, so
