@@ -705,6 +705,11 @@ object Dedup {
     * broadcast if runtime stats allow. ~4M ids ≈ tens of MB broadcast. */
   private[graft] val MaxBroadcastCandidateDocs = 4000000L
 
+  // ceiling+1 as an Int LIMIT, overflow-safe for ceilings near Long.MaxValue
+  // (ceiling + 1L would wrap to Long.MinValue and .toInt to 0 — limit(0))
+  private[graft] def boundedProbeLimit(ceiling: Long): Int =
+    if (ceiling >= Int.MaxValue - 1L) Int.MaxValue else (ceiling + 1L).toInt
+
   /** [[incrementalLshKernelPruned]] over plain signature frames — the
     * compatibility seam for callers (and plan specs) holding a raw
     * (doc_id, n, h0..h15) signature frame and a (doc_id, h) hash frame:
@@ -836,8 +841,7 @@ object Dedup {
         // same ceiling the collect always had). Over the ceiling — the
         // rare band-skew fallback — the exact count still runs (the
         // write layouts size from it).
-        val probe = candDocsBase.limit(
-          math.min(maxBroadcastCand + 1L, Int.MaxValue.toLong).toInt)
+        val probe = candDocsBase.limit(boundedProbeLimit(maxBroadcastCand))
           .collect().map(_.getLong(0))
         if (probe.length <= maxBroadcastCand) {
           val n = probe.length.toLong
@@ -1826,6 +1830,21 @@ object Dedup {
       return raw.join(closure.toDF("component", "root"), Seq("component"), "left")
         .select(col("doc_id"), coalesce(col("root"), col("component")).as("component"))
     }
+    // Driver walk (guide §1.2/§5): prunedIds = true means the caller's
+    // endpoint set fit the broadcast ceiling, and raw is one row per
+    // endpoint — hold the labels on the driver and pay ONE job per hop
+    // (the pruned kind-5 scan + min-per-component aggregate) instead of
+    // the ids-collect + checkpoint + count triple the distributed loop
+    // needed. Identical hop semantics, same round budget.
+    val rawArr = raw.limit(boundedProbeLimit(MaxBroadcastCandidateDocs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (rawArr.length <= MaxBroadcastCandidateDocs) {
+      val s = raw.sparkSession
+      val resolved = driverResolveMappings(s, st, rawArr)
+      import s.implicits._
+      return rawArr.map { case (d, _) => (d, resolved(d)) }.toSeq
+        .toDF("doc_id", "component")
+    }
     var cur = pin(raw)
     var rounds = 0
     while (rounds < MappingChainRounds) {
@@ -1848,9 +1867,58 @@ object Dedup {
       if (moved == 0L) return cur
       rounds += 1
     }
-    throw new IllegalStateException(
-      s"merge-mapping chain resolution did not converge after $MappingChainRounds hops " +
-        "— compact the signature store to collapse re-emitted chains")
+    throw new IllegalStateException(mappingChainError)
+  }
+
+  private def mappingChainError: String =
+    s"merge-mapping chain resolution did not converge after $MappingChainRounds hops " +
+      "— compact the signature store to collapse re-emitted chains"
+
+  /** The hop-by-hop kind-5 chain walk of [[resolveThroughMappings]]'
+    * pruned path, run against driver-held labels: each hop file-prunes
+    * the stored mappings to the CURRENT component id set (one Spark job:
+    * pruned scan + semi-join + min per component), applies the step on
+    * the driver, and stops when nothing moved. Same hop semantics and
+    * round budget as the distributed loop; shared by the pruned resolve
+    * and [[clusterIngestEpochBody]]'s driver contraction. Returns
+    * doc_id -> resolved component for every input pair. */
+  private def driverResolveMappings(s: SparkSession,
+      st: graft.sources.TableStore,
+      raw: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    val docs = raw.map(_._1)
+    val comps = raw.map(_._2)
+    var rounds = 0
+    var done = raw.isEmpty
+    while (!done && rounds < MappingChainRounds) {
+      val ids = comps.distinct
+      java.util.Arrays.sort(ids)
+      val (m, rep) = st.scanSkippingIds("state",
+        Seq(graft.sources.FileStats.ColumnRange("kind", Some(5), Some(5))),
+        "doc_id", ids)
+      recordSkip("state.maps", rep)
+      import s.implicits._
+      // min over re-emitted rows picks the furthest-resolved target; the
+      // semi-join restricts the scan's file-granular SUPERSET to the ids
+      val stepArr = m.select(col("doc_id"), col("h"))
+        .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(min(col("h")).as("nc")).collect()
+      val step = new scala.collection.mutable.LongMap[Long](stepArr.length)
+      stepArr.foreach(r => step.update(r.getLong(0), r.getLong(1)))
+      var moved = 0L
+      var i = 0
+      while (i < comps.length) {
+        val nc = step.getOrElse(comps(i), comps(i))
+        if (nc != comps(i)) { comps(i) = nc; moved += 1 }
+        i += 1
+      }
+      if (moved == 0L) done = true else rounds += 1
+    }
+    if (!done && rounds >= MappingChainRounds)
+      throw new IllegalStateException(mappingChainError)
+    val out = new scala.collection.mutable.LongMap[Long](raw.length)
+    var i = 0
+    while (i < raw.length) { out.update(docs(i), comps(i)); i += 1 }
+    out
   }
 
   /** One CLUSTER epoch's state rows: the dedup state frame (kinds 0/2/3;
@@ -1923,11 +1991,27 @@ object Dedup {
       val k = incrementalLshKernelPruned(s,
         stateBandsPruned(st, batchBandKeys(newSig)), stateThFor(st),
         newSig, newTh)
-      // pin the epoch's verified pairs before releasing kernel caches —
-      // everything below derives from this (small) frame
-      val pairs =
-        try pin(k.pairs.select(col("doc_a"), col("doc_b")))
-        finally k.release()
+      // Bounded probe of the epoch's verified pairs: under the kernel's
+      // broadcast ceiling the WHOLE merge-graph contraction — endpoint
+      // resolution, mapping-chain walk, min-label fixpoint, absorbed-
+      // component mapping rows — runs on the DRIVER over this one collect
+      // (the graph is pair-bounded by construction, same ceiling the
+      // candidate collect always had). Per-epoch actions drop from ~10
+      // scheduling barriers (pins + per-round counts) to: this collect,
+      // one pruned label scan, one pruned kind-5 scan per mapping hop,
+      // the batch count and the append. Over the ceiling (band-value
+      // skew): the distributed dataflow below, unchanged.
+      val pairsLocal: Either[DataFrame, Array[(Long, Long)]] =
+        try {
+          val a = k.pairs.select(col("doc_a"), col("doc_b"))
+            .limit(boundedProbeLimit(MaxBroadcastCandidateDocs)).collect()
+          if (a.length <= MaxBroadcastCandidateDocs)
+            Right(a.map(r => (r.getLong(0), r.getLong(1))))
+          else Left(pin(k.pairs.select(col("doc_a"), col("doc_b"))))
+        } finally k.release()
+      val (labelRows, maps) = pairsLocal match {
+        case Right(prs) => driverEpochContraction(s, st, prs)
+        case Left(pairs) =>
       val endpoints = pairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
@@ -1937,8 +2021,7 @@ object Dedup {
       val epIds = {
         // one bounded collect (ceiling+1) instead of count-then-collect —
         // same driver bound, one job fewer per epoch
-        val a = endpoints.limit(
-          math.min(MaxBroadcastCandidateDocs + 1L, Int.MaxValue.toLong).toInt)
+        val a = endpoints.limit(boundedProbeLimit(MaxBroadcastCandidateDocs))
           .collect().map(_.getLong(0))
         if (a.length <= MaxBroadcastCandidateDocs) {
           java.util.Arrays.sort(a)
@@ -1980,10 +2063,11 @@ object Dedup {
           .join(fin.toDF("doc_id", "fin"), Seq("doc_id"))
           .filter(col("fin") < col("doc_id"))
           .select(col("doc_id").as("a"), col("fin").as("b"), lit(5).as("tag"))))
-      val labelRows = lm.filter(col("tag") === 4)
-        .select(col("a").as("doc_id"), col("b").as("component"))
-      val maps = lm.filter(col("tag") === 5)
-        .select(col("a").as("old_comp"), col("b").as("new_comp"))
+      (lm.filter(col("tag") === 4)
+        .select(col("a").as("doc_id"), col("b").as("component")),
+       lm.filter(col("tag") === 5)
+        .select(col("a").as("old_comp"), col("b").as("new_comp")))
+      }
       // optional per-doc metadata (kinds >= 6) — batch-bounded expression
       // work at arrival time (the only moment the text is in hand)
       val metaRows = meta.map(f => f(batch))
@@ -1993,6 +2077,69 @@ object Dedup {
           files))
       maybeAutoCompact(s, st, k.candCount)
     } finally { newSig.unpersist(); newTh.unpersist(); () }
+  }
+
+  /** The under-ceiling cluster-epoch contraction on the driver: given the
+    * epoch's verified pairs (bounded by the kernel's broadcast ceiling),
+    * resolve the endpoints' stored labels (one kind-4 file-pruned scan +
+    * the driver kind-5 chain walk), contract the merge graph — pair edges
+    * plus endpoint↔current-component links — with a union-find, and emit
+    * the epoch's kind-4 label rows and kind-5 absorbed-component mappings
+    * as LOCAL relations the state write consumes directly (no checkpoint
+    * barriers). Semantics identical to the distributed dataflow in
+    * [[clusterIngestEpochBody]]'s skew branch: same label fixpoint (min
+    * reachable seeded label), same mapping-candidate rule (distinct
+    * resolved stored components whose final label is smaller). */
+  private def driverEpochContraction(s: SparkSession,
+      st: graft.sources.TableStore,
+      prs: Array[(Long, Long)]): (DataFrame, DataFrame) = {
+    import s.implicits._
+    if (prs.isEmpty)
+      return (Seq.empty[(Long, Long)].toDF("doc_id", "component"),
+        Seq.empty[(Long, Long)].toDF("old_comp", "new_comp"))
+    val epSet = new scala.collection.mutable.LongMap[Boolean]()
+    prs.foreach { case (a, b) => epSet.update(a, true); epSet.update(b, true) }
+    val eps = new Array[Long](epSet.size)
+    var epI = 0
+    epSet.foreach { case (k, _) => eps(epI) = k; epI += 1 }
+    java.util.Arrays.sort(eps)
+    // stored labels of this epoch's endpoints: kind-4 scan file-pruned to
+    // the endpoint ids, restricted exactly by the semi-join, min per doc
+    // (a doc re-matched across epochs carries several kind-4 rows that
+    // all resolve to the same current component)
+    val (ldf, rep) = st.scanSkippingIds("state",
+      Seq(graft.sources.FileStats.ColumnRange("kind", Some(4), Some(4))),
+      "doc_id", eps)
+    recordSkip("state.labels", rep)
+    val rawArr = ldf.select(col("doc_id"), col("h").as("component"))
+      .join(broadcast(eps.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(min(col("component")).as("component"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // current labels through the stored merge chains; never-paired
+    // endpoints start at themselves
+    val curMap = driverResolveMappings(s, st, rawArr)
+    def curOf(v: Long): Long = curMap.getOrElse(v, v)
+    // merge graph: pair edges + endpoint↔current-component links (the
+    // union-find is undirected, so one direction of each suffices)
+    val links = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    eps.foreach { e => val c = curOf(e); if (c != e) links += ((e, c)) }
+    val fin = DedupClusters.unionFindMin(prs ++ links, eps,
+      v => if (epSet.contains(v)) curOf(v) else v)
+    val labelArr = eps.map(e => (e, fin(e)))
+    // one mapping row per component this epoch ABSORBED — candidates are
+    // the distinct pre-epoch LIVE components reachable from this epoch
+    // (= resolved labels of stored endpoints), kept when the contraction
+    // gave them a smaller final label; same rule as the skew branch
+    val seen = new scala.collection.mutable.LongMap[Boolean]()
+    val absorbed = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    curMap.foreach { case (_, c) =>
+      if (!seen.contains(c)) {
+        seen.update(c, true)
+        fin.get(c).foreach { f => if (f < c) absorbed += ((c, f)) }
+      }
+    }
+    (labelArr.toSeq.toDF("doc_id", "component"),
+      absorbed.toSeq.toDF("old_comp", "new_comp"))
   }
 
   /** Current cluster labels off the state store: every kind-4 row

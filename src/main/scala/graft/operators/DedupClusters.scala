@@ -108,9 +108,91 @@ object DedupClusters {
     * lineage, no recursive re-execution. Rounds needed = graph diameter;
     * non-convergence within the budget is an ERROR, not a silently
     * shipped wrong answer. */
-  private[operators] def propagateMin(edges0: org.apache.spark.sql.DataFrame,
-      init: Option[org.apache.spark.sql.DataFrame] = None)
+  /** Driver union-find for the min-label fixpoint over a SYMMETRIC,
+    * bounded edge list: union every edge, then label each node with the
+    * minimum `seeded` value of its connected component — exactly the
+    * fixpoint [[propagateMin]]'s distributed loop converges to when the
+    * caller passes both edge directions (every caller does). `extraNodes`
+    * adds edge-less nodes (init-only seeds) to the universe. Returns
+    * node -> final label for every node seen. */
+  private[graft] def unionFindMin(
+      edges: Array[(Long, Long)],
+      extraNodes: Array[Long],
+      seeded: Long => Long): scala.collection.mutable.LongMap[Long] = {
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def intern(v: Long): Int =
+      if (idx.contains(v)) idx(v)
+      else { val i = ids.length; idx.update(v, i); ids += v; i }
+    edges.foreach { case (a, b) => intern(a); intern(b); () }
+    extraNodes.foreach { v => intern(v); () }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minSeed = Array.fill(ids.length)(Long.MaxValue)
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val sv = seeded(ids(i))
+      if (sv < minSeed(r)) minSeed(r) = sv
+      i += 1
+    }
+    val out = new scala.collection.mutable.LongMap[Long](ids.length)
+    i = 0
+    while (i < ids.length) { out.update(ids(i), minSeed(find(i))); i += 1 }
+    out
+  }
+
+  private[graft] def propagateMin(edges0: org.apache.spark.sql.DataFrame,
+      init: Option[org.apache.spark.sql.DataFrame] = None,
+      driverCeiling: Long = Dedup.MaxBroadcastCandidateDocs)
       : org.apache.spark.sql.DataFrame = {
+    // Driver fast path (guide §1.2/§5: the fixed cost here is actions ×
+    // per-action scheduling overhead, not task width): every caller passes
+    // a candidate- or mapping-bounded SYMMETRIC edge list (both
+    // directions), so under the kernel's broadcast ceiling the fixpoint is
+    // ONE bounded collect + a union-find — identical labels (min seeded
+    // value over each connected component) with zero per-round
+    // checkpoint+count barriers. Over the ceiling: the distributed loop
+    // below, unchanged (the same skew trade as the kernel's candidate
+    // collect; the probe's limit scan is the only extra cost).
+    val lim = Dedup.boundedProbeLimit(driverCeiling)
+    val eArr = edges0.select("src", "dst").limit(lim).collect()
+    if (eArr.length <= driverCeiling) {
+      val iArr = init.map(_.select("doc_id", "component").limit(lim).collect())
+      if (iArr.forall(_.length <= driverCeiling)) {
+        val s = edges0.sparkSession
+        // seeded label = min init component per doc, else the doc itself
+        // (exactly the distributed loop's coalesce(min(c0), doc_id))
+        val initMap = new scala.collection.mutable.LongMap[Long]()
+        iArr.foreach(_.foreach { r =>
+          val d = r.getLong(0); val c = r.getLong(1)
+          if (c < initMap.getOrElse(d, Long.MaxValue)) initMap.update(d, c)
+        })
+        val edges = eArr.map(r => (r.getLong(0), r.getLong(1)))
+        val extra = new scala.collection.mutable.ArrayBuffer[Long]()
+        initMap.foreach { case (k, _) => extra += k }
+        val fin = unionFindMin(edges, extra.toArray,
+          v => initMap.getOrElse(v, v))
+        // label rows for edge SOURCES ∪ init ids — the distributed loop's
+        // node set (with symmetric edges, sources cover every endpoint)
+        val outSeen = new scala.collection.mutable.LongMap[Boolean]()
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        def emit(v: Long): Unit =
+          if (!outSeen.contains(v)) { outSeen.update(v, true); out += ((v, fin(v))) }
+        edges.foreach { case (a, _) => emit(a) }
+        initMap.foreach { case (k, _) => emit(k) }
+        import s.implicits._
+        return out.toSeq.toDF("doc_id", "component")
+      }
+    }
     val edges = edges0.cache()
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     val seeded = init match {
