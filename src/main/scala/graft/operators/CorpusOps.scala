@@ -483,8 +483,10 @@ object CorpusOps {
           .queryName(sinkName)
           .outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-            // bounded replay: the q183 width for batch-bounded admission
-            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+            // bounded replay: the volume-derived q183 width for
+            // batch-bounded admission
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions",
+              EventsOps.replayWidth(s, EventsOps.planBytes(docs) / 4).toString)
             gate.admit(batch, epoch)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -1603,12 +1603,14 @@ object Dedup {
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
             // bounded replay: per-epoch shuffles carry batch/candidate-
             // bounded rows only, so session width (32) over-slices them —
-            // the q183 8-partition replay rule. Set on the STREAM'S cloned
-            // session (batch.sparkSession), never the shared one, so a
-            // concurrent query on the caller's session keeps its width
-            // (ADVICE r12); the clone persists across epochs, the set is
-            // idempotent.
-            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+            // the q183 replay rule, volume-derived. Set on the STREAM'S
+            // cloned session (batch.sparkSession), never the shared one,
+            // so a concurrent query on the caller's session keeps its
+            // width (ADVICE r12); the clone persists across epochs, the
+            // set is idempotent.
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions",
+              EventsOps.replayWidth(s,
+                EventsOps.planBytes(docs) / math.max(1, slices)).toString)
             dedupIngestEpoch(st)(batch, epoch)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1655,9 +1657,12 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT doc_b FROM cut)
        |ORDER BY d.doc_id""".stripMargin) { (s0, d) =>
     // batch-bounded epochs: the streamed sibling (q199) plans these at
-    // the 8-partition replay width via its foreachBatch clone; run the
-    // direct loop under the same width (EventsOps.withReplayWidth)
-    EventsOps.withReplayWidth(s0) { s =>
+    // the bounded replay width via its foreachBatch clone; run the
+    // direct loop under the same width (EventsOps.withReplayWidth),
+    // derived from the per-epoch input volume
+    val inBytes = EventsOps.planBytes(
+      Tables.documents(s0, d).select("doc_id", "text"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-compact")
     try {
@@ -1677,6 +1682,9 @@ object Dedup {
           if (e == 1) compactSignatureStore(st)
         }
       }
+      // serve phase joins the store-wide cut set against the whole corpus
+      // — width from the full input volume, not the epoch's
+      EventsOps.serveWidth(s, inBytes)
       val cuts = stateCuts(st.table("state")).distinct()
       Tables.documents(s, d)
         .join(cuts, Seq("doc_id"), "left_anti")
@@ -1719,7 +1727,9 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT doc_b FROM cut)
        |ORDER BY d.doc_id""".stripMargin) { (s0, d) =>
     // same bounded replay width as q199/q201 — see withReplayWidth
-    EventsOps.withReplayWidth(s0) { s =>
+    val inBytes = EventsOps.planBytes(
+      Tables.documents(s0, d).select("doc_id", "text"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-policy")
     val confKey = "spark.graft.state.autoCompactVersions"
@@ -1741,6 +1751,8 @@ object Dedup {
               col("doc_id") < lo + (e + 1) * step), e.toLong)
         }
       }
+      // serve phase is store-wide ⋈ corpus — full-volume width
+      EventsOps.serveWidth(s, inBytes)
       val cuts = stateCuts(st.table("state")).distinct()
       Tables.documents(s, d)
         .join(cuts, Seq("doc_id"), "left_anti")

@@ -936,9 +936,11 @@ object DedupClusters {
   val q236 = QueryDef(
     "q236_cluster_family_release",
     clusterReleaseOracleSql) { (s0, d) =>
-    // epoch work is batch/candidate-bounded — run the whole build under
-    // the streamed sinks' bounded replay width (EventsOps.withReplayWidth)
-    EventsOps.withReplayWidth(s0) { s =>
+    // epoch work is batch/candidate-bounded — run the build under the
+    // streamed sinks' bounded replay width, volume-derived
+    val inBytes = EventsOps.planBytes(Tables.documents(s0, d)
+      .select("doc_id", "text", "source", "lang", "n_chars"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val docs = Tables.documents(s, d)
       .select("doc_id", "text", "source", "lang", "n_chars")
     val root = java.nio.file.Files.createTempDirectory("graft-cluster-release")
@@ -978,6 +980,8 @@ object DedupClusters {
         }
       }
       if (!pinned) cat.pin("corpus-r1", Seq((st, "state"), (st, "card")))
+      // serving reads the release's store-wide snapshots — full-volume width
+      EventsOps.serveWidth(s, inBytes)
       val labels = Dedup.clusterLabelsFrom(cat.tableAt("corpus-r1", "state"))
       val summ = labels.groupBy("component").agg(count(lit(1)).as("m"))
         .agg(count(lit(1)).as("n_components"),

@@ -159,6 +159,9 @@ object EventsOps {
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$sinkName")
     try {
       val nFiles = math.max(1L, math.min(32L, nRows / rowsPerFile + 1)).toInt
+      // bounded replay, volume-derived (the q183 rule's scale-adaptive
+      // form): width from the per-slice input estimate, floor 8
+      val epochWidth = replayWidth(s, planBytes(rows) / math.max(1, slices))
       val width = stageAligned(streamDir,
         slicedStages(rows, key, lo, hi, slices), nFiles)
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
@@ -169,13 +172,47 @@ object EventsOps {
         .queryName(sinkName)
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-          batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+          batch.sparkSession.conf.set("spark.sql.shuffle.partitions",
+            epochWidth.toString)
           sink(batch, epoch)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally rmTree(streamDir)
+  }
+
+  /** Estimated bytes of a frame from optimizer statistics (for parquet
+    * scans: the file bytes) — metadata only, no job. */
+  private[graft] def planBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong
+  }
+
+  /** Scale-adaptive bounded-replay shuffle width (guide §2.2/§2.4,
+    * VERDICT r19 #2): max(8, estBytes / target), target =
+    * `spark.graft.replay.targetPartitionBytes` (default 64 MiB), capped
+    * at 2048. The bench-scale floor stays the q183 8-partition rule
+    * (every SF in /root/testdata derives width 8, so bench plans are
+    * unchanged), while 10×/100× replicas — and deployment-scale epochs —
+    * grow the width with the volume instead of pinning SF-proportional
+    * epoch shuffles at a constant. */
+  private[graft] def replayWidth(s: org.apache.spark.sql.SparkSession,
+      estBytes: Long): Int = {
+    val target = s.conf.getOption("spark.graft.replay.targetPartitionBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    math.min(2048L, math.max(8L, estBytes / math.max(1L, target) + 1L)).toInt
+  }
+
+  /** Width for the serve/report phase of a replay-width gate: serve legs
+    * join STORE-wide frames (the whole ingested corpus), so their width
+    * derives from the full input volume, not the epoch's — the
+    * 8-partition epoch pin must not cap serving at scale (ADVICE r19 #2).
+    * Sets the CLONE's conf; the next action plans with it. */
+  private[graft] def serveWidth(c: org.apache.spark.sql.SparkSession,
+      estBytes: Long): Unit = {
+    c.conf.set("spark.sql.shuffle.partitions", replayWidth(c, estBytes).toString)
+    ()
   }
 
   /** Run `body` under the bounded-replay shuffle width the streamed
@@ -188,14 +225,19 @@ object EventsOps {
     * A session clone carries every current runtime conf (gate-scoped
     * policy confs like `spark.graft.state.autoCompactVersions`
     * included) and pins the width; the caller's session is untouched,
-    * exactly the isolation contract the streaming clones have. */
-  private[graft] def withReplayWidth[T](s: org.apache.spark.sql.SparkSession)(
+    * exactly the isolation contract the streaming clones have.
+    * `estEpochBytes` (when >= 0) derives the width from the epoch's
+    * estimated input volume via [[replayWidth]] instead of the bare
+    * floor — callers pass their input frame's [[planBytes]] / slices. */
+  private[graft] def withReplayWidth[T](s: org.apache.spark.sql.SparkSession,
+      estEpochBytes: Long = -1L)(
       body: org.apache.spark.sql.SparkSession => T): T = {
     val c = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
       try c.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
-    c.conf.set("spark.sql.shuffle.partitions", "8")
+    val w = if (estEpochBytes < 0L) 8 else replayWidth(s, estEpochBytes)
+    c.conf.set("spark.sql.shuffle.partitions", w.toString)
     body(c)
   }
 
@@ -1043,7 +1085,9 @@ object EventsOps {
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "8") // bounded replay: state shuffle sized to it
+        // bounded replay: state shuffle sized to the replayed volume
+        s.conf.set("spark.sql.shuffle.partitions",
+          replayWidth(s, planBytes(raw)).toString)
         val q = EventStream.sessionRollup(stream).writeStream
           .format("memory").queryName(sinkName).outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1242,7 +1286,9 @@ object EventsOps {
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // bounded replay: state shuffle sized to the replayed volume
+        s.conf.set("spark.sql.shuffle.partitions",
+          replayWidth(s, planBytes(raw)).toString)
         val q = stream
           .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
             col("event_type"))

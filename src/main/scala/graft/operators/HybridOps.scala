@@ -268,14 +268,18 @@ object HybridOps {
   val q227 = QueryDef(
     "q227_pinned_hybrid_stack",
     pinnedHybridOracleSql) { (s0, d) =>
-    // batch-bounded epochs: the q183 replay width (see withReplayWidth)
-    EventsOps.withReplayWidth(s0) { s =>
+    // batch-bounded epochs: the volume-derived q183 replay width
+    val inBytes = EventsOps.planBytes(graft.core.Tables.documents(s0, d)) +
+      EventsOps.planBytes(graft.core.Tables.embeddings(s0, d))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val idxRoot = java.nio.file.Files.createTempDirectory("graft-relidx")
     val ivfRoot = java.nio.file.Files.createTempDirectory("graft-relivf")
     val catRoot = java.nio.file.Files.createTempDirectory("graft-relcat")
     try {
       val cat = buildPinnedStack(s, d,
         idxRoot.toString, ivfRoot.toString, catRoot.toString)
+      // serve reads the pinned store-wide snapshots — full-volume width
+      EventsOps.serveWidth(s, inBytes)
       // pinned frame: the store roots are deleted in the finally below
       Dedup.pin(servePinnedStack(cat))
     } finally {

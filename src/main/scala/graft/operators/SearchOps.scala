@@ -1299,8 +1299,10 @@ object SearchOps {
   val q216 = QueryDef(
     "q216_index_time_travel",
     twoEpochBm25OracleSql) { (s0, d) =>
-    // batch-bounded epochs: the q183 replay width (see withReplayWidth)
-    EventsOps.withReplayWidth(s0) { s =>
+    // batch-bounded epochs: the volume-derived q183 replay width
+    val inBytes = EventsOps.planBytes(
+      Tables.documents(s0, d).select("doc_id", "text"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-index-tt")
     try {
@@ -1323,6 +1325,8 @@ object SearchOps {
         }
       }
       if (!pinnedAny) st.pinVersion("index", "epoch1") // empty-corpus shape
+      // serve phase reads the store-wide snapshot — full-volume width
+      EventsOps.serveWidth(s, inBytes)
       // pinned frame: the store root is deleted in the finally below
       Dedup.pin(bm25FromSnapshot(st.tableAtPin("index", "epoch1"),
         Seq("dup", "window"), 20))
@@ -1355,7 +1359,9 @@ object SearchOps {
   val q229 = QueryDef(
     "q229_windowed_time_travel",
     twoEpochBm25OracleSql) { (s0, d) =>
-    EventsOps.withReplayWidth(s0) { s =>
+    val inBytes = EventsOps.planBytes(
+      Tables.documents(s0, d).select("doc_id", "text"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-index-window")
     try {
@@ -1378,6 +1384,8 @@ object SearchOps {
         }
       }
       if (windowV < 0) windowV = st.currentVersionOf("index") // empty-corpus shape
+      // serve phase reads the store-wide snapshot — full-volume width
+      EventsOps.serveWidth(s, inBytes)
       // pinned frame: the store root is deleted in the finally below
       Dedup.pin(bm25FromSnapshot(st.tableAt("index", windowV),
         Seq("dup", "window"), 20))

@@ -1416,8 +1416,11 @@ object Similarity {
   val q228 = QueryDef(
     "q228_ivf_recluster_drift",
     ivfReclusterOracleSql) { (s0, d) =>
-    // batch-bounded epochs + rank-bounded serve: the q183 replay width
-    EventsOps.withReplayWidth(s0) { s =>
+    // batch-bounded epochs + rank-bounded serve: the volume-derived
+    // q183 replay width
+    val inBytes = EventsOps.planBytes(
+      Tables.embeddings(s0, d).select("vec_id", "label", "embedding"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val nQ = 10
     val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
     val r = raw.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
@@ -1425,6 +1428,9 @@ object Similarity {
     try {
       val st = new graft.sources.TableStore(s, root.toString)
       val empty = !ingestDriftedIvf(st, raw, r)
+      // everything from here on is store-wide (recall sweeps, recluster
+      // rewrite, exact baseline) — full-volume width
+      EventsOps.serveWidth(s, inBytes)
       def recall5(tag: String): DataFrame = {
         val ivfTop = storeMultiprobeScored(st, s, nQ, levels = Seq(3))
           .withColumn("rk", row_number().over(
@@ -1541,13 +1547,18 @@ object Similarity {
   val q232 = QueryDef(
     "q232_ivf_drift_probe",
     ivfDriftProbeOracleSql) { (s0, d) =>
-    EventsOps.withReplayWidth(s0) { s =>
+    val inBytes = EventsOps.planBytes(
+      Tables.embeddings(s0, d).select("vec_id", "label", "embedding"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
     val r = raw.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-driftprobe")
     try {
       val st = new graft.sources.TableStore(s, root.toString)
       ingestDriftedIvf(st, raw, r)
+      // the probes and the recluster rewrite are store-wide — full-volume
+      // width from here on
+      EventsOps.serveWidth(s, inBytes)
       // EAGER before-read: the recluster below rewrites the store
       val before = Dedup.pin(
         ivfMisassignment(st).select(col("n_vectors"), col("mis").as("mis_before")))
@@ -1749,7 +1760,9 @@ object Similarity {
   val q234 = QueryDef(
     "q234_ivf_drift_policy",
     ivfDriftPolicyOracleSql) { (s0, d) =>
-    EventsOps.withReplayWidth(s0) { s =>
+    val inBytes = EventsOps.planBytes(
+      Tables.embeddings(s0, d).select("vec_id", "label", "embedding"))
+    EventsOps.withReplayWidth(s0, inBytes / 4) { s =>
     import s.implicits._
     val nQ = 10
     val raw = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
@@ -1790,6 +1803,9 @@ object Similarity {
         (0 until 4).foreach { e => // frozen baseline: no policy, no training
           ivfIngestEpochManaged(stF, None)(batch(e), e.toLong); ()
         }
+        // recall sweeps + the exact baseline are store/corpus-wide —
+        // full-volume width from here on
+        EventsOps.serveWidth(s, inBytes)
         // exact baseline over the SAME drifted corpus (gate armor)
         val exactTop = pairSums(
           batchComponents(drifted).select(col("vec_id"), col("i"), col("xd").as("c")),

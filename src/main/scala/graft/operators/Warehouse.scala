@@ -375,8 +375,10 @@ object Warehouse {
         .outputMode("append")
         .option("checkpointLocation", ckptDir.toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-          // bounded replay: batch-bounded merge shuffles at the q183 width
-          batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+          // bounded replay: batch-bounded merge shuffles at the
+          // volume-derived q183 width
+          batch.sparkSession.conf.set("spark.sql.shuffle.partitions",
+            EventsOps.replayWidth(s, EventsOps.planBytes(ev) / 4).toString)
           scd2Refresh(st, "dim")(batch, epoch)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -441,8 +443,10 @@ object Warehouse {
           .queryName(sinkName)
           .outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-            // bounded replay: the q183 width for batch-bounded appends
-            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+            // bounded replay: the volume-derived q183 width for
+            // batch-bounded appends
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions",
+              EventsOps.replayWidth(s, EventsOps.planBytes(ev) / 4).toString)
             st.appendBatch("ev", epoch, batch)
             // mid-stream maintenance: collapse the 2-epoch chain while
             // epochs 2 and 3 are still inbound
