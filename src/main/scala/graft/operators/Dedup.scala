@@ -623,6 +623,36 @@ object Dedup {
     keys
   }
 
+  /** ONE bounded collect of the batch's band rows (doc_id, n, band, bv):
+    * returns the sorted bucket keys for the store-side file prune
+    * (driver arithmetic — exactly the [[bandBucket]] expression) and the
+    * rows as a LOCAL relation for the kernel's probe/stream legs. The
+    * batch bands were already collected per epoch for the keys; reusing
+    * the rows makes every re-plan of the kernel's broadcast probe side
+    * driver-only (a LocalTableScan broadcast launches no job), cutting
+    * the per-epoch job count. None when the batch exceeds the ceiling —
+    * callers fall back to the distributed keys collect and in-flight
+    * band computation (the skew trade). */
+  private def batchBandsLocal(s: SparkSession, newSig: DataFrame,
+      ceiling: Long = MaxBroadcastCandidateDocs)
+      : Option[(Array[Long], DataFrame)] = {
+    val plan = bandsN(newSig)
+    val rows = plan.limit(boundedProbeLimit(ceiling)).collect()
+    if (rows.length > ceiling) return None
+    val keySet = new scala.collection.mutable.LongMap[Boolean]()
+    rows.foreach { r =>
+      val k = (r.getInt(2).toLong << 60) +
+        java.lang.Long.parseLong(r.getString(3).substring(0, 15), 16)
+      keySet.update(k, true)
+    }
+    val keys = new Array[Long](keySet.size)
+    var i = 0
+    keySet.foreach { case (k, _) => keys(i) = k; i += 1 }
+    java.util.Arrays.sort(keys)
+    Some((keys,
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)))
+  }
+
   /** Incremental near-dup pairs (VERDICT r2 #6): dedupe `newDocs` against
     * the persisted signature store AND within itself. The 100 TB daily
     * shape: shingle/minhash work is proportional to the BATCH, the corpus
@@ -652,8 +682,9 @@ object Dedup {
           // SUPERSET reads (no row predicate over the probe set — see
           // scanSkippingIds): the kernel's band equi-join / candidate
           // semi-join restrict exactly.
+          val bbl = batchBandsLocal(s, newSig)
           val (bands, bandRep) = store.scanSkippingIds("bands", Nil,
-            "bkt", batchBandKeys(newSig))
+            "bkt", bbl.map(_._1).getOrElse(batchBandKeys(newSig)))
           recordSkip("bands", bandRep)
           incrementalLshKernelPruned(s, bands, {
             case Some(ids) =>
@@ -661,7 +692,7 @@ object Dedup {
               recordSkip("shh", rep)
               th.select(col("doc_id"), col("h"))
             case None => store.table("shh").select(col("doc_id"), col("h"))
-          }, newSig, newTh)
+          }, newSig, newTh, batchBands = bbl.map(_._2))
         } else
           // legacy two-table layout (no band rows stored): compute band
           // keys in-flight; old shh tables may carry q199-era cut-verdict
@@ -779,12 +810,16 @@ object Dedup {
     * inspectable as raw trees. `maxBroadcastCand` overrides the
     * broadcast-guard ceiling so specs can force (and verify) the
     * un-hinted skew-fallback path. */
+  /** `batchBands`: the batch's band rows pre-collected as a LOCAL
+    * relation ([[batchBandsLocal]]) — the broadcast probe side then
+    * re-plans without launching jobs. None computes them in-flight. */
   private[graft] def incrementalLshKernelPruned(s: SparkSession,
       storedBands: DataFrame,
       storedThFor: Option[Array[Long]] => DataFrame,
       newSig: DataFrame, newTh: DataFrame,
       materialize: Boolean = true,
-      maxBroadcastCand: Long = MaxBroadcastCandidateDocs): IncrementalLshKernel = {
+      maxBroadcastCand: Long = MaxBroadcastCandidateDocs,
+      batchBands: Option[DataFrame] = None): IncrementalLshKernel = {
     // persist WITHOUT an eager count: the first consuming job populates
     // each cache in-flight, and the block manager's per-partition locks
     // make concurrent consumers wait-and-read instead of recompute — so
@@ -799,10 +834,11 @@ object Dedup {
     // candidate pairs arrive with (na, nb) attached — the stored band
     // rows are read ONCE per epoch, and the size-ratio prune and the
     // Jaccard denominator need no sizes lookup at all
+    val bb = batchBands.getOrElse(bandsN(newSig))
     val allBands = storedBands.select("doc_id", "n", "band", "bv")
-      .unionByName(bandsN(newSig))
+      .unionByName(bb)
     val cand0 = ready(allBands.toDF("da", "sa", "band", "bv")
-      .join(broadcast(bandsN(newSig).toDF("db", "sb", "band", "bv")),
+      .join(broadcast(bb.toDF("db", "sb", "band", "bv")),
         Seq("band", "bv"))
       .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
@@ -1431,9 +1467,12 @@ object Dedup {
       // store size BEFORE this append (stats-sidecar metadata, no job) —
       // the denominator of the self-sized write layout below
       val storeRows = st.statsRowCount("state")
+      // one bounded collect yields BOTH the band-bucket file-prune keys
+      // and the local band relation the kernel broadcasts job-free
+      val bbl = batchBandsLocal(s, newSig)
       val k = incrementalLshKernelPruned(s,
-        stateBandsPruned(st, batchBandKeys(newSig)), stateThFor(st),
-        newSig, newTh)
+        stateBandsPruned(st, bbl.map(_._1).getOrElse(batchBandKeys(newSig))),
+        stateThFor(st), newSig, newTh, batchBands = bbl.map(_._2))
       // eager pin of the (tiny) cut set before building the state frame:
       // the append's range-partitioned write SAMPLES its input, so an
       // inline pairs pipeline would run the verify joins twice; the pin
@@ -2000,9 +2039,10 @@ object Dedup {
     }
     try {
       val storeRows = st.statsRowCount("state")
+      val bbl = batchBandsLocal(s, newSig)
       val k = incrementalLshKernelPruned(s,
-        stateBandsPruned(st, batchBandKeys(newSig)), stateThFor(st),
-        newSig, newTh)
+        stateBandsPruned(st, bbl.map(_._1).getOrElse(batchBandKeys(newSig))),
+        stateThFor(st), newSig, newTh, batchBands = bbl.map(_._2))
       // Bounded probe of the epoch's verified pairs: under the kernel's
       // broadcast ceiling the WHOLE merge-graph contraction — endpoint
       // resolution, mapping-chain walk, min-label fixpoint, absorbed-

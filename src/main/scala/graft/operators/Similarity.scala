@@ -927,8 +927,14 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("d2"), col("label"))))
       .filter(col("rn") === 1).select(col("vec_id"), col("label"))
 
+  /** `precomputedAssign`: a PINNED first-round Lloyd assignment computed
+    * from the SAME current snapshot (the drift probe's argmin — same
+    * lists, same centroids, same expression), so a policy that just
+    * probed does not pay the store-wide assignment join twice (guide
+    * §1.2: don't compute things twice). */
   private[graft] def reclusterIvf(st: graft.sources.TableStore,
-      iters: Int = 1): Unit = {
+      iters: Int = 1,
+      precomputedAssign: Option[DataFrame] = None): Unit = {
     require(iters >= 1, "recluster needs at least one Lloyd iteration")
     st.rewriteClustered("ivf", Seq("kind", "label", "vec_id", "i"), 8) { cur =>
       val lists0 = cur.filter(col("kind") === 0)
@@ -946,7 +952,8 @@ object Similarity {
       // drift gate needs); deeper drift can dial iterations up and the
       // convergence spec pins that iterations STABILIZE (a fixpoint
       // reassigns nothing).
-      var assign = Dedup.pin(lloydAssign(lists, centroidsFromStore(st)))
+      var assign = precomputedAssign.getOrElse(
+        Dedup.pin(lloydAssign(lists, centroidsFromStore(st))))
       (1 until iters).foreach { _ =>
         val cent = lists.join(assign, Seq("vec_id"))
           .groupBy("label", "i")
@@ -981,12 +988,25 @@ object Similarity {
     * argmin + a count — strictly cheaper than the rewrite it guards.
     * Shared by the q232 probe gate and [[ivfIngestEpochManaged]]'s
     * threshold policy. */
-  private[graft] def ivfMisassignment(st: graft.sources.TableStore): DataFrame = {
+  private[graft] def ivfMisassignment(st: graft.sources.TableStore): DataFrame =
+    ivfMisassignmentFrom(st, ivfCurrentAssign(st))
+
+  /** The current snapshot's first-round Lloyd assignment (every stored
+    * vector to its nearest current centroid) — the shared subtree of the
+    * drift statistic AND [[reclusterIvf]]'s repair. */
+  private[graft] def ivfCurrentAssign(st: graft.sources.TableStore): DataFrame =
+    lloydAssign(st.table("ivf").filter(col("kind") === 0)
+      .select(col("vec_id"), col("i"), col("xd")),
+      centroidsFromStore(st))
+
+  /** [[ivfMisassignment]] over an explicit assignment frame, so a caller
+    * that goes on to recluster can compute the assignment ONCE (pinned)
+    * and feed both the statistic and the rewrite. */
+  private[graft] def ivfMisassignmentFrom(st: graft.sources.TableStore,
+      assign: DataFrame): DataFrame = {
     val dir = st.table("ivf").filter(col("kind") === 1)
       .select(col("vec_id"), col("label").as("list_label"))
-    val lists = st.table("ivf").filter(col("kind") === 0)
-      .select(col("vec_id"), col("i"), col("xd"))
-    dir.join(lloydAssign(lists, centroidsFromStore(st)), Seq("vec_id"))
+    dir.join(assign, Seq("vec_id"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("list_label") =!= col("label"), 1L).otherwise(0L)).as("mis"))
   }
@@ -1045,16 +1065,22 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("embedding"))
     ivfIngestEpoch(st, compactLimit)(relabeled, epoch)
     driftLimitPpm.map { limit =>
-      def probe(): (Long, Long, Long) = {
-        val r = ivfMisassignment(st).head()
+      def stats(df: DataFrame): (Long, Long, Long) = {
+        val r = df.head()
         val n = r.getLong(0)
         val mis = r.getLong(1)
         (n, mis, if (n > 0) mis * 1000000L / n else 0L)
       }
-      val (n, mis, ppm) = probe()
+      // ONE pinned store-wide assignment feeds the pre-probe AND (when
+      // the threshold fires) the recluster's first Lloyd step — the
+      // probe's argmin over the same snapshot IS that step, so the
+      // policy never pays the assignment join twice per fire
+      val assign = Dedup.pin(ivfCurrentAssign(st))
+      val (n, mis, ppm) = stats(ivfMisassignmentFrom(st, assign))
       val maintain = epoch == 0L || ppm > limit
-      if (maintain) reclusterIvf(st)
-      val (_, postMis, postPpm) = if (maintain) probe() else (n, mis, ppm)
+      if (maintain) reclusterIvf(st, precomputedAssign = Some(assign))
+      val (_, postMis, postPpm) =
+        if (maintain) stats(ivfMisassignment(st)) else (n, mis, ppm)
       (n, mis, ppm, maintain && epoch > 0L, postMis, postPpm)
     }
   }
@@ -1559,10 +1585,14 @@ object Similarity {
       // the probes and the recluster rewrite are store-wide — full-volume
       // width from here on
       EventsOps.serveWidth(s, inBytes)
-      // EAGER before-read: the recluster below rewrites the store
-      val before = Dedup.pin(
-        ivfMisassignment(st).select(col("n_vectors"), col("mis").as("mis_before")))
-      reclusterIvf(st)
+      // EAGER before-read: the recluster below rewrites the store. The
+      // pinned assignment feeds the before-statistic AND the recluster's
+      // first Lloyd step (same snapshot, same expression) — one
+      // store-wide assignment join, not two
+      val assign = Dedup.pin(ivfCurrentAssign(st))
+      val before = Dedup.pin(ivfMisassignmentFrom(st, assign)
+        .select(col("n_vectors"), col("mis").as("mis_before")))
+      reclusterIvf(st, precomputedAssign = Some(assign))
       val after = ivfMisassignment(st).select(col("mis").as("mis_after"))
       // pinned frame: the store root is deleted in the finally below
       Dedup.pin(before.crossJoin(broadcast(after))
