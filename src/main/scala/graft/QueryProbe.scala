@@ -26,9 +26,13 @@ object QueryProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_PROBE_CONF="k=v;k=v" — A/B one conf change at a time
+    // (empty or '='-less segments — a trailing ';' — are skipped, not a
+    // MatchError; ADVICE r19)
     sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v)
+        case _ => ()
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,7 +81,13 @@ object QueryProbe {
             import scala.jdk.CollectionConverters._
             jobLog.iterator().asScala.toSeq
           }
-          println(f"[jobs] $name run$i: ${jobs.size} jobs, sum=${jobs.map(_._3).sum}%.2f s")
+          // SQL-execution rows (site "SQL:…") wrap the Spark jobs that run
+          // inside them — sum them separately so the header never
+          // double-counts a job against its enclosing execution (ADVICE r19)
+          val (sqls, plain) = jobs.partition(_._2.startsWith("SQL:"))
+          println(f"[jobs] $name run$i: ${plain.size} jobs, " +
+            f"sum=${plain.map(_._3).sum}%.2f s; ${sqls.size} SQL executions, " +
+            f"wall=${sqls.map(_._3).sum}%.2f s (overlapping)")
           jobs.groupBy(_._2).map { case (site, js) =>
             (site, js.size, js.map(_._3).sum)
           }.toSeq.sortBy(-_._3).take(30).foreach { case (site, cnt, tot) =>

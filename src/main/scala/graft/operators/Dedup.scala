@@ -876,7 +876,12 @@ object Dedup {
         // AND returns the ids when under it (driver memory bound is the
         // same ceiling the collect always had). Over the ceiling — the
         // rare band-skew fallback — the exact count still runs (the
-        // write layouts size from it).
+        // write layouts size from it); that path pays the limit scan
+        // PLUS the count, one job more than the old pair — the accepted
+        // trade for the common under-ceiling case (ADVICE r19). Note
+        // CollectLimitExec may take several scale-up waves on a
+        // many-partition frame, so "one job" is the under-ceiling norm,
+        // not a guarantee.
         val probe = candDocsBase.limit(boundedProbeLimit(maxBroadcastCand))
           .collect().map(_.getLong(0))
         if (probe.length <= maxBroadcastCand) {

@@ -343,8 +343,17 @@ object Warehouse {
   /** q189 body; `rowsPerFile` sizes the staged replay files (specs pass a
     * tiny value to force the multi-file aligned-batch path at test scale). */
   private[graft] def q189Impl(rowsPerFile: Long = EventsOps.OuterStageRowsPerFile)(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      s0: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import graft.sources.TableStore
+    // the whole gate is replay-bounded (staging, per-batch merges, the
+    // final dim read) — run it under the volume-derived replay width
+    // like the other maintained-store gates; q189's outer body used to
+    // plan its staging and serve stages at session width, which at
+    // local[32] is pure tiny-task overhead (the 0.63 anti-scaling VERDICT
+    // r19 flagged)
+    val evBytes = EventsOps.planBytes(Tables.events(s0, d)
+      .select("event_id", "ts", "user_id", "event_type", "value"))
+    EventsOps.withReplayWidth(s0, evBytes / 4) { s =>
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-stage")
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-scd2-ckpt")
@@ -384,6 +393,8 @@ object Warehouse {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // serve reads the store-wide dimension — full-volume width
+      EventsOps.serveWidth(s, evBytes)
       // pin: the store root is deleted in the finally below
       st.table("dim").select("user_id", "tier", "valid_from", "valid_to")
         .orderBy("user_id", "tier")
@@ -392,6 +403,7 @@ object Warehouse {
       EventsOps.rmTree(streamDir)
       EventsOps.rmTree(ckptDir)
       EventsOps.rmTree(storeRoot)
+    }
     }
   }
 

@@ -651,6 +651,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * The no-Spark-job fast path [[analyze]] takes instead of a count()
     * scan: a maintenance pass that just compacted a table should not pay
     * a full re-read to report the row count its own write already knew. */
+  /** Exact row count of the current snapshot from the stats sidecars —
+    * Some only when EVERY current file has a recorded parquet-footer
+    * count, else None (caller falls back to a count() scan). INVARIANT
+    * this exactness rests on: table() applies no row-level filtering —
+    * a read path that ever adds tombstones/constraints must route
+    * analyze() back through count() (ADVICE r19). */
   private def statsExactRowCount(name: String): Option[Long] = {
     val files = currentFiles(name)
     val stats = currentStats(name, files)
